@@ -1,0 +1,161 @@
+"""Deterministic synthetic corpora with known gold alignments.
+
+No network egress exists in this environment, so real Flickr8k / SpeechCOCO
+audio cannot be downloaded (SURVEY.md §7 "Data absence").  This module ships
+``flickr8k-mini``: a seeded generative corpus that mirrors the reference
+task's structure — each "image" is a bag of visual concepts; its spoken
+caption is the concatenation of phone-sequence "words" (one per concept, in a
+shuffled spoken order) with optional NULL-aligned filler phones.  Gold
+alignments and gold word segments fall out of the generator, which is what the
+reference gets from Flickr30k-Entities / SpeechCOCO annotations (SURVEY.md §2
+C4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from multimodalworddiscovery_tpu.data.corpus import Corpus, GoldAnnotations
+
+
+@dataclasses.dataclass
+class SyntheticMeta:
+    """Generator side-information (the hidden truth EM should recover)."""
+
+    lexicon: dict[int, list[int]]  # concept id -> phone-id word
+    n_concepts: int
+    n_phones: int
+    concept_names: list[str]
+    phone_names: list[str]
+
+
+def make_flickr8k_mini(
+    n_utterances: int = 200,
+    n_concepts: int = 40,
+    n_phones: int = 48,
+    min_word_len: int = 2,
+    max_word_len: int = 5,
+    min_concepts: int = 2,
+    max_concepts: int = 4,
+    p_filler: float = 0.15,
+    seed: int = 0,
+) -> tuple[Corpus, GoldAnnotations, SyntheticMeta]:
+    """Build the synthetic paired corpus.
+
+    Phone id 0 is reserved as padding; real phones are 1..n_phones.
+    Concept id 0 is reserved as padding/NULL; real concepts are 1..n_concepts.
+    """
+    rng = np.random.default_rng(seed)
+
+    # Hidden lexicon: concept -> word (sequence of phone ids), distinct per
+    # concept with high probability given the vocab size.
+    lexicon: dict[int, list[int]] = {}
+    for c in range(1, n_concepts + 1):
+        length = int(rng.integers(min_word_len, max_word_len + 1))
+        lexicon[c] = (rng.integers(1, n_phones + 1, size=length)).tolist()
+
+    src_seqs, trg_seqs = [], []
+    alignments: list[np.ndarray] = []
+    segments: list[list[tuple[int, int, int]]] = []
+
+    for _ in range(n_utterances):
+        k = int(rng.integers(min_concepts, max_concepts + 1))
+        concepts = rng.choice(np.arange(1, n_concepts + 1), size=k, replace=False)
+        trg = concepts.astype(np.int32)
+        spoken_order = rng.permutation(k)
+
+        phones: list[int] = []
+        align: list[int] = []
+        segs: list[tuple[int, int, int]] = []
+        for j in spoken_order:
+            # Optional NULL-aligned filler phone before the word.
+            if rng.random() < p_filler:
+                phones.append(int(rng.integers(1, n_phones + 1)))
+                align.append(0)
+            word = lexicon[int(trg[j])]
+            start = len(phones)
+            phones.extend(word)
+            align.extend([int(j) + 1] * len(word))  # 1-based trg position
+            segs.append((start, len(phones), int(trg[j])))
+        src_seqs.append(np.asarray(phones, dtype=np.int32))
+        trg_seqs.append(trg)
+        alignments.append(np.asarray(align, dtype=np.int32))
+        segments.append(segs)
+
+    corpus = Corpus.from_ragged(
+        src_seqs, trg_seqs, src_vocab=n_phones + 1, trg_vocab=n_concepts + 1
+    )
+    gold_align = np.zeros((n_utterances, corpus.max_src_len), dtype=np.int32)
+    for i, a in enumerate(alignments):
+        gold_align[i, : len(a)] = a
+    gold = GoldAnnotations(alignment=gold_align, segments=segments)
+    meta = SyntheticMeta(
+        lexicon=lexicon,
+        n_concepts=n_concepts,
+        n_phones=n_phones,
+        concept_names=[f"concept_{c}" for c in range(n_concepts + 1)],
+        phone_names=[f"ph{p}" for p in range(n_phones + 1)],
+    )
+    return corpus, gold, meta
+
+
+def phones_to_frames(
+    corpus: Corpus,
+    gold: GoldAnnotations,
+    feat_dim: int = 16,
+    min_frames: int = 2,
+    max_frames: int = 4,
+    noise: float = 0.15,
+    seed: int = 0,
+) -> tuple[Corpus, GoldAnnotations, np.ndarray]:
+    """Expand a discrete phone corpus into continuous acoustic frames.
+
+    Each phone id gets a random mean vector; each phone token emits 2–4 noisy
+    frames around it — a stand-in for MFCC frames so the Gaussian-emission HMM
+    (SURVEY.md §2 C7) and frontend pipelines are testable without real audio.
+
+    Returns (frame corpus, frame-level gold, phone mean table [V, D]).
+    """
+    rng = np.random.default_rng(seed)
+    V = corpus.src_vocab
+    means = rng.normal(size=(V, feat_dim)).astype(np.float32)
+
+    src = np.asarray(corpus.src)
+    src_len = np.asarray(corpus.src_len)
+    frame_seqs, frame_aligns, frame_segments = [], [], []
+    for i in range(corpus.n):
+        frames, falign = [], []
+        fsegs: list[tuple[int, int, int]] = []
+        seg_iter = {s: (e, c) for (s, e, c) in gold.segments[i]}
+        open_seg: list[int] | None = None
+        open_concept = 0
+        for t in range(int(src_len[i])):
+            if t in seg_iter:
+                open_seg = [len(frames)]
+                open_concept = seg_iter[t][1]
+            ph = int(src[i, t])
+            nf = int(rng.integers(min_frames, max_frames + 1))
+            for _ in range(nf):
+                frames.append(means[ph] + noise * rng.normal(size=feat_dim))
+                falign.append(int(gold.alignment[i, t]))
+            for s, (e, c) in seg_iter.items():
+                if t == e - 1 and open_seg is not None and c == open_concept:
+                    fsegs.append((open_seg[0], len(frames), c))
+                    open_seg = None
+        frame_seqs.append(np.asarray(frames, dtype=np.float32))
+        frame_aligns.append(np.asarray(falign, dtype=np.int32))
+        frame_segments.append(fsegs)
+
+    trg_ragged = [
+        np.asarray(corpus.trg)[i, : int(corpus.trg_len[i])] for i in range(corpus.n)
+    ]
+    frame_corpus = Corpus.from_ragged(
+        frame_seqs, trg_ragged, src_vocab=0, trg_vocab=corpus.trg_vocab
+    )
+    gold_align = np.zeros((corpus.n, frame_corpus.max_src_len), dtype=np.int32)
+    for i, a in enumerate(frame_aligns):
+        gold_align[i, : len(a)] = a
+    frame_gold = GoldAnnotations(alignment=gold_align, segments=frame_segments)
+    return frame_corpus, frame_gold, means

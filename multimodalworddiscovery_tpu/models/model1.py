@@ -1,0 +1,143 @@
+"""Batched IBM Model-1 / mixture aligner EM.
+
+Reference counterpart: the SMT ``*WordDiscoverer`` mixture aligner (SURVEY.md
+§2 C5, §3.1) — EM over translation probabilities t(phone | concept) with a
+NULL concept, run there as a per-utterance Python loop inside every EM
+iteration.  Here one EM step is a single jitted call over the whole padded
+corpus:
+
+  E-step: gather log t at [src_i, trg_j] pairs -> [N, Ts, 1+Tt] posteriors
+          (one XLA gather + masked softmax; no Python loops)
+  M-step: expected counts scatter-added into the [V_src, V_trg] table with
+          one segment_sum over flattened (phone, concept) pair ids.
+
+Target position j=0 is the NULL concept (concept id 0); j>=1 refers to the
+j-th concept of the paired image, matching the alignment JSON convention.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from multimodalworddiscovery_tpu.core.logsemiring import (
+    NEG_INF,
+    masked_logsumexp,
+)
+from multimodalworddiscovery_tpu.data.corpus import Corpus
+
+
+@struct.dataclass
+class Model1Params:
+    """log t(phone f | concept e): [V_src, V_trg]; column 0 is NULL."""
+
+    log_t: jax.Array
+
+
+def init(corpus: Corpus, dtype=jnp.float32) -> Model1Params:
+    """Uniform translation table (reference initializeModel, SURVEY.md §3.1)."""
+    v_src, v_trg = corpus.src_vocab, corpus.trg_vocab
+    log_t = jnp.full((v_src, v_trg), -jnp.log(v_src), dtype=dtype)
+    return Model1Params(log_t=log_t)
+
+
+def _extended_targets(corpus: Corpus) -> tuple[jax.Array, jax.Array]:
+    """Prepend the NULL concept: trg_ext [N, 1+Tt] ids, ext mask [N, 1+Tt]."""
+    n = corpus.n
+    null_col = jnp.zeros((n, 1), dtype=corpus.trg.dtype)
+    trg_ext = jnp.concatenate([null_col, corpus.trg], axis=1)
+    ext_mask = jnp.concatenate(
+        [jnp.ones((n, 1), dtype=bool), corpus.trg_mask()], axis=1
+    )
+    return trg_ext, ext_mask
+
+
+def _pair_logprobs(params: Model1Params, corpus: Corpus) -> tuple[jax.Array, jax.Array]:
+    """log t[src_i, e_j] for every (utterance, src pos, ext trg pos).
+
+    Returns (logp [N, Ts, 1+Tt], joint mask [N, Ts, 1+Tt]).
+    """
+    trg_ext, ext_mask = _extended_targets(corpus)
+    logp = params.log_t[corpus.src[:, :, None], trg_ext[:, None, :]]
+    mask = corpus.src_mask()[:, :, None] & ext_mask[:, None, :]
+    return jnp.where(mask, logp, NEG_INF), mask
+
+
+def posteriors(params: Model1Params, corpus: Corpus) -> jax.Array:
+    """E-step alignment posteriors gamma [N, Ts, 1+Tt]; rows sum to 1 on valid
+    source positions, are all-zero on padding."""
+    logp, mask = _pair_logprobs(params, corpus)
+    lse = masked_logsumexp(logp, axis=-1, keepdims=True)
+    lse = jnp.where(lse > NEG_INF / 2, lse, 0.0)
+    gamma = jnp.exp(logp - lse)
+    return jnp.where(mask, gamma, 0.0)
+
+
+def loglik(params: Model1Params, corpus: Corpus) -> jax.Array:
+    """Corpus log-likelihood incl. the uniform 1/(1+Tt) alignment prior."""
+    logp, _ = _pair_logprobs(params, corpus)
+    per_pos = masked_logsumexp(logp, axis=-1)  # [N, Ts]
+    src_mask = corpus.src_mask()
+    prior = -jnp.log1p(corpus.trg_len.astype(logp.dtype))  # log 1/(1+Tt)
+    per_utt = jnp.sum(jnp.where(src_mask, per_pos, 0.0), axis=1)
+    per_utt = per_utt + corpus.src_len.astype(logp.dtype) * prior
+    return jnp.sum(per_utt)
+
+
+def em_step(
+    params: Model1Params, corpus: Corpus, smoothing: float = 1e-8
+) -> tuple[Model1Params, dict[str, jax.Array]]:
+    """One full EM iteration over the corpus (E + M), jittable.
+
+    Replaces the reference's `for utt in corpus` loop inside trainUsingEM
+    (SURVEY.md §3.1 🔥) with one gather, one softmax, one segment_sum.
+    """
+    v_src, v_trg = params.log_t.shape
+    gamma = posteriors(params, corpus)  # [N, Ts, 1+Tt]
+    trg_ext, _ = _extended_targets(corpus)
+
+    # Scatter expected counts into the (phone, concept) table.
+    pair_ids = corpus.src[:, :, None] * v_trg + trg_ext[:, None, :]  # [N,Ts,1+Tt]
+    counts = jax.ops.segment_sum(
+        gamma.reshape(-1),
+        pair_ids.reshape(-1),
+        num_segments=v_src * v_trg,
+    ).reshape(v_src, v_trg)
+
+    counts = counts + smoothing
+    totals = jnp.sum(counts, axis=0, keepdims=True)  # normalize over phones per concept
+    new_log_t = jnp.log(counts) - jnp.log(totals)
+
+    new_params = Model1Params(log_t=new_log_t.astype(params.log_t.dtype))
+    stats = {"loglik": loglik(params, corpus)}
+    return new_params, stats
+
+
+def align(params: Model1Params, corpus: Corpus) -> jax.Array:
+    """Viterbi-style decode: argmax_j t(f_i | e_j) per source token.
+
+    Returns [N, Ts] int32: 0 = NULL, j>=1 = 1-based trg position; padding
+    positions are 0 (reference align(), SURVEY.md §3.1).
+    """
+    logp, _ = _pair_logprobs(params, corpus)
+    a = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+    return jnp.where(corpus.src_mask(), a, 0)
+
+
+def train(
+    params: Model1Params,
+    corpus: Corpus,
+    num_iterations: int,
+    smoothing: float = 1e-8,
+) -> tuple[Model1Params, jax.Array]:
+    """Run ``num_iterations`` EM steps under one lax.scan (trainUsingEM).
+
+    Returns (params, logliks [num_iterations]).
+    """
+
+    def body(p, _):
+        p2, stats = em_step(p, corpus, smoothing=smoothing)
+        return p2, stats["loglik"]
+
+    return jax.lax.scan(body, params, None, length=num_iterations)
