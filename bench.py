@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Metric (BASELINE.md): utterances·iterations/sec/chip for discrete-HMM
+forward-backward EM on a Flickr8k-scale corpus, vs the per-utterance float64
+NumPy oracle on one CPU core (the reference's compute pattern).  Target from
+BASELINE.json north star: >= 50x.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+N_UTTERANCES = 8000  # Flickr8k-scale (8k images)
+N_ITERS_TPU = 10
+ORACLE_UTTS = 128  # oracle measured on a subset, per-utterance cost is flat
+ORACLE_ITERS = 1
+
+
+def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mwd_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.models import hmm
+    from multimodalworddiscovery_tpu.oracles.numpy_hmm import NumpyHMM
+
+    gen = dict(n_concepts=60, n_phones=48, min_concepts=3, max_concepts=6, seed=0)
+    corpus, _, _ = make_flickr8k_mini(n_utterances=N_UTTERANCES, **gen)
+
+    # --- CPU oracle baseline (reference-style per-utterance loop) ---
+    # Same generator, small host-side corpus: avoids pulling the full device
+    # corpus back over the (rate-limited) TPU tunnel just to feed the oracle.
+    small, _, _ = make_flickr8k_mini(n_utterances=ORACLE_UTTS, **gen)
+    src = np.asarray(small.src)
+    trg = np.asarray(small.trg)
+    sl = np.asarray(small.src_len)
+    tl = np.asarray(small.trg_len)
+    src_seqs = [src[i, : sl[i]] for i in range(ORACLE_UTTS)]
+    trg_seqs = [trg[i, : tl[i]] for i in range(ORACLE_UTTS)]
+    oracle = NumpyHMM(src_seqs, trg_seqs, corpus.src_vocab, corpus.trg_vocab)
+    t0 = time.perf_counter()
+    for _ in range(ORACLE_ITERS):
+        oracle.em_iteration()
+    oracle_time = time.perf_counter() - t0
+    oracle_throughput = ORACLE_UTTS * ORACLE_ITERS / oracle_time
+
+    # --- TPU batched EM ---
+    step = jax.jit(hmm.em_step)
+    params = hmm.init(corpus)
+    # warm-up / compile
+    p1, _ = step(params, corpus)
+    jax.block_until_ready(p1)
+    t0 = time.perf_counter()
+    p = params
+    for _ in range(N_ITERS_TPU):
+        p, stats = step(p, corpus)
+    jax.block_until_ready(p)
+    tpu_time = time.perf_counter() - t0
+    tpu_throughput = N_UTTERANCES * N_ITERS_TPU / tpu_time
+
+    print(
+        json.dumps(
+            {
+                "metric": "hmm_fwdbwd_em_utterances_per_sec_per_chip",
+                "value": round(tpu_throughput, 1),
+                "unit": "utt*iter/s",
+                "vs_baseline": round(tpu_throughput / oracle_throughput, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Command-line entry points: train / align / segment / evaluate.
+
+Reference counterpart: the top-level ``run_*.py`` experiment drivers
+(SURVEY.md §2 C13) — argparse scripts wiring load -> construct discoverer ->
+trainUsingEM -> printAlignment -> offline eval.  Here one CLI covers all
+models through the registry; state is Orbax checkpoints; alignments and
+metrics are JSON/JSONL files.
+
+  mwd train    --config configs/model1_mini.py --workdir /tmp/run
+  mwd align    --workdir /tmp/run [--output alignment.json]
+  mwd segment  --workdir /tmp/run [--output segments.json]
+  mwd evaluate --workdir /tmp/run [--output metrics.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalworddiscovery_tpu.core.config import apply_overrides, base_config, load_config
+from multimodalworddiscovery_tpu.core.metrics_io import MetricsWriter, _to_jsonable
+from multimodalworddiscovery_tpu.core.mesh import make_mesh
+from multimodalworddiscovery_tpu.data.corpus import Corpus, GoldAnnotations
+from multimodalworddiscovery_tpu.data.io import load_corpus, save_alignment_json
+from multimodalworddiscovery_tpu.data.synthetic import make_flickr8k_mini
+from multimodalworddiscovery_tpu.models.registry import get_model
+from multimodalworddiscovery_tpu.parallel import make_data_parallel_step, shard_corpus
+from multimodalworddiscovery_tpu.segment import (
+    boundaries_from_segments,
+    segments_from_alignment,
+    segments_to_host,
+)
+from multimodalworddiscovery_tpu.utils.checkpoint import CheckpointManager
+
+
+def _load_data(cfg) -> tuple[Corpus, GoldAnnotations | None]:
+    if cfg.data.source == "synthetic":
+        corpus, gold, _ = make_flickr8k_mini(
+            n_utterances=cfg.data.n_utterances,
+            n_concepts=cfg.data.n_concepts,
+            n_phones=cfg.data.n_phones,
+            seed=cfg.seed,
+        )
+        return corpus, gold
+    if cfg.data.source == "disk":
+        return load_corpus(cfg.data.dir, cfg.data.name)
+    raise ValueError(f"unknown data.source {cfg.data.source!r}")
+
+
+def _make_model(cfg, corpus):
+    mod = get_model(cfg.model.name)
+    params = mod.init(corpus)
+    if cfg.model.name == "model1":
+        step = functools.partial(mod.em_step, smoothing=cfg.model.smoothing)
+    else:
+        step = mod.em_step
+    return mod, params, step
+
+
+def _save_config(cfg, workdir: Path) -> None:
+    (workdir / "config.json").write_text(cfg.to_json(indent=2))
+
+
+def _load_workdir_config(workdir: Path):
+    cfg = base_config()
+    saved = json.loads((workdir / "config.json").read_text())
+
+    def merge(node, d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                merge(getattr(node, k), v)
+            else:
+                setattr(node, k, v)
+
+    merge(cfg, saved)
+    return cfg
+
+
+def cmd_train(args) -> None:
+    cfg = load_config(args.config) if args.config else base_config()
+    apply_overrides(cfg, args.override)
+    workdir = Path(args.workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    _save_config(cfg, workdir)
+
+    corpus, _ = _load_data(cfg)
+    mod, params, step = _make_model(cfg, corpus)
+
+    if cfg.train.data_parallel:
+        mesh = make_mesh()
+        corpus = shard_corpus(corpus, mesh)
+        step = make_data_parallel_step(step, mesh)
+    else:
+        step = jax.jit(step)
+
+    ckpt = CheckpointManager(workdir / "ckpt")
+    start = 0
+    if ckpt.latest_step() is not None and not args.fresh:
+        params, start = ckpt.restore(params)
+        start += 1
+        print(f"resumed from iteration {start}")
+
+    writer = MetricsWriter(workdir / "train_metrics.jsonl")
+    t_total = 0.0
+    for it in range(start, cfg.train.num_iterations):
+        t0 = time.perf_counter()
+        params, stats = step(params, corpus)
+        jax.block_until_ready(params)
+        dt = time.perf_counter() - t0
+        t_total += dt
+        ll = float(stats["loglik"])
+        writer.write(it, loglik=ll, seconds=dt)
+        print(f"iter {it:4d}  loglik {ll:.2f}  ({dt*1e3:.1f} ms)")
+        if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
+            ckpt.save(it, params)
+    ckpt.close()
+    print(f"trained {cfg.train.num_iterations - start} iterations in {t_total:.2f}s")
+
+
+def _restore(workdir: Path):
+    cfg = _load_workdir_config(workdir)
+    corpus, gold = _load_data(cfg)
+    mod, params, _ = _make_model(cfg, corpus)
+    ckpt = CheckpointManager(workdir / "ckpt")
+    params, step = ckpt.restore(params)
+    ckpt.close()
+    return cfg, corpus, gold, mod, params
+
+
+def cmd_align(args) -> None:
+    workdir = Path(args.workdir)
+    cfg, corpus, _, mod, params = _restore(workdir)
+    alignment = np.asarray(jax.jit(mod.align)(params, corpus))
+    out = Path(args.output or workdir / "alignment.json")
+    save_alignment_json(alignment, np.asarray(corpus.src_len), out)
+    print(f"wrote {out}")
+
+
+def cmd_segment(args) -> None:
+    workdir = Path(args.workdir)
+    cfg, corpus, _, mod, params = _restore(workdir)
+    alignment = jax.jit(mod.align)(params, corpus)
+    segs, mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
+    out = Path(args.output or workdir / "segments.json")
+    save_alignment_json(
+        np.asarray(alignment),
+        np.asarray(corpus.src_len),
+        out,
+        segments=segments_to_host(segs, mask),
+    )
+    print(f"wrote {out}")
+
+
+def cmd_evaluate(args) -> None:
+    from multimodalworddiscovery_tpu.eval import (
+        alignment_prf,
+        boundary_prf,
+        cluster_purity,
+        recall_at_k,
+        retrieval_scores_model1,
+        word_iou,
+    )
+
+    workdir = Path(args.workdir)
+    cfg, corpus, gold, mod, params = _restore(workdir)
+    if gold is None:
+        raise SystemExit("no gold annotations available for this dataset")
+
+    alignment = jax.jit(mod.align)(params, corpus)
+    gold_alignment = jnp.asarray(gold.alignment)
+
+    pred_segs, pred_mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
+    gold_segs, gold_mask = segments_from_alignment(gold_alignment, corpus.trg, corpus.src_len)
+    pb = boundaries_from_segments(pred_segs, pred_mask, corpus.max_src_len)
+    gb = boundaries_from_segments(gold_segs, gold_mask, corpus.max_src_len)
+
+    results = {
+        "alignment": alignment_prf(alignment, gold_alignment, corpus.src_mask()),
+        "word_iou": word_iou(pred_segs, pred_mask, gold_segs, gold_mask, cfg.eval.iou_threshold),
+        "boundary": boundary_prf(pb, gb, tolerance=cfg.eval.boundary_tolerance),
+        "purity": cluster_purity(pred_segs, pred_mask, gold_segs, gold_mask, corpus.trg_vocab),
+    }
+    if cfg.eval.retrieval and cfg.model.name == "model1":
+        scores = retrieval_scores_model1(params, corpus)
+        results["retrieval"] = recall_at_k(scores)
+
+    results = _to_jsonable(jax.tree.map(lambda x: float(x), results))
+    out = Path(args.output or workdir / "metrics.json")
+    out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+    print(f"wrote {out}")
+
+
+def main() -> None:
+    # Persistent compilation cache: each CLI invocation is a fresh process;
+    # without this every subcommand pays full XLA compile times.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mwd_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    parser = argparse.ArgumentParser(prog="mwd", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train an aligner")
+    p_train.add_argument("--config", default=None, help="python config file")
+    p_train.add_argument("--workdir", required=True)
+    p_train.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
+    p_train.add_argument("--override", nargs="*", default=[], help="key.path=value overrides")
+    p_train.set_defaults(fn=cmd_train)
+
+    for name, fn in (("align", cmd_align), ("segment", cmd_segment), ("evaluate", cmd_evaluate)):
+        p = sub.add_parser(name, help=f"{name} with a trained model")
+        p.add_argument("--workdir", required=True)
+        p.add_argument("--output", default=None)
+        p.set_defaults(fn=fn)
+
+    args = parser.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

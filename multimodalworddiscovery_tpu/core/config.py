@@ -1,0 +1,84 @@
+"""Config system.
+
+The reference scatters hyperparameters across argparse flags and constructor
+defaults (SURVEY.md §5.6).  Here one ``ml_collections.ConfigDict`` describes a
+run end to end (data, model, training, eval); config files under ``configs/``
+are python modules with a ``get_config()`` returning one.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+from ml_collections import ConfigDict
+
+
+def base_config() -> ConfigDict:
+    cfg = ConfigDict()
+
+    cfg.seed = 0
+
+    cfg.data = ConfigDict()
+    cfg.data.source = "synthetic"  # synthetic | disk
+    cfg.data.dir = ""
+    cfg.data.name = "flickr8k_mini"
+    cfg.data.n_utterances = 200
+    cfg.data.n_concepts = 40
+    cfg.data.n_phones = 48
+    cfg.data.shard_pad_multiple = 1  # pad N to multiple (devices) for sharding
+
+    cfg.model = ConfigDict()
+    cfg.model.name = "model1"
+    cfg.model.smoothing = 1e-8
+    # HMM-specific knobs (unused by model1)
+    cfg.model.max_jump = 3
+    cfg.model.self_loop_prob = 0.0
+    cfg.model.emission = "discrete"  # discrete | gaussian
+    cfg.model.feat_dim = 0
+
+    cfg.train = ConfigDict()
+    cfg.train.num_iterations = 20
+    cfg.train.checkpoint_every = 10
+    cfg.train.data_parallel = False  # shard corpus over all devices
+
+    cfg.eval = ConfigDict()
+    cfg.eval.boundary_tolerance = 1
+    cfg.eval.iou_threshold = 0.5
+    cfg.eval.retrieval = True
+
+    return cfg
+
+
+def load_config(path: str | Path) -> ConfigDict:
+    """Load ``get_config()`` from a python config file."""
+    path = Path(path)
+    spec = importlib.util.spec_from_file_location(path.stem, path)
+    if spec is None or spec.loader is None:
+        raise FileNotFoundError(path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.get_config()
+
+
+def apply_overrides(cfg: ConfigDict, overrides: list[str]) -> ConfigDict:
+    """Apply ``key.path=value`` CLI overrides with type coercion."""
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        if not _:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = getattr(node, p)
+        old = getattr(node, parts[-1])
+        if isinstance(old, bool):
+            val = raw.lower() in ("1", "true", "yes")
+        elif isinstance(old, int):
+            val = int(raw)
+        elif isinstance(old, float):
+            val = float(raw)
+        else:
+            val = raw
+        setattr(node, parts[-1], val)
+    return cfg

@@ -1,0 +1,88 @@
+"""Batched on-device DTW.
+
+Reference counterpart: per-segment-pair O(T1*T2) Python DP in the eval
+scripts (SURVEY.md §3.5 🔥).  Here the DP runs as one ``lax.scan`` over rows
+with the in-row dependency resolved by a min-plus prefix scan:
+
+  D[i,j] = c[i,j] + min(D[i-1,j], D[i-1,j-1], D[i,j-1])
+
+Let E[j] = min(D[i-1,j], D[i-1,j-1]) and S = cumsum(c[i]).  Unrolling the
+in-row recursion gives D[i,j] = S[j] + cummin_j(E - shift(S)), so each row is
+pure vector work (VPU-friendly) and the whole batch is vmapped.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e30
+
+
+def _pairwise_cost(x: jax.Array, y: jax.Array, metric: str) -> jax.Array:
+    """[T1, D] x [T2, D] -> [T1, T2] frame distances."""
+    if metric == "sqeuclidean":
+        return jnp.sum((x[:, None, :] - y[None, :, :]) ** 2, axis=-1)
+    if metric == "euclidean":
+        return jnp.sqrt(jnp.sum((x[:, None, :] - y[None, :, :]) ** 2, axis=-1) + 1e-12)
+    if metric == "cosine":
+        xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        yn = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+        return 1.0 - xn @ yn.T
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _dtw_single(cost: jax.Array, len_x: jax.Array, len_y: jax.Array) -> jax.Array:
+    """DTW distance for one padded cost matrix [T1, T2] with true lengths."""
+    t1, t2 = cost.shape
+    col_idx = jnp.arange(t2)
+    cost = jnp.where(col_idx[None, :] < len_y, cost, _BIG)
+
+    def row_step(prev, row_cost):
+        # prev: D[i-1, :] (BIG outside valid region)
+        e = jnp.minimum(prev, jnp.concatenate([jnp.full((1,), _BIG), prev[:-1]]))
+        s = jnp.cumsum(row_cost)
+        s_shift = jnp.concatenate([jnp.zeros((1,)), s[:-1]])
+        d = s + jax.lax.cummin(e - s_shift)
+        return d, d
+
+    # First row: D[0,j] = cumsum(cost[0, :j+1]) for valid j.
+    first = jnp.cumsum(cost[0])
+    first = jnp.where(col_idx < len_y, first, _BIG)
+    rows_rest = cost[1:]
+    _, all_rows = jax.lax.scan(row_step, first, rows_rest)
+    full = jnp.concatenate([first[None, :], all_rows], axis=0)  # [T1, T2]
+    d = full[
+        jnp.clip(len_x - 1, 0, t1 - 1),
+        jnp.clip(len_y - 1, 0, t2 - 1),
+    ]
+    return d
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "normalize"))
+def dtw_distance(
+    x: jax.Array,
+    y: jax.Array,
+    len_x: jax.Array,
+    len_y: jax.Array,
+    metric: str = "sqeuclidean",
+    normalize: bool = False,
+) -> jax.Array:
+    """Batched DTW distances.
+
+    x: [B, T1, D], y: [B, T2, D], len_x/len_y: [B] true lengths.
+    Returns [B] distances (optionally normalized by len_x + len_y).
+    """
+
+    def one(xi, yi, lx, ly):
+        cost = _pairwise_cost(xi, yi, metric)
+        # mask rows beyond len_x so the scan carries BIG harmlessly; the
+        # readout indexes (len_x-1, len_y-1) so trailing rows never matter.
+        return _dtw_single(cost, lx, ly)
+
+    d = jax.vmap(one)(x, y, len_x, len_y)
+    if normalize:
+        d = d / jnp.maximum(len_x + len_y, 1).astype(d.dtype)
+    return d

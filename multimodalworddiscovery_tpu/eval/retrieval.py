@@ -1,0 +1,64 @@
+"""Cross-modal retrieval: image search / annotation from alignment scores.
+
+Reference counterpart: retrieval scripts scoring (image, caption) pairs from
+translation probabilities and ranking (SURVEY.md §3.5).  Here the full N x N
+score matrix is computed on device with a ``lax.map`` over captions (each step
+is one gather + masked logsumexp over all images).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF, masked_logsumexp
+from multimodalworddiscovery_tpu.data.corpus import Corpus
+from multimodalworddiscovery_tpu.models.model1 import Model1Params, _extended_targets
+
+
+def retrieval_scores_model1(params: Model1Params, corpus: Corpus) -> jax.Array:
+    """Model-1 log-likelihood of every (caption i, image j) pair -> [N, N].
+
+    Row i scores caption i against every image's concept sequence; the true
+    pairing is the diagonal.
+    """
+    trg_ext, ext_mask = _extended_targets(corpus)  # [N, 1+Tt]
+    src_mask = corpus.src_mask()
+    tt1 = trg_ext.shape[1]
+
+    def one_caption(args):
+        src_row, src_mask_row, src_len_row = args  # [Ts], [Ts], []
+        logp_rows = params.log_t[src_row]  # [Ts, V_trg]
+        # [N_img, Ts, 1+Tt]
+        pair = logp_rows[:, trg_ext.reshape(-1)].reshape(-1, corpus.n, tt1).transpose(1, 0, 2)
+        mask = src_mask_row[None, :, None] & ext_mask[:, None, :]
+        pair = jnp.where(mask, pair, NEG_INF)
+        per_pos = masked_logsumexp(pair, axis=-1)  # [N_img, Ts]
+        ll = jnp.sum(jnp.where(src_mask_row[None, :], per_pos, 0.0), axis=1)
+        prior = -jnp.log1p(corpus.trg_len.astype(ll.dtype))
+        return ll + src_len_row.astype(ll.dtype) * prior
+
+    return jax.lax.map(
+        one_caption, (corpus.src, src_mask, corpus.src_len), batch_size=32
+    )
+
+
+def recall_at_k(scores: jax.Array, ks: tuple[int, ...] = (1, 5, 10)) -> dict[str, jax.Array]:
+    """Recall@k both directions from an [N, N] score matrix (diagonal = true).
+
+    caption->image: rank images per caption (rows); image->caption: columns.
+    """
+    n = scores.shape[0]
+    diag = jnp.diagonal(scores)
+
+    # rank = number of competitors scoring strictly higher than the true pair
+    rank_c2i = jnp.sum(scores > diag[:, None], axis=1)
+    rank_i2c = jnp.sum(scores > diag[None, :], axis=0)
+
+    out: dict[str, jax.Array] = {}
+    for k in ks:
+        out[f"recall@{k}_c2i"] = jnp.mean((rank_c2i < k).astype(jnp.float32))
+        out[f"recall@{k}_i2c"] = jnp.mean((rank_i2c < k).astype(jnp.float32))
+    out["median_rank_c2i"] = jnp.median(rank_c2i + 1).astype(jnp.float32)
+    out["median_rank_i2c"] = jnp.median(rank_i2c + 1).astype(jnp.float32)
+    return out

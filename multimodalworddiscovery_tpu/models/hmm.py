@@ -1,0 +1,176 @@
+"""Discrete HMM aligner: multinomial emissions over the phone vocabulary.
+
+Reference counterpart: the discrete HMM word discoverer (SURVEY.md §2 C6) —
+states are the paired image's concepts, emissions multinomial over phones,
+transitions Vogel-style jump-width weights, trained with per-utterance
+forward-backward EM and decoded with Viterbi.  Here one EM step is a single
+jitted call: batched fwd-bwd scans (hmm_core) + one segment_sum for emission
+counts + one projection onto jump widths for transition counts.
+
+M-step follows the standard Vogel reestimation: jump weights are pooled
+expected jump counts (row-normalization happens at use time), emissions are
+normalized expected (phone, concept) counts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF, masked_logsumexp
+from multimodalworddiscovery_tpu.data.corpus import Corpus
+from multimodalworddiscovery_tpu.models import hmm_core
+
+
+@struct.dataclass
+class HMMParams:
+    """log emission table [V_src, V_trg] (col 0 = NULL concept), unnormalized
+    log jump weights [2*max_jump+1], scalar log null weight."""
+
+    log_emit: jax.Array
+    log_jump: jax.Array
+    log_p0: jax.Array
+    max_jump: int = struct.field(pytree_node=False, default=3)
+
+
+def init(corpus: Corpus, max_jump: int = 3, dtype=jnp.float32) -> HMMParams:
+    v_src, v_trg = corpus.src_vocab, corpus.trg_vocab
+    w = 2 * max_jump + 1
+    return HMMParams(
+        log_emit=jnp.full((v_src, v_trg), -jnp.log(v_src), dtype=dtype),
+        # mild preference for +1 jumps breaks the uniform-EM symmetry the way
+        # the reference's distance-penalized init does
+        log_jump=(-0.5 * jnp.abs(jnp.arange(w, dtype=dtype) - max_jump - 1)),
+        log_p0=jnp.asarray(jnp.log(0.2), dtype=dtype),
+        max_jump=max_jump,
+    )
+
+
+def _log_emissions(params: HMMParams, corpus: Corpus) -> jax.Array:
+    """[N, Ts, S]: log p(phone at t | state s) via table gather."""
+    concepts = hmm_core.state_concepts(corpus)  # [N, S]
+    return params.log_emit[corpus.src[:, :, None], concepts[:, None, :]]
+
+
+def _machinery(params: HMMParams, corpus: Corpus):
+    log_trans = hmm_core.build_log_trans(
+        params.log_jump, params.log_p0, corpus, params.max_jump
+    )
+    log_init = hmm_core.build_log_init(params.log_p0, corpus)
+    log_emit = _log_emissions(params, corpus)
+    return log_init, log_trans, log_emit
+
+
+def loglik(params: HMMParams, corpus: Corpus) -> jax.Array:
+    log_init, log_trans, log_emit = _machinery(params, corpus)
+    _, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
+    return jnp.sum(logz)
+
+
+def em_step(
+    params: HMMParams, corpus: Corpus, smoothing: float = 1e-8
+) -> tuple[HMMParams, dict[str, jax.Array]]:
+    """One batched forward-backward EM iteration (SURVEY.md §3.2 🔥 replaced)."""
+    v_src, v_trg = params.log_emit.shape
+    n, ts = corpus.src.shape
+    tt_max = corpus.max_trg_len
+    s = 2 * tt_max
+
+    log_init, log_trans, log_emit = _machinery(params, corpus)
+    alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
+    betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
+
+    smask = hmm_core.state_mask(corpus)  # [N, S]
+    tmask = corpus.src_mask()  # [N, Ts]
+    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
+
+    # --- state posteriors gamma [Ts, N, S] ---
+    log_gamma = alphas + betas - logz_safe[None, :, None]
+    valid = tmask.T[:, :, None] & smask[None, :, :]
+    gamma = jnp.where(valid, jnp.exp(log_gamma), 0.0)
+
+    # --- emission counts: scatter gamma onto (phone, concept) pairs ---
+    concepts = hmm_core.state_concepts(corpus)  # [N, S]
+    pair_ids = corpus.src[:, :, None] * v_trg + concepts[:, None, :]  # [N, Ts, S]
+    emit_counts = jax.ops.segment_sum(
+        jnp.moveaxis(gamma, 0, 1).reshape(-1),
+        pair_ids.reshape(-1),
+        num_segments=v_src * v_trg,
+    ).reshape(v_src, v_trg)
+
+    # --- transition counts: scan over t accumulating jump-width counts ---
+    width_ids = hmm_core.jump_width_ids(tt_max, params.max_jump)  # [S, S]
+    w_total = 2 * params.max_jump + 3  # W jumps + p0 slot + impossible slot
+
+    def xi_step(acc, inputs):
+        t, alpha_t, beta_next, emit_next = inputs
+        # xi_t[n, s, s'] for the t -> t+1 transition
+        logxi = (
+            alpha_t[:, :, None]
+            + log_trans
+            + (emit_next + beta_next)[:, None, :]
+            - logz_safe[:, None, None]
+        )
+        alive = ((t + 1) < corpus.src_len)[:, None, None]
+        xi = jnp.where(alive, jnp.exp(jnp.minimum(logxi, 0.0)), 0.0)
+        pooled = jnp.sum(xi, axis=0)  # [S, S]
+        acc = acc + jax.ops.segment_sum(
+            pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
+        )
+        return acc, None
+
+    emits = jnp.moveaxis(log_emit, 1, 0)  # [Ts, N, S]
+    width_counts, _ = jax.lax.scan(
+        xi_step,
+        jnp.zeros((w_total,), log_emit.dtype),
+        (jnp.arange(ts - 1), alphas[:-1], betas[1:], emits[1:]),
+    )
+
+    # --- M-step ---
+    emit_counts = emit_counts + smoothing
+    new_log_emit = jnp.log(emit_counts) - jnp.log(
+        jnp.sum(emit_counts, axis=0, keepdims=True)
+    )
+    W = 2 * params.max_jump + 1
+    new_log_jump = jnp.log(width_counts[:W] + smoothing)
+    new_log_p0 = jnp.log(width_counts[W] + smoothing)
+
+    new_params = HMMParams(
+        log_emit=new_log_emit.astype(params.log_emit.dtype),
+        log_jump=new_log_jump.astype(params.log_jump.dtype),
+        log_p0=new_log_p0.astype(params.log_p0.dtype),
+        max_jump=params.max_jump,
+    )
+    return new_params, {"loglik": jnp.sum(logz)}
+
+
+def align(params: HMMParams, corpus: Corpus) -> jax.Array:
+    """Viterbi decode -> [N, Ts] alignment (0 = NULL, else 1-based trg pos)."""
+    log_init, log_trans, log_emit = _machinery(params, corpus)
+    path = hmm_core.viterbi(log_init, log_trans, log_emit, corpus.src_len)
+    return hmm_core.path_to_alignment(path, corpus)
+
+
+def posteriors(params: HMMParams, corpus: Corpus) -> jax.Array:
+    """State posteriors [N, Ts, S] (for inspection/plotting)."""
+    log_init, log_trans, log_emit = _machinery(params, corpus)
+    alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
+    betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
+    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
+    log_gamma = alphas + betas - logz_safe[None, :, None]
+    gamma = jnp.exp(log_gamma)
+    valid = corpus.src_mask().T[:, :, None] & hmm_core.state_mask(corpus)[None, :, :]
+    return jnp.moveaxis(jnp.where(valid, gamma, 0.0), 0, 1)
+
+
+def train(
+    params: HMMParams, corpus: Corpus, num_iterations: int, smoothing: float = 1e-8
+) -> tuple[HMMParams, jax.Array]:
+    def body(p, _):
+        p2, stats = em_step(p, corpus, smoothing=smoothing)
+        return p2, stats["loglik"]
+
+    return jax.lax.scan(body, params, None, length=num_iterations)

@@ -1,0 +1,207 @@
+"""Shared HMM alignment machinery (state space, transitions, fwd-bwd, Viterbi).
+
+Reference counterpart: the discrete/Gaussian HMM word discoverers' per-
+utterance ``forward``/``backward``/``viterbi`` loops (SURVEY.md §2 C6/C7,
+§3.2 🔥 "T x S^2 recursions per utterance per iteration").  Here everything is
+batched over the corpus: one ``lax.scan`` over time with an [N, S] carry and
+an O(N·S²) log-semiring contraction per step.
+
+State space (Vogel/Och-style HMM word alignment with paired NULL states):
+  S = 2 * Tt_max states per utterance.
+  s in [0, Tt_max):          "real" state — aligned to target position s.
+  s in [Tt_max, 2*Tt_max):   "null" state paired with underlying position
+                             s - Tt_max (emits the NULL concept, remembers
+                             where the alignment left off).
+
+Transitions are parameterized by jump width between underlying positions
+(log_jump[w + max_jump], clipped to |w| <= max_jump) plus a single null weight
+log_p0 for entering/staying in the paired null state; rows are normalized over
+the utterance's valid states.  Decoding a state path to an alignment gives
+0 for null states and pos+1 for real states — the same convention as Model-1
+and the gold JSON.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multimodalworddiscovery_tpu.core.logsemiring import (
+    NEG_INF,
+    log_normalize,
+    masked_logsumexp,
+)
+from multimodalworddiscovery_tpu.data.corpus import Corpus
+
+
+def state_positions(tt_max: int) -> tuple[jax.Array, jax.Array]:
+    """Static (pos [S], is_null [S]) for S = 2*Tt_max."""
+    s = jnp.arange(2 * tt_max)
+    return s % tt_max, s >= tt_max
+
+
+def state_mask(corpus: Corpus) -> jax.Array:
+    """[N, S] validity of each state given the utterance's #concepts."""
+    pos, _ = state_positions(corpus.max_trg_len)
+    return pos[None, :] < corpus.trg_len[:, None]
+
+
+def state_concepts(corpus: Corpus) -> jax.Array:
+    """[N, S] concept id emitted by each state (0 for null states)."""
+    pos, is_null = state_positions(corpus.max_trg_len)
+    real_concept = jnp.take_along_axis(
+        corpus.trg, jnp.broadcast_to(pos[None, :], (corpus.n, pos.shape[0])), axis=1
+    )
+    return jnp.where(is_null[None, :], 0, real_concept)
+
+
+def jump_width_ids(tt_max: int, max_jump: int) -> jax.Array:
+    """Static [S, S] index into the jump table for real-target transitions.
+
+    width id = clip(pos' - pos, -max_jump, max_jump) + max_jump in [0, W);
+    entries into null states get id W (the p0 slot); W+1 marks 'impossible'
+    (null entry with mismatched underlying position).
+    """
+    pos, is_null = state_positions(tt_max)
+    w = jnp.clip(pos[None, :] - pos[:, None], -max_jump, max_jump) + max_jump
+    W = 2 * max_jump + 1
+    to_null = is_null[None, :]
+    same_pos = pos[None, :] == pos[:, None]
+    ids = jnp.where(to_null, jnp.where(same_pos, W, W + 1), w)
+    return ids.astype(jnp.int32)
+
+
+def build_log_trans(
+    log_jump: jax.Array, log_p0: jax.Array, corpus: Corpus, max_jump: int
+) -> jax.Array:
+    """[N, S, S] row-normalized log transition matrices.
+
+    log_jump: [W] unnormalized jump weights; log_p0: scalar null weight.
+    """
+    tt_max = corpus.max_trg_len
+    ids = jump_width_ids(tt_max, max_jump)  # [S, S]
+    W = 2 * max_jump + 1
+    table = jnp.concatenate(
+        [log_jump, log_p0[None], jnp.array([NEG_INF], log_jump.dtype)]
+    )  # [W + 2]
+    base = table[ids]  # [S, S]
+    smask = state_mask(corpus)  # [N, S]
+    # valid transition: both states valid for this utterance
+    logw = jnp.where(smask[:, None, :], base[None, :, :], NEG_INF)
+    return log_normalize(logw, axis=-1)
+
+
+def build_log_init(log_p0: jax.Array, corpus: Corpus) -> jax.Array:
+    """[N, S] initial distribution: uniform weight on real states, p0 weight
+    on null states, normalized over the utterance's valid states."""
+    _, is_null = state_positions(corpus.max_trg_len)
+    smask = state_mask(corpus)
+    w = jnp.where(is_null[None, :], log_p0, 0.0)
+    w = jnp.where(smask, w, NEG_INF)
+    return log_normalize(w, axis=-1)
+
+
+def forward(
+    log_init: jax.Array,
+    log_trans: jax.Array,
+    log_emit: jax.Array,
+    src_len: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched forward pass.
+
+    log_init [N, S]; log_trans [N, S, S]; log_emit [N, Ts, S]; src_len [N].
+    Returns (alphas [Ts, N, S], logZ [N]).  Steps past an utterance's length
+    carry alpha unchanged, so logZ = logsumexp(alpha[Ts-1]).
+    """
+    n, ts, s = log_emit.shape
+    alpha0 = log_init + log_emit[:, 0]
+
+    def step(alpha, inputs):
+        t, emit_t = inputs
+        # inner product over previous state: [N, S_prev, 1] + [N, S_prev, S]
+        upd = masked_logsumexp(alpha[:, :, None] + log_trans, axis=1) + emit_t
+        alive = (t < src_len)[:, None]
+        alpha_new = jnp.where(alive, upd, alpha)
+        return alpha_new, alpha_new
+
+    ts_idx = jnp.arange(1, ts)
+    _, rest = jax.lax.scan(step, alpha0, (ts_idx, jnp.moveaxis(log_emit, 1, 0)[1:]))
+    alphas = jnp.concatenate([alpha0[None], rest], axis=0)  # [Ts, N, S]
+    logz = masked_logsumexp(alphas[-1], axis=-1)
+    return alphas, logz
+
+
+def backward(
+    log_trans: jax.Array, log_emit: jax.Array, src_len: jax.Array
+) -> jax.Array:
+    """Batched backward pass -> betas [Ts, N, S].
+
+    beta[t] is 0 at t == len-1 and NEG_INF-free within the valid region;
+    positions t >= len hold zeros (unused, masked by callers).
+    """
+    n, ts, s = log_emit.shape
+    beta_last = jnp.zeros((n, s), log_emit.dtype)
+
+    def step(beta, inputs):
+        t, emit_next = inputs  # t from Ts-2 down to 0; emit_next = log_emit[t+1]
+        x = log_trans + (emit_next + beta)[:, None, :]
+        upd = masked_logsumexp(x, axis=2)
+        # if t+1 >= len: this utterance already ended; beta[t] = 0 at t==len-1
+        ended = (t + 1 >= src_len)[:, None]
+        beta_new = jnp.where(ended, jnp.zeros_like(upd), upd)
+        return beta_new, beta_new
+
+    ts_idx = jnp.arange(ts - 2, -1, -1)
+    emits = jnp.moveaxis(log_emit, 1, 0)  # [Ts, N, S]
+    _, betas_rev = jax.lax.scan(step, beta_last, (ts_idx, emits[jnp.arange(ts - 1, 0, -1)]))
+    betas = jnp.concatenate([betas_rev[::-1], beta_last[None]], axis=0)
+    return betas
+
+
+def viterbi(
+    log_init: jax.Array,
+    log_trans: jax.Array,
+    log_emit: jax.Array,
+    src_len: jax.Array,
+) -> jax.Array:
+    """Batched Viterbi decode -> state path [N, Ts] (junk past src_len).
+
+    Max-plus scan forward with backpointers, reverse scan to trace the path.
+    """
+    n, ts, s = log_emit.shape
+    delta0 = log_init + log_emit[:, 0]
+
+    def fwd(delta, inputs):
+        t, emit_t = inputs
+        x = delta[:, :, None] + log_trans  # [N, S_prev, S]
+        best = jnp.max(x, axis=1) + emit_t
+        bp = jnp.argmax(x, axis=1).astype(jnp.int32)  # [N, S]
+        alive = (t < src_len)[:, None]
+        delta_new = jnp.where(alive, best, delta)
+        ident = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (n, s))
+        bp = jnp.where(alive, bp, ident)
+        return delta_new, bp
+
+    ts_idx = jnp.arange(1, ts)
+    delta_final, bps = jax.lax.scan(
+        fwd, delta0, (ts_idx, jnp.moveaxis(log_emit, 1, 0)[1:])
+    )  # bps: [Ts-1, N, S]
+
+    last = jnp.argmax(delta_final, axis=-1).astype(jnp.int32)  # [N]
+
+    def back(state, bp_t):
+        prev = jnp.take_along_axis(bp_t, state[:, None], axis=1)[:, 0]
+        return prev, state
+
+    first_state, states_rev = jax.lax.scan(back, last, bps[::-1])
+    path = jnp.concatenate([first_state[None], states_rev[::-1]], axis=0)  # [Ts, N]
+    return jnp.moveaxis(path, 0, 1)
+
+
+def path_to_alignment(path: jax.Array, corpus: Corpus) -> jax.Array:
+    """State path [N, Ts] -> alignment [N, Ts] (0 = NULL, else 1-based pos)."""
+    tt_max = corpus.max_trg_len
+    pos = path % tt_max
+    is_null = path >= tt_max
+    a = jnp.where(is_null, 0, pos + 1).astype(jnp.int32)
+    return jnp.where(corpus.src_mask(), a, 0)

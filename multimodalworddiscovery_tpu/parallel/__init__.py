@@ -1,0 +1,8 @@
+"""Parallelism: data-parallel EM over a TPU device mesh."""
+
+from multimodalworddiscovery_tpu.parallel.data_parallel import (
+    make_data_parallel_step,
+    shard_corpus,
+)
+
+__all__ = ["make_data_parallel_step", "shard_corpus"]

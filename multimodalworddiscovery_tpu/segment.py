@@ -74,21 +74,15 @@ def boundaries_from_segments(
     A boundary exists at position p if some word unit starts or ends there.
     """
     n = segments.shape[0]
-    out = jnp.zeros((n, max_len + 1), dtype=bool)
-    starts = jnp.where(seg_mask, segments[..., 0], max_len)
-    ends = jnp.where(seg_mask, segments[..., 1], max_len)
+    # Slot max_len+1 is a discard bucket for masked segment slots.
+    out = jnp.zeros((n, max_len + 2), dtype=bool)
+    discard = max_len + 1
+    starts = jnp.where(seg_mask, segments[..., 0], discard)
+    ends = jnp.where(seg_mask, segments[..., 1], discard)
     batch = jnp.arange(n)[:, None].repeat(segments.shape[1], 1)
     out = out.at[batch, starts].set(True)
     out = out.at[batch, ends].set(True)
-    # position max_len may have been used as discard for masked slots only if
-    # a real segment never ends there; real ends == max_len are legitimate, so
-    # re-clear only if no valid segment touches max_len.
-    touch_last = jnp.any(
-        seg_mask & ((segments[..., 0] == max_len) | (segments[..., 1] == max_len)),
-        axis=1,
-    )
-    out = out.at[:, max_len].set(out[:, max_len] & touch_last | touch_last)
-    return out
+    return out[:, : max_len + 1]
 
 
 def segments_to_host(segments, seg_mask) -> list[list[tuple[int, int, int]]]:

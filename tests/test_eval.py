@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+from multimodalworddiscovery_tpu.eval.dtw import dtw_distance
+from multimodalworddiscovery_tpu.eval.metrics import (
+    alignment_prf,
+    boundary_prf,
+    cluster_purity,
+    word_iou,
+)
+from multimodalworddiscovery_tpu.eval.retrieval import recall_at_k, retrieval_scores_model1
+from multimodalworddiscovery_tpu.models import model1
+from multimodalworddiscovery_tpu.oracles import numpy_metrics as om
+from multimodalworddiscovery_tpu.segment import boundaries_from_segments, segments_from_alignment, segments_to_host
+
+
+@pytest.fixture(scope="module")
+def setup():
+    corpus, gold, meta = make_flickr8k_mini(n_utterances=60, seed=0)
+    rng = np.random.default_rng(0)
+    sl = np.asarray(corpus.src_len)
+    tl = np.asarray(corpus.trg_len)
+    # noisy predictions: gold with 25% random corruption
+    pred = gold.alignment.copy()
+    for i in range(corpus.n):
+        for t in range(sl[i]):
+            if rng.random() < 0.25:
+                pred[i, t] = rng.integers(0, tl[i] + 1)
+    return corpus, gold, meta, pred
+
+
+def _seg_both(corpus, gold, pred):
+    pred_segs, pred_mask = segments_from_alignment(
+        jnp.asarray(pred), corpus.trg, corpus.src_len
+    )
+    gold_segs, gold_mask = segments_from_alignment(
+        jnp.asarray(gold.alignment), corpus.trg, corpus.src_len
+    )
+    return pred_segs, pred_mask, gold_segs, gold_mask
+
+
+def test_alignment_prf_matches_oracle(setup):
+    corpus, gold, _, pred = setup
+    sl = np.asarray(corpus.src_len)
+    got = jax.tree.map(float, alignment_prf(jnp.asarray(pred), jnp.asarray(gold.alignment), corpus.src_mask()))
+    want = om.alignment_prf_np(pred, gold.alignment, sl)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, err_msg=k)
+
+
+def test_alignment_prf_perfect_is_one(setup):
+    corpus, gold, _, _ = setup
+    out = alignment_prf(jnp.asarray(gold.alignment), jnp.asarray(gold.alignment), corpus.src_mask())
+    assert float(out["f1"]) == 1.0 and float(out["aer"]) == 0.0
+
+
+def test_word_iou_matches_oracle(setup):
+    corpus, gold, _, pred = setup
+    ps, pm, gs, gm = _seg_both(corpus, gold, pred)
+    got = jax.tree.map(float, word_iou(ps, pm, gs, gm))
+    want = om.word_iou_np(segments_to_host(ps, pm), segments_to_host(gs, gm))
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, err_msg=k)
+
+
+def test_boundary_prf_matches_oracle(setup):
+    corpus, gold, _, pred = setup
+    ps, pm, gs, gm = _seg_both(corpus, gold, pred)
+    pb = boundaries_from_segments(ps, pm, corpus.max_src_len)
+    gb = boundaries_from_segments(gs, gm, corpus.max_src_len)
+    sl = np.asarray(corpus.src_len)
+    for tol in (0, 1, 2):
+        got = jax.tree.map(float, boundary_prf(pb, gb, tolerance=tol))
+        want = om.boundary_prf_np(
+            segments_to_host(ps, pm), segments_to_host(gs, gm), sl, tolerance=tol
+        )
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-5, err_msg=f"{k}@tol{tol}")
+
+
+def test_cluster_purity_matches_oracle(setup):
+    corpus, gold, meta, pred = setup
+    ps, pm, gs, gm = _seg_both(corpus, gold, pred)
+    got = float(cluster_purity(ps, pm, gs, gm, corpus.trg_vocab))
+    want = om.cluster_purity_np(
+        segments_to_host(ps, pm), segments_to_host(gs, gm), corpus.trg_vocab
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_cluster_purity_perfect(setup):
+    corpus, gold, _, _ = setup
+    gs, gm = segments_from_alignment(jnp.asarray(gold.alignment), corpus.trg, corpus.src_len)
+    assert float(cluster_purity(gs, gm, gs, gm, corpus.trg_vocab)) == 1.0
+
+
+def test_dtw_matches_oracle():
+    rng = np.random.default_rng(0)
+    B, T1, T2, D = 6, 17, 23, 5
+    x = rng.normal(size=(B, T1, D)).astype(np.float32)
+    y = rng.normal(size=(B, T2, D)).astype(np.float32)
+    lx = rng.integers(3, T1 + 1, size=B).astype(np.int32)
+    ly = rng.integers(3, T2 + 1, size=B).astype(np.int32)
+    for metric in ("sqeuclidean", "euclidean", "cosine"):
+        got = np.asarray(dtw_distance(jnp.asarray(x), jnp.asarray(y), jnp.asarray(lx), jnp.asarray(ly), metric=metric))
+        want = np.array([om.dtw_np(x[b, : lx[b]], y[b, : ly[b]], metric=metric) for b in range(B)])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4, err_msg=metric)
+
+
+def test_dtw_identity_is_zero():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(3, 10, 4)).astype(np.float32)
+    lens = jnp.asarray([10, 7, 5], dtype=jnp.int32)
+    d = np.asarray(dtw_distance(jnp.asarray(x), jnp.asarray(x), lens, lens))
+    np.testing.assert_allclose(d, 0.0, atol=1e-4)
+
+
+def test_retrieval_recall(setup):
+    corpus, gold, _, _ = setup
+    params = model1.init(corpus)
+    params, _ = jax.jit(lambda p: model1.train(p, corpus, 12))(params)
+    scores = retrieval_scores_model1(params, corpus)
+    assert scores.shape == (corpus.n, corpus.n)
+    out = jax.tree.map(float, recall_at_k(scores, ks=(1, 5, 10)))
+    # trained model should rank the true image far above chance (1/60)
+    assert out["recall@5_c2i"] > 0.5, out
+    assert out["recall@10_i2c"] > 0.5, out
+    assert out["recall@1_c2i"] >= out["recall@1_c2i"] * 0  # sanity: finite
+    # perfect-score sanity: diagonal boosted -> recall@1 == 1
+    boosted = scores + jnp.eye(corpus.n) * 1e6
+    out2 = recall_at_k(boosted, ks=(1,))
+    assert float(out2["recall@1_c2i"]) == 1.0
+    assert float(out2["recall@1_i2c"]) == 1.0
