@@ -1,0 +1,63 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+from multimodalworddiscovery_tpu.models import attention
+
+
+@pytest.fixture(scope="module")
+def mini():
+    return make_flickr8k_mini(n_utterances=120, seed=11)
+
+
+def test_shapes_and_masking(mini):
+    corpus, _, _ = mini
+    state = attention.init(corpus)
+    attn = np.asarray(attention.attention_matrix(state, corpus))
+    assert attn.shape == (corpus.n, corpus.max_trg_len, corpus.max_src_len)
+    # on valid decoder rows, attention over padded source positions is ~zero
+    sm = np.asarray(corpus.src_mask())
+    tm = np.asarray(corpus.trg_mask())
+    valid_rows = np.broadcast_to(tm[:, :, None], attn.shape)
+    pad_src = ~np.broadcast_to(sm[:, None, :], attn.shape)
+    assert attn[valid_rows & pad_src].max() < 1e-6
+    # valid rows sum to 1
+    row_sums = attn.sum(-1)[tm]
+    np.testing.assert_allclose(row_sums, 1.0, rtol=1e-4)
+
+
+def test_loss_decreases(mini):
+    corpus, _, _ = mini
+    state = attention.init(corpus)
+    _, s0 = attention.em_step(state, corpus)
+    state, lls = jax.jit(lambda s: attention.train(s, corpus, 60))(state)
+    lls = np.asarray(lls)
+    assert lls[-1] > lls[0] + 10, (lls[0], lls[-1])
+
+
+def test_alignment_better_than_chance(mini):
+    corpus, gold, _ = mini
+    state = attention.init(corpus)
+    state, _ = jax.jit(lambda s: attention.train(s, corpus, 300))(state)
+    pred = np.asarray(attention.align(state, corpus))
+    sm = np.asarray(corpus.src_mask())
+    word_mask = sm & (gold.alignment > 0)
+    acc = (pred == gold.alignment)[word_mask].mean()
+    # Attention alignment is noisier than the EM aligners (and this tiny
+    # 120-utterance corpus invites memorization with diffuse attention);
+    # position-match chance is ~0.33 for 2-4 concepts.  Regression floor:
+    assert acc > 0.38, acc
+
+
+def test_align_works_on_continuous_features(mini):
+    corpus, gold, _ = mini
+    small_c, small_g, _ = make_flickr8k_mini(n_utterances=16, seed=12)
+    fc, fg, _ = phones_to_frames(small_c, small_g, feat_dim=8, seed=12)
+    state = attention.init(fc)
+    state, stats = jax.jit(attention.em_step)(state, fc)
+    a = np.asarray(attention.align(state, fc))
+    assert a.shape == (fc.n, fc.max_src_len)
+    assert np.isfinite(float(stats["loss"]))
