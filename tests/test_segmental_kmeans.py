@@ -1,0 +1,71 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+from multimodalworddiscovery_tpu.models import segmental_kmeans as skm
+from multimodalworddiscovery_tpu.segment import boundaries_from_segments
+from multimodalworddiscovery_tpu.eval.metrics import boundary_prf, cluster_purity
+from multimodalworddiscovery_tpu.segment import segments_from_alignment
+
+
+@pytest.fixture(scope="module")
+def frames():
+    corpus, gold, _ = make_flickr8k_mini(n_utterances=60, seed=21)
+    fc, fg, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.05, seed=21)
+    return fc, fg
+
+
+def test_embed_uniform_segment(frames):
+    fc, _ = frames
+    emb = skm.embed_all_segments(fc.src, n_samples=4, max_seg_len=6)
+    n, t, L, e = emb.shape
+    assert (t, L, e) == (fc.max_src_len, 6, 4 * 8)
+    # a length-1 segment embeds as the frame repeated
+    x0 = np.asarray(fc.src)[0, 5]
+    got = np.asarray(emb)[0, 5, 0].reshape(4, 8)
+    np.testing.assert_allclose(got, np.tile(x0, (4, 1)), rtol=1e-5)
+
+
+def test_segmentation_is_partition(frames):
+    fc, _ = frames
+    params = skm.init(fc, n_clusters=40, key=jax.random.PRNGKey(0))
+    params, _ = skm.em_step(params, fc)
+    segs, mask = skm.discover(params, fc)
+    segs, mask = np.asarray(segs), np.asarray(mask)
+    sl = np.asarray(fc.src_len)
+    for i in range(fc.n):
+        covered = np.zeros(sl[i], int)
+        for s in np.where(mask[i])[0]:
+            st, en, lbl = segs[i, s]
+            assert 0 <= st < en <= sl[i]
+            assert lbl >= 1
+            covered[st:en] += 1
+        assert (covered == 1).all(), i  # exact partition
+
+
+def test_distortion_decreases(frames):
+    fc, _ = frames
+    params = skm.init(fc, n_clusters=40, key=jax.random.PRNGKey(1))
+    _, lls = jax.jit(lambda p: skm.train(p, fc, 8))(params)
+    lls = np.asarray(lls)  # negative distortion, should rise
+    assert lls[-1] >= lls[0], lls
+
+
+def test_boundary_recall_beats_uniform(frames):
+    fc, fg = frames
+    params = skm.init(fc, n_clusters=60, key=jax.random.PRNGKey(2))
+    params, _ = jax.jit(lambda p: skm.train(p, fc, 10))(params)
+    segs, mask = skm.discover(params, fc)
+    gold_segs, gold_mask = segments_from_alignment(
+        jnp.asarray(fg.alignment), fc.trg, fc.src_len
+    )
+    pb = boundaries_from_segments(segs, mask, fc.max_src_len)
+    gb = boundaries_from_segments(gold_segs, gold_mask, fc.max_src_len)
+    out = {k: float(v) for k, v in boundary_prf(pb, gb, tolerance=1).items()}
+    # unsupervised acoustic segmentation: expect decent boundary recall
+    assert out["recall"] > 0.5, out
+    purity = float(cluster_purity(segs, mask, gold_segs, gold_mask, 64 + 1))
+    assert purity > 0.3, purity
