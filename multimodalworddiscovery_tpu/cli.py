@@ -48,6 +48,12 @@ def _load_data(cfg) -> tuple[Corpus, GoldAnnotations | None]:
             n_phones=cfg.data.n_phones,
             seed=cfg.seed,
         )
+        if cfg.data.continuous:
+            from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
+            corpus, gold, _ = phones_to_frames(
+                corpus, gold, feat_dim=cfg.data.feat_dim, seed=cfg.seed
+            )
         return corpus, gold
     if cfg.data.source == "disk":
         return load_corpus(cfg.data.dir, cfg.data.name)
@@ -56,10 +62,29 @@ def _load_data(cfg) -> tuple[Corpus, GoldAnnotations | None]:
 
 def _make_model(cfg, corpus):
     mod = get_model(cfg.model.name)
-    params = mod.init(corpus)
-    if cfg.model.name == "model1":
+    name = cfg.model.name
+    if name == "model1":
+        params = mod.init(corpus)
         step = functools.partial(mod.em_step, smoothing=cfg.model.smoothing)
+    elif name in ("hmm", "hmm_gaussian"):
+        params = mod.init(corpus, max_jump=cfg.model.max_jump)
+        step = mod.em_step
+    elif name == "attention":
+        params = mod.init(
+            corpus, dim=cfg.model.get("dim", 128),
+            learning_rate=cfg.model.get("learning_rate", 3e-4),
+            key=jax.random.PRNGKey(cfg.seed),
+        )
+        step = mod.em_step
+    elif name == "grounding":
+        params = mod.init(
+            corpus, dim=cfg.model.get("dim", 128),
+            learning_rate=cfg.model.get("learning_rate", 1e-3),
+            key=jax.random.PRNGKey(cfg.seed),
+        )
+        step = mod.em_step
     else:
+        params = mod.init(corpus)
         step = mod.em_step
     return mod, params, step
 

@@ -128,6 +128,9 @@ def forward(
     _, rest = jax.lax.scan(step, alpha0, (ts_idx, jnp.moveaxis(log_emit, 1, 0)[1:]))
     alphas = jnp.concatenate([alpha0[None], rest], axis=0)  # [Ts, N, S]
     logz = masked_logsumexp(alphas[-1], axis=-1)
+    # zero-length (padding) utterances: log Z of the empty sequence is 0, and
+    # their alpha0 is garbage — corpora padded for even sharding hit this.
+    logz = jnp.where(src_len > 0, logz, 0.0)
     return alphas, logz
 
 

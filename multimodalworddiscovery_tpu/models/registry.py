@@ -24,6 +24,15 @@ def get_model(name: str) -> ModuleType:
         from multimodalworddiscovery_tpu.models import attention
 
         return attention
+    if name == "grounding":
+        from multimodalworddiscovery_tpu.models import grounding
+
+        return grounding
+    if name == "segmental_kmeans":
+        from multimodalworddiscovery_tpu.models import segmental_kmeans
+
+        return segmental_kmeans
     raise KeyError(
-        f"unknown model {name!r}; available: model1, hmm, hmm_gaussian, attention"
+        f"unknown model {name!r}; available: model1, hmm, hmm_gaussian, "
+        "attention, grounding, segmental_kmeans"
     )

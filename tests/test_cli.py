@@ -1,0 +1,87 @@
+import argparse
+import json
+from pathlib import Path
+
+import pytest
+
+from multimodalworddiscovery_tpu import cli
+
+
+def _ns(**kw):
+    return argparse.Namespace(**kw)
+
+
+def _write_config(tmp_path, body):
+    p = tmp_path / "cfg.py"
+    p.write_text(body)
+    return str(p)
+
+
+CFG_TMPL = """
+from multimodalworddiscovery_tpu.core.config import base_config
+
+def get_config():
+    cfg = base_config()
+    cfg.model.name = {model!r}
+    cfg.data.n_utterances = 40
+    cfg.train.num_iterations = 4
+    cfg.train.checkpoint_every = 2
+    cfg.eval.retrieval = {retrieval}
+    return cfg
+"""
+
+
+@pytest.mark.parametrize("model", ["model1", "hmm"])
+def test_full_cli_pipeline(tmp_path, model, capsys):
+    cfg_path = _write_config(tmp_path, CFG_TMPL.format(model=model, retrieval=model == "model1"))
+    wd = tmp_path / "run"
+    cli.cmd_train(_ns(config=cfg_path, workdir=str(wd), fresh=False, override=[]))
+    assert (wd / "config.json").exists()
+    assert (wd / "train_metrics.jsonl").exists()
+
+    cli.cmd_align(_ns(workdir=str(wd), output=None))
+    recs = json.loads((wd / "alignment.json").read_text())
+    assert len(recs) == 40 and "alignment" in recs[0]
+
+    cli.cmd_segment(_ns(workdir=str(wd), output=None))
+    segs = json.loads((wd / "segments.json").read_text())
+    assert "segments" in segs[0]
+
+    cli.cmd_evaluate(_ns(workdir=str(wd), output=None))
+    metrics = json.loads((wd / "metrics.json").read_text())
+    assert 0.0 <= metrics["alignment"]["f1"] <= 1.0
+    assert "boundary" in metrics and "word_iou" in metrics and "purity" in metrics
+
+
+def test_train_resumes_from_checkpoint(tmp_path, capsys):
+    cfg_path = _write_config(tmp_path, CFG_TMPL.format(model="model1", retrieval=False))
+    wd = tmp_path / "run"
+    cli.cmd_train(_ns(config=cfg_path, workdir=str(wd), fresh=False, override=[]))
+    lines1 = (wd / "train_metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines1) == 4
+    # second invocation resumes at iteration 4 == num_iterations -> no new work
+    cli.cmd_train(
+        _ns(config=cfg_path, workdir=str(wd), fresh=False,
+            override=["train.num_iterations=6"])
+    )
+    out = capsys.readouterr().out
+    assert "resumed from iteration 4" in out
+    lines2 = (wd / "train_metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines2) == 6  # iterations 4 and 5 appended
+    steps = [json.loads(l)["step"] for l in lines2]
+    assert steps == [0, 1, 2, 3, 4, 5]
+
+
+def test_override_types(tmp_path):
+    from multimodalworddiscovery_tpu.core.config import apply_overrides, base_config
+
+    cfg = base_config()
+    apply_overrides(
+        cfg,
+        ["train.num_iterations=7", "model.smoothing=0.5", "train.data_parallel=true",
+         "model.name=hmm"],
+    )
+    assert cfg.train.num_iterations == 7
+    assert cfg.model.smoothing == 0.5
+    assert cfg.train.data_parallel is True
+    assert cfg.model.name == "hmm"
