@@ -66,7 +66,7 @@ def _make_model(cfg, corpus):
     if name == "model1":
         params = mod.init(corpus)
         step = functools.partial(mod.em_step, smoothing=cfg.model.smoothing)
-    elif name in ("hmm", "hmm_gaussian"):
+    elif name in ("hmm", "hmm_gaussian", "hmm_dnn"):
         params = mod.init(corpus, max_jump=cfg.model.max_jump)
         step = mod.em_step
     elif name == "attention":
@@ -223,6 +223,39 @@ def cmd_evaluate(args) -> None:
     print(f"wrote {out}")
 
 
+def cmd_plot(args) -> None:
+    from multimodalworddiscovery_tpu.utils.plotting import (
+        plot_alignment_matrix,
+        plot_segmentation,
+    )
+
+    workdir = Path(args.workdir)
+    cfg, corpus, gold, mod, params = _restore(workdir)
+    i = args.utterance
+    alignment = jax.jit(mod.align)(params, corpus)
+    segs, mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
+    seg_list = segments_to_host(segs, mask)[i]
+    sl = int(np.asarray(corpus.src_len)[i])
+    out_dir = Path(args.output or workdir / "plots")
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    gold_list = gold.segments[i] if gold is not None else None
+    plot_segmentation(
+        np.asarray(alignment)[i, :sl],
+        seg_list,
+        gold_segments=gold_list,
+        title=f"utt {i}",
+        path=out_dir / f"segmentation_{i}.png",
+    )
+    if hasattr(mod, "posteriors"):
+        post = np.asarray(mod.posteriors(params, corpus))[i, :sl].T
+        plot_alignment_matrix(post, title=f"posteriors utt {i}", path=out_dir / f"posteriors_{i}.png")
+    if hasattr(mod, "attention_matrix"):
+        attn = np.asarray(mod.attention_matrix(params, corpus))[i, :, :sl]
+        plot_alignment_matrix(attn, title=f"attention utt {i}", path=out_dir / f"attention_{i}.png")
+    print(f"wrote plots to {out_dir}")
+
+
 def main() -> None:
     # Persistent compilation cache: each CLI invocation is a fresh process;
     # without this every subcommand pays full XLA compile times.
@@ -239,6 +272,12 @@ def main() -> None:
     p_train.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
     p_train.add_argument("--override", nargs="*", default=[], help="key.path=value overrides")
     p_train.set_defaults(fn=cmd_train)
+
+    p_plot = sub.add_parser("plot", help="plot alignments/segmentations for inspection")
+    p_plot.add_argument("--workdir", required=True)
+    p_plot.add_argument("--utterance", type=int, default=0)
+    p_plot.add_argument("--output", default=None)
+    p_plot.set_defaults(fn=cmd_plot)
 
     for name, fn in (("align", cmd_align), ("segment", cmd_segment), ("evaluate", cmd_evaluate)):
         p = sub.add_parser(name, help=f"{name} with a trained model")

@@ -24,6 +24,10 @@ def get_model(name: str) -> ModuleType:
         from multimodalworddiscovery_tpu.models import attention
 
         return attention
+    if name == "hmm_dnn":
+        from multimodalworddiscovery_tpu.models import hmm_dnn
+
+        return hmm_dnn
     if name == "grounding":
         from multimodalworddiscovery_tpu.models import grounding
 
