@@ -46,7 +46,10 @@ def _kernel(a_ref, b_ref, out_ref, m_scratch, acc_scratch):
     m_b_safe = jnp.where(m_b > NEG_INF / 2, m_b, 0.0)
     p = jnp.exp(a - m_a_safe)
     q = jnp.exp(b - m_b_safe)
-    s_t = jnp.dot(p, q, preferred_element_type=jnp.float32)  # [bi, bj]
+    # HIGHEST: bf16-rounded exponentials cost ~1e-2 absolute error in log space
+    s_t = jnp.dot(
+        p, q, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )  # [bi, bj]
     m_t = m_a_safe + m_b_safe
     m_t = jnp.where((m_a > NEG_INF / 2) & (m_b > NEG_INF / 2), m_t, NEG_INF)
 

