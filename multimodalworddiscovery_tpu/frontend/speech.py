@@ -114,7 +114,10 @@ def extract(
     power = (spec.real**2 + spec.imag**2) / cfg.n_fft  # [N, F, n_fft//2+1]
 
     fb = jnp.asarray(mel_filterbank(cfg))
-    mel = jnp.einsum("nfk,mk->nfm", power, fb)
+    # HIGHEST: TPU einsum would round to bf16 — too coarse for spectra
+    mel = jnp.einsum(
+        "nfk,mk->nfm", power, fb, precision=jax.lax.Precision.HIGHEST
+    )
     logmel = jnp.log(jnp.maximum(mel, cfg.log_floor))
 
     frame_lens = jnp.maximum(
@@ -124,7 +127,9 @@ def extract(
     if kind == "fbank":
         return logmel, frame_lens
     dct = jnp.asarray(dct_matrix(cfg.n_mfcc, cfg.n_mels))
-    mfcc = jnp.einsum("nfm,cm->nfc", logmel, dct)
+    mfcc = jnp.einsum(
+        "nfm,cm->nfc", logmel, dct, precision=jax.lax.Precision.HIGHEST
+    )
     return mfcc, frame_lens
 
 

@@ -71,63 +71,82 @@ def loglik(params: HMMParams, corpus: Corpus) -> jax.Array:
 
 
 def em_step(
-    params: HMMParams, corpus: Corpus, smoothing: float = 1e-8
+    params: HMMParams,
+    corpus: Corpus,
+    smoothing: float = 1e-8,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> tuple[HMMParams, dict[str, jax.Array]]:
-    """One batched forward-backward EM iteration (SURVEY.md §3.2 🔥 replaced)."""
+    """One batched forward-backward EM iteration (SURVEY.md §3.2 🔥 replaced).
+
+    use_pallas=True routes the E-step through the fused Pallas kernel
+    (ops/hmm_fwdbwd_pallas.py): forward, backward, posteriors, and pooled
+    transition counts in one kernel pass instead of three XLA scans.
+    """
     v_src, v_trg = params.log_emit.shape
     n, ts = corpus.src.shape
     tt_max = corpus.max_trg_len
     s = 2 * tt_max
 
     log_init, log_trans, log_emit = _machinery(params, corpus)
-    alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
-    betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
+    width_ids = hmm_core.jump_width_ids(tt_max, params.max_jump)  # [S, S]
+    w_total = 2 * params.max_jump + 3  # W jumps + p0 slot + impossible slot
 
-    smask = hmm_core.state_mask(corpus)  # [N, S]
-    tmask = corpus.src_mask()  # [N, Ts]
-    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
+    if use_pallas:
+        from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import hmm_estep_pallas
 
-    # --- state posteriors gamma [Ts, N, S] ---
-    log_gamma = alphas + betas - logz_safe[None, :, None]
-    valid = tmask.T[:, :, None] & smask[None, :, :]
-    gamma = jnp.where(valid, jnp.exp(log_gamma), 0.0)
+        gamma_nts, xi_pooled, logz = hmm_estep_pallas(
+            log_init, log_trans, log_emit, corpus.src_len, interpret=interpret
+        )
+        width_counts = jax.ops.segment_sum(
+            xi_pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
+        )
+    else:
+        alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
+        betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
+
+        smask = hmm_core.state_mask(corpus)  # [N, S]
+        tmask = corpus.src_mask()  # [N, Ts]
+        logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
+
+        # --- state posteriors gamma [Ts, N, S] ---
+        log_gamma = alphas + betas - logz_safe[None, :, None]
+        valid = tmask.T[:, :, None] & smask[None, :, :]
+        gamma = jnp.where(valid, jnp.exp(log_gamma), 0.0)
+        gamma_nts = jnp.moveaxis(gamma, 0, 1)
+
+        def xi_step(acc, inputs):
+            t, alpha_t, beta_next, emit_next = inputs
+            # xi_t[n, s, s'] for the t -> t+1 transition
+            logxi = (
+                alpha_t[:, :, None]
+                + log_trans
+                + (emit_next + beta_next)[:, None, :]
+                - logz_safe[:, None, None]
+            )
+            alive = ((t + 1) < corpus.src_len)[:, None, None]
+            xi = jnp.where(alive, jnp.exp(jnp.minimum(logxi, 0.0)), 0.0)
+            pooled = jnp.sum(xi, axis=0)  # [S, S]
+            acc = acc + jax.ops.segment_sum(
+                pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
+            )
+            return acc, None
+
+        emits = jnp.moveaxis(log_emit, 1, 0)  # [Ts, N, S]
+        width_counts, _ = jax.lax.scan(
+            xi_step,
+            jnp.zeros((w_total,), log_emit.dtype),
+            (jnp.arange(ts - 1), alphas[:-1], betas[1:], emits[1:]),
+        )
 
     # --- emission counts: scatter gamma onto (phone, concept) pairs ---
     concepts = hmm_core.state_concepts(corpus)  # [N, S]
     pair_ids = corpus.src[:, :, None] * v_trg + concepts[:, None, :]  # [N, Ts, S]
     emit_counts = jax.ops.segment_sum(
-        jnp.moveaxis(gamma, 0, 1).reshape(-1),
+        gamma_nts.reshape(-1),
         pair_ids.reshape(-1),
         num_segments=v_src * v_trg,
     ).reshape(v_src, v_trg)
-
-    # --- transition counts: scan over t accumulating jump-width counts ---
-    width_ids = hmm_core.jump_width_ids(tt_max, params.max_jump)  # [S, S]
-    w_total = 2 * params.max_jump + 3  # W jumps + p0 slot + impossible slot
-
-    def xi_step(acc, inputs):
-        t, alpha_t, beta_next, emit_next = inputs
-        # xi_t[n, s, s'] for the t -> t+1 transition
-        logxi = (
-            alpha_t[:, :, None]
-            + log_trans
-            + (emit_next + beta_next)[:, None, :]
-            - logz_safe[:, None, None]
-        )
-        alive = ((t + 1) < corpus.src_len)[:, None, None]
-        xi = jnp.where(alive, jnp.exp(jnp.minimum(logxi, 0.0)), 0.0)
-        pooled = jnp.sum(xi, axis=0)  # [S, S]
-        acc = acc + jax.ops.segment_sum(
-            pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
-        )
-        return acc, None
-
-    emits = jnp.moveaxis(log_emit, 1, 0)  # [Ts, N, S]
-    width_counts, _ = jax.lax.scan(
-        xi_step,
-        jnp.zeros((w_total,), log_emit.dtype),
-        (jnp.arange(ts - 1), alphas[:-1], betas[1:], emits[1:]),
-    )
 
     # --- M-step ---
     emit_counts = emit_counts + smoothing

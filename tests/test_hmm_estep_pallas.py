@@ -1,0 +1,96 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF
+from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+from multimodalworddiscovery_tpu.models import hmm, hmm_core
+from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import hmm_estep_pallas
+
+
+@pytest.fixture(scope="module")
+def setup():
+    corpus, _, _ = make_flickr8k_mini(n_utterances=24, seed=3)
+    params = hmm.init(corpus)
+    params, _ = hmm.em_step(params, corpus)  # non-trivial params
+    log_init, log_trans, log_emit = hmm._machinery(params, corpus)
+    return corpus, params, log_init, log_trans, log_emit
+
+
+def _oracle(corpus, log_init, log_trans, log_emit):
+    alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
+    betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
+    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
+    gamma = jnp.exp(alphas + betas - logz_safe[None, :, None])
+    smask = hmm_core.state_mask(corpus)
+    valid = corpus.src_mask().T[:, :, None] & smask[None, :, :]
+    gamma = jnp.moveaxis(jnp.where(valid, gamma, 0.0), 0, 1)
+    # pooled xi
+    ts = log_emit.shape[1]
+    emits = jnp.moveaxis(log_emit, 1, 0)
+
+    def xi_step(acc, inputs):
+        t, alpha_t, beta_next, emit_next = inputs
+        logxi = (
+            alpha_t[:, :, None]
+            + log_trans
+            + (emit_next + beta_next)[:, None, :]
+            - logz_safe[:, None, None]
+        )
+        alive = ((t + 1) < corpus.src_len)[:, None, None]
+        xi = jnp.where(alive, jnp.exp(jnp.minimum(logxi, 0.0)), 0.0)
+        return acc + jnp.sum(xi, axis=0), None
+
+    s = log_emit.shape[2]
+    xi_pooled, _ = jax.lax.scan(
+        xi_step,
+        jnp.zeros((s, s), jnp.float32),
+        (jnp.arange(ts - 1), alphas[:-1], betas[1:], emits[1:]),
+    )
+    return gamma, xi_pooled, logz
+
+
+def test_estep_kernel_matches_scan_oracle(setup):
+    corpus, params, log_init, log_trans, log_emit = setup
+    want_gamma, want_xi, want_logz = _oracle(corpus, log_init, log_trans, log_emit)
+    got_gamma, got_xi, got_logz = hmm_estep_pallas(
+        log_init, log_trans, log_emit, corpus.src_len, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logz), np.asarray(want_logz), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_gamma), np.asarray(want_gamma), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_xi), np.asarray(want_xi), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_estep_kernel_block_size_irrelevant(setup):
+    corpus, params, log_init, log_trans, log_emit = setup
+    g1, x1, z1 = hmm_estep_pallas(
+        log_init, log_trans, log_emit, corpus.src_len, block_n=128, interpret=True
+    )
+    g2, x2, z2 = hmm_estep_pallas(
+        log_init, log_trans, log_emit, corpus.src_len, block_n=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-4, atol=1e-4)
+
+
+def test_em_step_with_pallas_estep_matches(setup):
+    corpus, params, *_ = setup
+    p_ref, s_ref = hmm.em_step(params, corpus)
+    p_pal, s_pal = hmm.em_step(params, corpus, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(
+        float(s_ref["loglik"]), float(s_pal["loglik"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_ref.log_emit), np.asarray(p_pal.log_emit), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_ref.log_jump), np.asarray(p_pal.log_jump), rtol=2e-3, atol=2e-3
+    )
