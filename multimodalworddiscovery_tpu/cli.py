@@ -223,6 +223,57 @@ def cmd_evaluate(args) -> None:
     print(f"wrote {out}")
 
 
+def cmd_discover(args) -> None:
+    """Audio-only word discovery: segmental k-means over a continuous corpus
+    (reference comparison models, SURVEY.md §2 C9).  No concepts used."""
+    from multimodalworddiscovery_tpu.eval.metrics import boundary_prf, cluster_purity
+    from multimodalworddiscovery_tpu.models import segmental_kmeans as skm
+
+    cfg = load_config(args.config) if args.config else base_config()
+    cfg.data.continuous = True
+    apply_overrides(cfg, args.override)
+    workdir = Path(args.workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    _save_config(cfg, workdir)
+
+    corpus, gold = _load_data(cfg)
+    params = skm.init(
+        corpus, n_clusters=args.clusters, key=jax.random.PRNGKey(cfg.seed)
+    )
+    writer = MetricsWriter(workdir / "train_metrics.jsonl")
+    step = jax.jit(skm.em_step)
+    for it in range(cfg.train.num_iterations):
+        t0 = time.perf_counter()
+        params, stats = step(params, corpus)
+        jax.block_until_ready(params.centroids)
+        writer.write(it, loglik=float(stats["loglik"]), n_segments=int(stats["n_segments"]),
+                     seconds=time.perf_counter() - t0)
+        print(f"iter {it:3d}  -distortion {float(stats['loglik']):.1f}  "
+              f"segments {int(stats['n_segments'])}")
+
+    segs, mask = skm.discover(params, corpus)
+    out = Path(args.output or workdir / "discovered_segments.json")
+    host_segs = segments_to_host(segs, mask)
+    recs = [{"index": i, "segments": [[int(a) for a in s] for s in host_segs[i]]}
+            for i in range(corpus.n)]
+    out.write_text(json.dumps(recs, indent=1))
+    print(f"wrote {out}")
+
+    if gold is not None:
+        gold_segs, gold_mask = segments_from_alignment(
+            jnp.asarray(gold.alignment), corpus.trg, corpus.src_len
+        )
+        pb = boundaries_from_segments(segs, mask, corpus.max_src_len)
+        gb = boundaries_from_segments(gold_segs, gold_mask, corpus.max_src_len)
+        n_lbl = max(args.clusters + 2, corpus.trg_vocab)
+        results = {
+            "boundary": {k: float(v) for k, v in boundary_prf(pb, gb, tolerance=cfg.eval.boundary_tolerance).items()},
+            "purity": float(cluster_purity(segs, mask, gold_segs, gold_mask, n_lbl)),
+        }
+        (workdir / "metrics.json").write_text(json.dumps(results, indent=2))
+        print(json.dumps(results, indent=2))
+
+
 def cmd_plot(args) -> None:
     from multimodalworddiscovery_tpu.utils.plotting import (
         plot_alignment_matrix,
@@ -272,6 +323,14 @@ def main() -> None:
     p_train.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
     p_train.add_argument("--override", nargs="*", default=[], help="key.path=value overrides")
     p_train.set_defaults(fn=cmd_train)
+
+    p_disc = sub.add_parser("discover", help="audio-only word discovery (segmental k-means)")
+    p_disc.add_argument("--config", default=None)
+    p_disc.add_argument("--workdir", required=True)
+    p_disc.add_argument("--clusters", type=int, default=64)
+    p_disc.add_argument("--output", default=None)
+    p_disc.add_argument("--override", nargs="*", default=[])
+    p_disc.set_defaults(fn=cmd_discover)
 
     p_plot = sub.add_parser("plot", help="plot alignments/segmentations for inspection")
     p_plot.add_argument("--workdir", required=True)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from multimodalworddiscovery_tpu.core.counts import pair_counts
 from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF, masked_logsumexp
 from multimodalworddiscovery_tpu.data.corpus import Corpus
 from multimodalworddiscovery_tpu.models import hmm_core
@@ -126,27 +127,23 @@ def em_step(
             )
             alive = ((t + 1) < corpus.src_len)[:, None, None]
             xi = jnp.where(alive, jnp.exp(jnp.minimum(logxi, 0.0)), 0.0)
-            pooled = jnp.sum(xi, axis=0)  # [S, S]
-            acc = acc + jax.ops.segment_sum(
-                pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
-            )
-            return acc, None
+            return acc + jnp.sum(xi, axis=0), None  # accumulate [S, S]
 
         emits = jnp.moveaxis(log_emit, 1, 0)  # [Ts, N, S]
-        width_counts, _ = jax.lax.scan(
+        xi_pooled, _ = jax.lax.scan(
             xi_step,
-            jnp.zeros((w_total,), log_emit.dtype),
+            jnp.zeros((s, s), log_emit.dtype),
             (jnp.arange(ts - 1), alphas[:-1], betas[1:], emits[1:]),
         )
+        # project onto jump widths ONCE (not one scatter per scan step)
+        width_counts = jax.ops.segment_sum(
+            xi_pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
+        )
 
-    # --- emission counts: scatter gamma onto (phone, concept) pairs ---
+    # --- emission counts as MXU one-hot matmuls (a flat segment_sum scatter
+    # here measured 28 ms on TPU vs 1.6 ms for the matmul form) ---
     concepts = hmm_core.state_concepts(corpus)  # [N, S]
-    pair_ids = corpus.src[:, :, None] * v_trg + concepts[:, None, :]  # [N, Ts, S]
-    emit_counts = jax.ops.segment_sum(
-        gamma_nts.reshape(-1),
-        pair_ids.reshape(-1),
-        num_segments=v_src * v_trg,
-    ).reshape(v_src, v_trg)
+    emit_counts = pair_counts(gamma_nts, corpus.src, concepts, v_src, v_trg)
 
     # --- M-step ---
     emit_counts = emit_counts + smoothing

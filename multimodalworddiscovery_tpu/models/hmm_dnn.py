@@ -169,15 +169,17 @@ def em_step(params: DnnHMMParams, corpus: Corpus, smoothing: float = 1e-6):
         )
         alive = ((t + 1) < corpus.src_len)[:, None, None]
         xi = jnp.where(alive, jnp.exp(jnp.minimum(logxi, 0.0)), 0.0)
-        return acc + jax.ops.segment_sum(
-            jnp.sum(xi, axis=0).reshape(-1), width_ids.reshape(-1), num_segments=w_total
-        ), None
+        return acc + jnp.sum(xi, axis=0), None
 
     emits = jnp.moveaxis(log_emit, 1, 0)
-    width_counts, _ = jax.lax.scan(
+    s = log_emit.shape[2]
+    xi_pooled, _ = jax.lax.scan(
         xi_step,
-        jnp.zeros((w_total,), log_emit.dtype),
+        jnp.zeros((s, s), log_emit.dtype),
         (jnp.arange(ts - 1), alphas[:-1], betas[1:], emits[1:]),
+    )
+    width_counts = jax.ops.segment_sum(
+        xi_pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
     )
     W = 2 * params.max_jump + 1
 

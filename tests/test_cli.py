@@ -85,3 +85,25 @@ def test_override_types(tmp_path):
     assert cfg.model.smoothing == 0.5
     assert cfg.train.data_parallel is True
     assert cfg.model.name == "hmm"
+
+
+def test_cmd_discover(tmp_path, capsys):
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from multimodalworddiscovery_tpu.core.config import base_config\n"
+        "def get_config():\n"
+        "    c = base_config()\n"
+        "    c.data.n_utterances = 20\n"
+        "    c.data.continuous = True\n"
+        "    c.data.feat_dim = 8\n"
+        "    c.train.num_iterations = 3\n"
+        "    return c\n"
+    )
+    wd = tmp_path / "run"
+    cli.cmd_discover(
+        _ns(config=str(cfg), workdir=str(wd), clusters=30, output=None, override=[])
+    )
+    recs = json.loads((wd / "discovered_segments.json").read_text())
+    assert len(recs) == 20 and "segments" in recs[0]
+    metrics = json.loads((wd / "metrics.json").read_text())
+    assert 0 <= metrics["boundary"]["f1"] <= 1
