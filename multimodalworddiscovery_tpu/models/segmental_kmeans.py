@@ -258,3 +258,110 @@ def train(
         return p2, stats["loglik"]
 
     return jax.lax.scan(body, params, None, length=num_iterations)
+
+
+# ---------------------------------------------------------------------------
+# GMM softening (reference audio_gmm_word_discoverer, SURVEY.md §2 C9):
+# same candidate embeddings and DP re-segmentation, but cluster updates use
+# soft responsibilities under spherical Gaussians instead of hard assignment.
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class SegGMMParams:
+    centroids: jax.Array  # [K, E] means
+    log_var: jax.Array  # scalar, shared spherical variance
+    n_samples: int = struct.field(pytree_node=False, default=4)
+    max_seg_len: int = struct.field(pytree_node=False, default=8)
+    min_seg_len: int = struct.field(pytree_node=False, default=1)
+
+
+def init_gmm(
+    corpus: Corpus,
+    n_clusters: int = 64,
+    n_samples: int = 4,
+    max_seg_len: int = 8,
+    min_seg_len: int = 1,
+    key: jax.Array | None = None,
+) -> SegGMMParams:
+    km = init(corpus, n_clusters, n_samples, max_seg_len, min_seg_len, key)
+    return SegGMMParams(
+        centroids=km.centroids,
+        log_var=jnp.asarray(0.0, jnp.float32),
+        n_samples=n_samples,
+        max_seg_len=max_seg_len,
+        min_seg_len=min_seg_len,
+    )
+
+
+@jax.jit
+def em_step_gmm(
+    params: SegGMMParams, corpus: Corpus
+) -> tuple[SegGMMParams, dict[str, jax.Array]]:
+    """Segmentation by DP on expected (soft-min) costs; soft cluster update."""
+    hard = SegKMeansParams(
+        centroids=params.centroids,
+        n_samples=params.n_samples,
+        max_seg_len=params.max_seg_len,
+        min_seg_len=params.min_seg_len,
+    )
+    emb = embed_all_segments(corpus.src, params.n_samples, params.max_seg_len)
+    n, t_len, L, e = emb.shape
+    c = params.centroids
+    e2 = jnp.sum(emb**2, axis=-1, keepdims=True)
+    c2 = jnp.sum(c**2, axis=-1)
+    d2 = e2 - 2 * jnp.einsum("ntle,ke->ntlk", emb, c) + c2  # [N,T,L,K]
+    var = jnp.exp(params.log_var)
+    # segment cost = -log sum_k exp(-d2 / 2 var): soft-min over clusters
+    logp = -d2 / (2 * var)
+    m = jnp.max(logp, axis=-1)
+    seg_cost = -(m + jnp.log(jnp.sum(jnp.exp(logp - m[..., None]), axis=-1) + 1e-38))
+
+    t_idx = jnp.arange(t_len)[None, :, None]
+    l_idx = jnp.arange(1, L + 1)[None, None, :]
+    valid = (t_idx < corpus.src_len[:, None, None]) & (t_idx - l_idx + 1 >= 0)
+    seg_cost = jnp.where(valid, seg_cost, _BIG)
+
+    best_len = jax.vmap(lambda sc, ln: _resegment_one(sc, ln, params.min_seg_len))(
+        seg_cost, corpus.src_len
+    )
+    _, is_end = jax.vmap(_backtrace_boundaries)(best_len, corpus.src_len)
+    is_end = is_end & corpus.src_mask()
+
+    chosen_l = jnp.clip(best_len - 1, 0, L - 1)
+    chosen_emb = jnp.take_along_axis(emb, chosen_l[:, :, None, None], axis=2)[:, :, 0, :]
+    chosen_logp = jnp.take_along_axis(logp, chosen_l[:, :, None, None], axis=2)[:, :, 0, :]
+    resp = jax.nn.softmax(chosen_logp, axis=-1)  # [N, T, K]
+    w = is_end.astype(emb.dtype)[..., None]
+    resp = resp * w
+
+    sums = jnp.einsum("ntk,nte->ke", resp, chosen_emb)
+    counts = jnp.sum(resp, axis=(0, 1))
+    new_centroids = jnp.where(
+        counts[:, None] > 1e-6, sums / jnp.maximum(counts[:, None], 1e-6), params.centroids
+    )
+    # shared spherical variance from soft assignments
+    chosen_d2 = jnp.take_along_axis(d2, chosen_l[:, :, None, None], axis=2)[:, :, 0, :]
+    var_new = jnp.sum(resp * chosen_d2) / jnp.maximum(jnp.sum(counts) * e, 1e-6)
+    total_cost = jnp.sum(
+        jnp.where(is_end, jnp.take_along_axis(seg_cost, chosen_l[:, :, None], axis=2)[:, :, 0], 0.0)
+    )
+    new_params = SegGMMParams(
+        centroids=new_centroids.astype(params.centroids.dtype),
+        log_var=jnp.log(jnp.maximum(var_new, 1e-6)),
+        n_samples=params.n_samples,
+        max_seg_len=params.max_seg_len,
+        min_seg_len=params.min_seg_len,
+    )
+    return new_params, {"loglik": -total_cost, "n_segments": jnp.sum(is_end)}
+
+
+def discover_gmm(params: SegGMMParams, corpus: Corpus):
+    """Hard decode with the GMM's centroids (argmax responsibility)."""
+    hard = SegKMeansParams(
+        centroids=params.centroids,
+        n_samples=params.n_samples,
+        max_seg_len=params.max_seg_len,
+        min_seg_len=params.min_seg_len,
+    )
+    return discover(hard, corpus)
