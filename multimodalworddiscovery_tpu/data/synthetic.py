@@ -101,6 +101,81 @@ def make_flickr8k_mini(
     return corpus, gold, meta
 
 
+def phones_to_waveforms(
+    corpus: Corpus,
+    gold: GoldAnnotations,
+    sample_rate: int = 16000,
+    phone_ms: int = 80,
+    noise: float = 0.02,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, GoldAnnotations]:
+    """Render the phone corpus as raw audio for end-to-end pipeline tests.
+
+    Each phone id gets a fixed mixture of 2 sinusoids (a crude formant pair);
+    each phone token renders ``phone_ms`` of that mixture plus noise.  Returns
+    (wavs [N, L] float32, wav_lens [N], sample-level gold is the phone-level
+    gold — frame-level gold must be derived after the frontend via
+    ``expand_gold_to_frames``).
+    """
+    rng = np.random.default_rng(seed)
+    V = corpus.src_vocab
+    f1 = rng.uniform(200, 1200, size=V)
+    f2 = rng.uniform(1400, 3800, size=V)
+    spp = int(sample_rate * phone_ms / 1000)  # samples per phone
+
+    src = np.asarray(corpus.src)
+    src_len = np.asarray(corpus.src_len)
+    max_len = int(src_len.max()) * spp
+    wavs = np.zeros((corpus.n, max_len), np.float32)
+    lens = np.zeros((corpus.n,), np.int32)
+    t = np.arange(spp) / sample_rate
+    env = np.hanning(spp)  # soften phone boundaries
+    for i in range(corpus.n):
+        pos = 0
+        for k in range(int(src_len[i])):
+            ph = int(src[i, k])
+            seg = 0.4 * (np.sin(2 * np.pi * f1[ph] * t) + 0.6 * np.sin(2 * np.pi * f2[ph] * t))
+            wavs[i, pos : pos + spp] = seg * env
+            pos += spp
+        wavs[i, :pos] += noise * rng.normal(size=pos)
+        lens[i] = pos
+    return wavs, lens, gold
+
+
+def expand_gold_to_frames(
+    gold: GoldAnnotations,
+    src_len: np.ndarray,
+    frame_lens: np.ndarray,
+    phone_ms: int = 80,
+    hop_ms: int = 10,
+) -> GoldAnnotations:
+    """Phone-level gold -> frame-level gold after the MFCC frontend.
+
+    Frame t (hop h ms) overlaps phone k = floor(t*h / phone_ms) (window-start
+    convention).
+    """
+    n, _ = gold.alignment.shape
+    max_f = int(frame_lens.max())
+    frames_per_phone = phone_ms // hop_ms
+    alignment = np.zeros((n, max_f), np.int32)
+    segments: list[list[tuple[int, int, int]]] = []
+    for i in range(n):
+        fl = int(frame_lens[i])
+        ph_idx = np.minimum(np.arange(fl) // frames_per_phone, int(src_len[i]) - 1)
+        alignment[i, :fl] = gold.alignment[i, ph_idx]
+        segs = [
+            (
+                int(s * frames_per_phone),
+                int(min(e * frames_per_phone, fl)),
+                c,
+            )
+            for (s, e, c) in gold.segments[i]
+            if s * frames_per_phone < fl
+        ]
+        segments.append(segs)
+    return GoldAnnotations(alignment=alignment, segments=segments)
+
+
 def phones_to_frames(
     corpus: Corpus,
     gold: GoldAnnotations,
