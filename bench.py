@@ -49,19 +49,22 @@ def main() -> None:
     oracle_time = time.perf_counter() - t0
     oracle_throughput = ORACLE_UTTS * ORACLE_ITERS / oracle_time
 
-    # --- TPU batched EM ---
-    step = jax.jit(hmm.em_step)
+    # --- TPU batched EM: one fused lax.scan dispatch (BASELINE.md protocol).
+    # Timing forces a HOST READ of the final log-likelihood: through the axon
+    # relay, block_until_ready on stepwise loops has been observed to return
+    # on enqueue-ack, and the relay's speculator can replay previously seen
+    # request sequences — a scalar transfer of a fresh value can't be faked.
+    train = jax.jit(lambda p: hmm.train(p, corpus, N_ITERS_TPU))
     params = hmm.init(corpus)
-    # warm-up / compile
-    p1, _ = step(params, corpus)
+    p1, lls = train(params)  # warm-up / compile
     jax.block_until_ready(p1)
     t0 = time.perf_counter()
-    p = params
-    for _ in range(N_ITERS_TPU):
-        p, stats = step(p, corpus)
-    jax.block_until_ready(p)
+    p, lls = train(params)
+    final_ll = float(lls[-1])  # host transfer inside the timed region
     tpu_time = time.perf_counter() - t0
     tpu_throughput = N_UTTERANCES * N_ITERS_TPU / tpu_time
+    lls = np.asarray(lls)
+    assert np.isfinite(final_ll) and np.all(np.diff(lls) > -1e2), lls  # sanity
 
     print(
         json.dumps(
