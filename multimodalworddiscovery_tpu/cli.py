@@ -215,6 +215,12 @@ def cmd_evaluate(args) -> None:
     if cfg.eval.retrieval and cfg.model.name == "model1":
         scores = retrieval_scores_model1(params, corpus)
         results["retrieval"] = recall_at_k(scores)
+    elif cfg.eval.retrieval and cfg.model.name == "hmm":
+        from multimodalworddiscovery_tpu.eval.retrieval import retrieval_scores_hmm
+
+        results["retrieval"] = recall_at_k(retrieval_scores_hmm(params, corpus))
+    elif cfg.eval.retrieval and cfg.model.name == "grounding":
+        results["retrieval"] = recall_at_k(mod.retrieval_scores(params, corpus))
 
     results = _to_jsonable(jax.tree.map(lambda x: float(x), results))
     out = Path(args.output or workdir / "metrics.json")

@@ -134,3 +134,23 @@ def test_retrieval_recall(setup):
     out2 = recall_at_k(boosted, ks=(1,))
     assert float(out2["recall@1_c2i"]) == 1.0
     assert float(out2["recall@1_i2c"]) == 1.0
+
+
+def test_retrieval_hmm(setup):
+    from multimodalworddiscovery_tpu.eval.retrieval import retrieval_scores_hmm
+    from multimodalworddiscovery_tpu.models import hmm
+
+    corpus, gold, _, _ = setup
+    params = hmm.init(corpus)
+    params, _ = jax.jit(lambda p: hmm.train(p, corpus, 8))(params)
+    scores = retrieval_scores_hmm(params, corpus)
+    assert scores.shape == (corpus.n, corpus.n)
+    # diagonal scores should equal the per-utterance forward loglik
+    from multimodalworddiscovery_tpu.models import hmm_core
+    li, lt, le = hmm._machinery(params, corpus)
+    _, logz = hmm_core.forward(li, lt, le, corpus.src_len)
+    np.testing.assert_allclose(
+        np.diagonal(np.asarray(scores)), np.asarray(logz), rtol=1e-4
+    )
+    out = recall_at_k(scores, ks=(5,))
+    assert float(out["recall@5_c2i"]) > 0.4, out
