@@ -161,6 +161,58 @@ def backward(
     return betas
 
 
+def step_matrices(
+    log_trans: jax.Array, log_emit: jax.Array, src_len: jax.Array
+) -> jax.Array:
+    """Per-step transition matrices M_t (t >= 1) for scan-as-matrix-product.
+
+    M_t[s, s'] = trans[s, s'] + emit[t, s'], with the IDENTITY substituted for
+    steps past an utterance's length so prefix products freeze (same masking
+    semantics as ``forward``).  Returns [Ts-1, N, S, S].
+    """
+    n, ts, s = log_emit.shape
+    t_idx = jnp.arange(1, ts)
+    alive = t_idx[:, None] < src_len[None, :]  # [Ts-1, N]
+    m = log_trans[None, :, :, :] + log_emit[:, 1:, None, :].transpose(1, 0, 2, 3)
+    eye = jnp.where(jnp.eye(s, dtype=bool), 0.0, NEG_INF)[None, None, :, :]
+    return jnp.where(alive[:, :, None, None], m, eye)
+
+
+def forward_associative(
+    log_init: jax.Array,
+    log_trans: jax.Array,
+    log_emit: jax.Array,
+    src_len: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward pass as an associative scan over log-semiring matrix products.
+
+    alpha_t = alpha_{t-1} (x) M_t with M_t[s, s'] = trans[s, s'] + emit[t, s']
+    is associative in the (logsumexp, +) semiring, so all prefix products come
+    from ``lax.associative_scan`` in O(log T) depth — the sequence-parallel
+    formulation (cf. GPU-accelerated forward-backward literature) that lets
+    very long utterances shard their TIME axis across a mesh (SURVEY.md §5.7)
+    at O(T S^3) work instead of the sequential scan's O(T S^2).
+
+    Returns (alphas [Ts, N, S], logZ [N]) — numerically equivalent to
+    ``forward`` (same masking semantics: steps past src_len carry alpha).
+    """
+    n, ts, s = log_emit.shape
+    m = step_matrices(log_trans, log_emit, src_len)  # [Ts-1, N, S, S]
+
+    from multimodalworddiscovery_tpu.core.logsemiring import log_matmul
+
+    prefixes = jax.lax.associative_scan(log_matmul, m, axis=0)  # [Ts-1, N, S, S]
+
+    alpha0 = log_init + log_emit[:, 0]  # [N, S]
+    rest = masked_logsumexp(
+        alpha0[None, :, :, None] + prefixes, axis=2
+    )  # [Ts-1, N, S]
+    alphas = jnp.concatenate([alpha0[None], rest], axis=0)
+    logz = masked_logsumexp(alphas[-1], axis=-1)
+    logz = jnp.where(src_len > 0, logz, 0.0)
+    return alphas, logz
+
+
 def viterbi(
     log_init: jax.Array,
     log_trans: jax.Array,

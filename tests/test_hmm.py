@@ -163,3 +163,22 @@ def test_hmm_recovers_gold_alignment():
     acc = (pred == gold.alignment)[word_mask].mean()
     # HMM with jump transitions should beat Model-1's 0.87-0.9 here
     assert acc > 0.85, acc
+
+
+def test_forward_associative_matches_sequential(mini):
+    corpus, _, _ = mini
+    params = hmm.init(corpus)
+    log_init, log_trans, log_emit = hmm._machinery(params, corpus)
+    a1, z1 = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
+    a2, z2 = hmm_core.forward_associative(log_init, log_trans, log_emit, corpus.src_len)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-4)
+    # compare alphas only at valid (t, state) positions
+    sl = np.asarray(corpus.src_len)
+    smask = np.asarray(hmm_core.state_mask(corpus))
+    a1, a2 = np.asarray(a1), np.asarray(a2)
+    for i in range(0, corpus.n, 5):
+        for t in range(sl[i]):
+            np.testing.assert_allclose(
+                a1[t, i][smask[i]], a2[t, i][smask[i]], rtol=1e-3, atol=1e-3,
+                err_msg=f"utt {i} t {t}",
+            )

@@ -65,3 +65,36 @@ def test_sharded_outputs_are_replicated():
     # replicated across all 8 devices
     assert len(p.log_t.sharding.device_set) == 8
     assert p.log_t.sharding.is_fully_replicated
+
+
+def test_time_sharded_forward_matches_sequential():
+    import jax.numpy as jnp
+    from multimodalworddiscovery_tpu.models import hmm, hmm_core
+    from multimodalworddiscovery_tpu.parallel.sequence import forward_time_sharded
+    from jax.sharding import Mesh
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=10, seed=4)
+    params = hmm.init(corpus)
+    log_init, log_trans, log_emit = hmm._machinery(params, corpus)
+
+    # pad time axis to a multiple of 8 (identity steps past src_len)
+    ts = log_emit.shape[1]
+    ts_pad = ((ts + 7) // 8) * 8
+    log_emit_p = jnp.pad(log_emit, ((0, 0), (0, ts_pad - ts), (0, 0)))
+
+    a_seq, z_seq = hmm_core.forward(log_init, log_trans, log_emit_p, corpus.src_len)
+
+    mesh = Mesh(np.array(jax.devices()), ("seq",))
+    a_par, z_par = forward_time_sharded(
+        log_init, log_trans, log_emit_p, corpus.src_len, mesh
+    )
+    np.testing.assert_allclose(np.asarray(z_seq), np.asarray(z_par), rtol=1e-4)
+    sl = np.asarray(corpus.src_len)
+    smask = np.asarray(hmm_core.state_mask(corpus))
+    a_seq, a_par = np.asarray(a_seq), np.asarray(a_par)
+    for i in range(corpus.n):
+        for t in range(sl[i]):
+            np.testing.assert_allclose(
+                a_seq[t, i][smask[i]], a_par[t, i][smask[i]],
+                rtol=2e-3, atol=2e-3, err_msg=f"utt {i} t {t}",
+            )
