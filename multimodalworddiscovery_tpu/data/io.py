@@ -39,6 +39,19 @@ def _read_token_lines(path: Path) -> tuple[list[np.ndarray], dict[str, int]]:
     return seqs, vocab
 
 
+def _load_int_tokens_fast(path: Path):
+    """Native single-pass parse for all-integer token files; None if the file
+    contains symbolic tokens (those go through the vocab-building path)."""
+    head = path.read_text()[:4096]
+    if any(ch.isalpha() for ch in head):
+        return None
+    from multimodalworddiscovery_tpu.native import pack_token_file
+
+    arr, lens, vocab_max = pack_token_file(path)
+    seqs = [arr[i, : lens[i]] for i in range(arr.shape[0])]
+    return seqs, vocab_max + 1
+
+
 def load_corpus(directory: str | Path, name: str) -> tuple[Corpus, GoldAnnotations | None]:
     """Load a corpus (and gold annotations if present) from ``directory``."""
     d = Path(directory)
@@ -49,8 +62,12 @@ def load_corpus(directory: str | Path, name: str) -> tuple[Corpus, GoldAnnotatio
             src_seqs = [z[k] for k in sorted(z.files, key=lambda k: int(k.split("_")[-1]))]
         src_vocab = 0
     elif src_txt.exists():
-        src_seqs, src_vocab_map = _read_token_lines(src_txt)
-        src_vocab = (max((int(s.max()) for s in src_seqs if len(s)), default=0)) + 1
+        fast = _load_int_tokens_fast(src_txt)
+        if fast is not None:
+            src_seqs, src_vocab = fast
+        else:
+            src_seqs, _ = _read_token_lines(src_txt)
+            src_vocab = (max((int(s.max()) for s in src_seqs if len(s)), default=0)) + 1
     else:
         raise FileNotFoundError(f"no {name}_src.txt or {name}_src_feats.npz in {d}")
 
@@ -61,8 +78,12 @@ def load_corpus(directory: str | Path, name: str) -> tuple[Corpus, GoldAnnotatio
             trg_seqs = [z[k] for k in sorted(z.files, key=lambda k: int(k.split("_")[-1]))]
         trg_vocab = 0
     elif trg_txt.exists():
-        trg_seqs, _ = _read_token_lines(trg_txt)
-        trg_vocab = (max((int(s.max()) for s in trg_seqs if len(s)), default=0)) + 1
+        fast = _load_int_tokens_fast(trg_txt)
+        if fast is not None:
+            trg_seqs, trg_vocab = fast
+        else:
+            trg_seqs, _ = _read_token_lines(trg_txt)
+            trg_vocab = (max((int(s.max()) for s in trg_seqs if len(s)), default=0)) + 1
     else:
         raise FileNotFoundError(f"no {name}_trg.txt or {name}_trg_feats.npz in {d}")
 
