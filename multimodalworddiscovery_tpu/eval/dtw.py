@@ -86,3 +86,55 @@ def dtw_distance(
     if normalize:
         d = d / jnp.maximum(len_x + len_y, 1).astype(d.dtype)
     return d
+
+
+def segment_dtw_matrix(
+    feats: jax.Array,
+    segments: jax.Array,
+    seg_mask: jax.Array,
+    max_seg_len: int = 32,
+    metric: str = "sqeuclidean",
+    batch_size: int = 64,
+) -> tuple[jax.Array, jax.Array]:
+    """Pairwise DTW distances between ALL discovered word segments.
+
+    Reference use-case (SURVEY.md §3.5): segment-level DTW scoring to compare
+    discovered word units across utterances (e.g. within-cluster coherence).
+
+    feats: [N, T, D]; segments [N, S, 3]; seg_mask [N, S].
+    Extracts every valid segment into a fixed [M, max_seg_len, D] buffer
+    (truncating longer ones) and returns (dist [M, M], flat index -> (n, s)
+    mapping [M, 2]).  M is static = N * S; invalid rows carry BIG distances.
+    """
+    n, t, d = feats.shape
+    s = segments.shape[1]
+    m = n * s
+
+    starts = segments[..., 0].reshape(-1)  # [M]
+    ends = segments[..., 1].reshape(-1)
+    valid = seg_mask.reshape(-1)
+    lens = jnp.clip(ends - starts, 0, max_seg_len)
+    utt = jnp.repeat(jnp.arange(n), s)
+
+    # gather fixed-size windows
+    offs = jnp.arange(max_seg_len)
+    idx = jnp.clip(starts[:, None] + offs[None, :], 0, t - 1)  # [M, L]
+    seg_feats = feats[utt[:, None], idx]  # [M, L, D]
+
+    def score_one(args):
+        xi, li = args  # [L, D], [] (lax.map vmaps this over batch_size chunks)
+        return dtw_distance(
+            jnp.broadcast_to(xi[None], (m, max_seg_len, d)),
+            seg_feats,
+            jnp.broadcast_to(li[None], (m,)),
+            lens,
+            metric=metric,
+            normalize=True,
+        )
+
+    dist = jax.lax.map(
+        score_one, (seg_feats, lens), batch_size=batch_size
+    ).reshape(m, m)
+    dist = jnp.where(valid[:, None] & valid[None, :], dist, _BIG)
+    index = jnp.stack([utt, jnp.tile(jnp.arange(s), n)], axis=-1)
+    return dist, index

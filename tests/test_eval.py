@@ -154,3 +154,32 @@ def test_retrieval_hmm(setup):
     )
     out = recall_at_k(scores, ks=(5,))
     assert float(out["recall@5_c2i"]) > 0.4, out
+
+
+def test_segment_dtw_matrix():
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.eval.dtw import segment_dtw_matrix
+    from multimodalworddiscovery_tpu.segment import segments_from_alignment
+
+    corpus, gold, _ = make_flickr8k_mini(n_utterances=8, seed=9)
+    fc, fg, _ = phones_to_frames(corpus, gold, feat_dim=6, noise=0.05, seed=9)
+    segs, mask = segments_from_alignment(
+        jnp.asarray(fg.alignment), fc.trg, fc.src_len
+    )
+    dist, index = segment_dtw_matrix(fc.src, segs, mask, max_seg_len=16)
+    dist = np.asarray(dist)
+    mask_np = np.asarray(mask).reshape(-1)
+    segs_np = np.asarray(segs).reshape(-1, 3)
+    valid = np.where(mask_np)[0]
+    # self-distance ~0
+    np.testing.assert_allclose(dist[valid, valid], 0.0, atol=1e-3)
+    # same-concept segments (same word, noisy frames) are closer on average
+    # than different-concept segments
+    concepts = segs_np[:, 2]
+    same, diff = [], []
+    for a in valid[:30]:
+        for b in valid[:30]:
+            if a == b:
+                continue
+            (same if concepts[a] == concepts[b] else diff).append(dist[a, b])
+    assert np.mean(same) < np.mean(diff), (np.mean(same), np.mean(diff))
