@@ -66,7 +66,15 @@ def _make_model(cfg, corpus):
     if name == "model1":
         params = mod.init(corpus)
         step = functools.partial(mod.em_step, smoothing=cfg.model.smoothing)
-    elif name in ("hmm", "hmm_gaussian", "hmm_dnn"):
+    elif name == "hmm_gaussian":
+        params = mod.init(
+            corpus,
+            max_jump=cfg.model.max_jump,
+            n_components=cfg.model.get("n_components", 2),
+            key=jax.random.PRNGKey(cfg.seed),
+        )
+        step = mod.em_step
+    elif name in ("hmm", "hmm_dnn"):
         params = mod.init(corpus, max_jump=cfg.model.max_jump)
         step = mod.em_step
     elif name == "attention":

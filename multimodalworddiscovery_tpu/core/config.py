@@ -37,6 +37,7 @@ def base_config() -> ConfigDict:
     cfg.model.max_jump = 3
     cfg.model.self_loop_prob = 0.0
     cfg.model.emission = "discrete"  # discrete | gaussian
+    cfg.model.n_components = 2  # GMM components per concept (hmm_gaussian)
     cfg.model.feat_dim = 0
 
     cfg.train = ConfigDict()

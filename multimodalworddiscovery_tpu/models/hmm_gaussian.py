@@ -1,18 +1,19 @@
-"""Gaussian-emission HMM aligner: continuous acoustic frames.
+"""Gaussian / GMM-emission HMM aligner: continuous acoustic frames.
 
-Reference counterpart: the Gaussian HMM variant of the 2020 DNN-HMM-DNN paper
-(SURVEY.md §2 C7) — same Vogel alignment skeleton as the discrete HMM but
-emissions are diagonal Gaussians per concept over MFCC-style frames.
+Reference counterpart: the Gaussian-mixture HMM variant of the 2020
+DNN-HMM-DNN paper (SURVEY.md §2 C7) — same Vogel alignment skeleton as the
+discrete HMM but emissions are per-concept diagonal Gaussian MIXTURES over
+MFCC-style frames (n_components=1 recovers the single-Gaussian model; words
+spanning several phones need the mixture).
 
-TPU-first emission computation: the per-(frame, concept) log-density
+TPU-first emission computation: all (concept, component) log-densities come
+from two MXU matmuls over the flattened [C*K, D] parameter matrices,
 
-  log N(x | mu_c, diag(var_c)) = -0.5 * [ sum_d (x_d - mu_cd)^2 / var_cd
-                                          + sum_d log var_cd + D log 2pi ]
+  log N(x | mu, diag(var)) = x^2 @ (-.5/var).T + x @ (mu/var).T + const,
 
-expands to  x^2 @ (0.5/var).T  -  x @ (mu/var).T  +  const_c , i.e. two MXU
-matmuls over the whole corpus [N*Ts, D] x [D, C] instead of the reference's
-per-frame SciPy calls.  M-step sufficient statistics are the same two matmuls
-transposed (gamma-weighted sums of x and x^2 per concept).
+then a logsumexp over components with the mixture weights.  M-step sufficient
+statistics are the transposed einsums of the combined (HMM gamma x component
+responsibility) posteriors — no scatters anywhere.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF
+from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF, masked_logsumexp
 from multimodalworddiscovery_tpu.data.corpus import Corpus
 from multimodalworddiscovery_tpu.models import hmm_core
 
@@ -30,10 +31,14 @@ _LOG_2PI = 1.8378770664093453
 
 @struct.dataclass
 class GaussianHMMParams:
-    """Diagonal-Gaussian emissions per concept + Vogel transitions."""
+    """Diagonal-GMM emissions per concept + Vogel transitions.
 
-    means: jax.Array  # [V_trg, D]
-    log_vars: jax.Array  # [V_trg, D]
+    means/log_vars: [C, K, D]; log_mix: [C, K] (log mixture weights).
+    """
+
+    means: jax.Array
+    log_vars: jax.Array
+    log_mix: jax.Array
     log_jump: jax.Array  # [2*max_jump+1]
     log_p0: jax.Array  # scalar
     max_jump: int = struct.field(pytree_node=False, default=3)
@@ -42,10 +47,11 @@ class GaussianHMMParams:
 def init(
     corpus: Corpus,
     max_jump: int = 3,
+    n_components: int = 1,
     key: jax.Array | None = None,
     dtype=jnp.float32,
 ) -> GaussianHMMParams:
-    """Means = corpus mean + small per-concept jitter, vars = corpus var."""
+    """Means = corpus mean + per-(concept, component) jitter, vars = corpus var."""
     if key is None:
         key = jax.random.PRNGKey(0)
     x = corpus.src  # [N, Ts, D]
@@ -55,29 +61,50 @@ def init(
     total = jnp.maximum(jnp.sum(mask), 1.0)
     mean = jnp.sum(jnp.where(mask, x, 0.0), axis=(0, 1)) / total
     var = jnp.sum(jnp.where(mask, (x - mean) ** 2, 0.0), axis=(0, 1)) / total
-    jitter = 0.1 * jnp.sqrt(var) * jax.random.normal(key, (v_trg, d), dtype)
+    # 0.1x concept jitter (K=1-stable); extra spread only across components
+    k1, k2 = jax.random.split(key)
+    jitter = 0.1 * jnp.sqrt(var) * jax.random.normal(k1, (v_trg, 1, d), dtype)
+    if n_components > 1:
+        jitter = jitter + 0.3 * jnp.sqrt(var) * jax.random.normal(
+            k2, (v_trg, n_components, d), dtype
+        )
+    else:
+        jitter = jnp.broadcast_to(jitter, (v_trg, n_components, d))
     w = 2 * max_jump + 1
     return GaussianHMMParams(
-        means=(mean[None, :] + jitter).astype(dtype),
-        log_vars=jnp.broadcast_to(jnp.log(var + 1e-6), (v_trg, d)).astype(dtype),
+        means=(mean[None, None, :] + jitter).astype(dtype),
+        log_vars=jnp.broadcast_to(
+            jnp.log(var + 1e-6), (v_trg, n_components, d)
+        ).astype(dtype),
+        log_mix=jnp.full((v_trg, n_components), -jnp.log(n_components), dtype),
         log_jump=(-0.5 * jnp.abs(jnp.arange(w, dtype=dtype) - max_jump - 1)),
         log_p0=jnp.asarray(jnp.log(0.2), dtype=dtype),
         max_jump=max_jump,
     )
 
 
-def _concept_logdensity(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
-    """[N, Ts, V_trg] log N(x_t | concept c) via two MXU matmuls."""
+def _component_logdensity(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
+    """[N, Ts, C, K] per-component log-densities via two MXU matmuls."""
     x = corpus.src  # [N, Ts, D]
-    inv_var = jnp.exp(-params.log_vars)  # [C, D]
+    c, k, d = params.means.shape
+    means = params.means.reshape(c * k, d)
+    log_vars = params.log_vars.reshape(c * k, d)
+    inv_var = jnp.exp(-log_vars)
     const = -0.5 * (
-        jnp.sum(params.log_vars, axis=-1)
-        + jnp.sum(params.means**2 * inv_var, axis=-1)
-        + params.means.shape[-1] * _LOG_2PI
-    )  # [C]
-    a = jnp.einsum("ntd,cd->ntc", x, params.means * inv_var)
-    b = jnp.einsum("ntd,cd->ntc", x**2, 0.5 * inv_var)
-    return a - b + const[None, None, :]
+        jnp.sum(log_vars, axis=-1)
+        + jnp.sum(means**2 * inv_var, axis=-1)
+        + d * _LOG_2PI
+    )  # [C*K]
+    a = jnp.einsum("ntd,md->ntm", x, means * inv_var)
+    b = jnp.einsum("ntd,md->ntm", x**2, 0.5 * inv_var)
+    return (a - b + const[None, None, :]).reshape(*x.shape[:2], c, k)
+
+
+def _concept_logdensity(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
+    """[N, Ts, C] log p(x_t | concept c) = logsumexp_k(log w_ck + log N_ck)."""
+    comp = _component_logdensity(params, corpus)  # [N, Ts, C, K]
+    logw = jax.nn.log_softmax(params.log_mix, axis=-1)
+    return masked_logsumexp(comp + logw[None, None, :, :], axis=-1)
 
 
 def _log_emissions(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
@@ -107,7 +134,7 @@ def em_step(
     smoothing: float = 1e-6,
     var_floor: float = 1e-4,
 ) -> tuple[GaussianHMMParams, dict[str, jax.Array]]:
-    v_trg = params.means.shape[0]
+    v_trg, n_comp, feat_d = params.means.shape
     n, ts = corpus.src.shape[:2]
     tt_max = corpus.max_trg_len
 
@@ -128,13 +155,20 @@ def em_step(
     onehot = jax.nn.one_hot(concepts, v_trg, dtype=gamma.dtype)  # [N, S, C]
     r = jnp.einsum("nts,nsc->ntc", gamma, onehot)
 
+    # Component responsibilities within each concept, combined with r
+    comp = _component_logdensity(params, corpus)  # [N, Ts, C, K]
+    logw = jax.nn.log_softmax(params.log_mix, axis=-1)
+    u = jax.nn.softmax(comp + logw[None, None, :, :], axis=-1)
+    comb = r[..., None] * u  # [N, Ts, C, K]
+
     # Gaussian sufficient statistics (MXU matmuls over the whole corpus)
     x = corpus.src
-    c0 = jnp.sum(r, axis=(0, 1)) + smoothing  # [C]
-    c1 = jnp.einsum("ntc,ntd->cd", r, x)  # [C, D]
-    c2 = jnp.einsum("ntc,ntd->cd", r, x**2)  # [C, D]
-    new_means = c1 / c0[:, None]
-    new_vars = jnp.maximum(c2 / c0[:, None] - new_means**2, var_floor)
+    c0 = jnp.sum(comb, axis=(0, 1)) + smoothing  # [C, K]
+    c1 = jnp.einsum("ntck,ntd->ckd", comb, x)
+    c2 = jnp.einsum("ntck,ntd->ckd", comb, x**2)
+    new_means = c1 / c0[..., None]
+    new_vars = jnp.maximum(c2 / c0[..., None] - new_means**2, var_floor)
+    new_log_mix = jnp.log(c0) - jnp.log(jnp.sum(c0, axis=-1, keepdims=True))
 
     # Transition jump counts (same pattern as the discrete HMM)
     width_ids = hmm_core.jump_width_ids(tt_max, params.max_jump)
@@ -168,6 +202,7 @@ def em_step(
     new_params = GaussianHMMParams(
         means=new_means.astype(params.means.dtype),
         log_vars=jnp.log(new_vars).astype(params.log_vars.dtype),
+        log_mix=new_log_mix.astype(params.log_mix.dtype),
         log_jump=jnp.log(width_counts[:W] + smoothing).astype(params.log_jump.dtype),
         log_p0=jnp.log(width_counts[W] + smoothing).astype(params.log_p0.dtype),
         max_jump=params.max_jump,
@@ -179,6 +214,16 @@ def align(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
     log_init, log_trans, log_emit = _machinery(params, corpus)
     path = hmm_core.viterbi(log_init, log_trans, log_emit, corpus.src_len)
     return hmm_core.path_to_alignment(path, corpus)
+
+
+def posteriors(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
+    log_init, log_trans, log_emit = _machinery(params, corpus)
+    alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
+    betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
+    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
+    gamma = jnp.exp(alphas + betas - logz_safe[None, :, None])
+    valid = corpus.src_mask().T[:, :, None] & hmm_core.state_mask(corpus)[None, :, :]
+    return jnp.moveaxis(jnp.where(valid, gamma, 0.0), 0, 1)
 
 
 def train(

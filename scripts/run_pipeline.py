@@ -102,8 +102,9 @@ def main():
         trg_vocab=phone_corpus.trg_vocab,
     )
 
-    # 4. Gaussian HMM EM (one jitted scan)
-    params = hmm_gaussian.init(corpus, key=jax.random.PRNGKey(0))
+    # 4. GMM-HMM EM (one jitted scan); 2 components per concept — words span
+    # several phones, so emissions are multimodal
+    params = hmm_gaussian.init(corpus, n_components=2, key=jax.random.PRNGKey(0))
     params, lls = jax.jit(lambda p: hmm_gaussian.train(p, corpus, args.iters))(params)
     jax.block_until_ready(params.means)
     lls = np.asarray(lls)

@@ -18,16 +18,42 @@ def frames():
 
 def test_concept_logdensity_matches_scipy(frames):
     fc, _ = frames
-    params = hmm_gaussian.init(fc, key=jax.random.PRNGKey(1))
+    params = hmm_gaussian.init(fc, key=jax.random.PRNGKey(1))  # K=1
     logb = np.asarray(hmm_gaussian._concept_logdensity(params, fc))
     x = np.asarray(fc.src)
-    mu = np.asarray(params.means, dtype=np.float64)
+    mu = np.asarray(params.means, dtype=np.float64)  # [C, 1, D]
     var = np.exp(np.asarray(params.log_vars, dtype=np.float64))
     for n in (0, 3):
         for t in (0, 2):
             for c in (0, 5, fc.trg_vocab - 1):
-                want = multivariate_normal.logpdf(x[n, t], mu[c], np.diag(var[c]))
+                want = multivariate_normal.logpdf(x[n, t], mu[c, 0], np.diag(var[c, 0]))
                 np.testing.assert_allclose(logb[n, t, c], want, rtol=2e-3, atol=2e-3)
+
+
+def test_gmm_logdensity_matches_scipy_mixture(frames):
+    fc, _ = frames
+    params = hmm_gaussian.init(fc, n_components=3, key=jax.random.PRNGKey(2))
+    logb = np.asarray(hmm_gaussian._concept_logdensity(params, fc))
+    x = np.asarray(fc.src)
+    mu = np.asarray(params.means, dtype=np.float64)  # [C, 3, D]
+    var = np.exp(np.asarray(params.log_vars, dtype=np.float64))
+    logw = np.asarray(jax.nn.log_softmax(params.log_mix, axis=-1), dtype=np.float64)
+    from scipy.special import logsumexp as sp_lse
+
+    for n, t, c in ((0, 1, 4), (2, 3, 9)):
+        comps = [
+            logw[c, k] + multivariate_normal.logpdf(x[n, t], mu[c, k], np.diag(var[c, k]))
+            for k in range(3)
+        ]
+        np.testing.assert_allclose(logb[n, t, c], sp_lse(comps), rtol=2e-3, atol=2e-3)
+
+
+def test_gmm_em_monotone(frames):
+    fc, _ = frames
+    params = hmm_gaussian.init(fc, n_components=2, key=jax.random.PRNGKey(3))
+    _, lls = jax.jit(lambda p: hmm_gaussian.train(p, fc, 6))(params)
+    lls = np.asarray(lls)
+    assert np.all(np.diff(lls) > -np.abs(lls[0]) * 1e-4), lls
 
 
 def test_em_monotone_loglik(frames):
@@ -40,14 +66,16 @@ def test_em_monotone_loglik(frames):
 
 
 def test_recovers_frame_alignment(frames):
+    # 2-component mixtures: words span several phones, so per-concept
+    # emissions are multimodal (K=1 plateaus ~0.68 here, K=2 reaches ~0.8)
     fc, fg = frames
-    params = hmm_gaussian.init(fc, key=jax.random.PRNGKey(0))
+    params = hmm_gaussian.init(fc, n_components=2, key=jax.random.PRNGKey(1))
     params, _ = jax.jit(lambda p: hmm_gaussian.train(p, fc, 12))(params)
     pred = np.asarray(hmm_gaussian.align(params, fc))
     sm = np.asarray(fc.src_mask())
     word_mask = sm & (fg.alignment > 0)
     acc = (pred == fg.alignment)[word_mask].mean()
-    assert acc > 0.7, acc
+    assert acc > 0.75, acc
 
 
 def test_posterior_gamma_normalized(frames):
