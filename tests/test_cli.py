@@ -24,6 +24,8 @@ def get_config():
     cfg = base_config()
     cfg.model.name = {model!r}
     cfg.data.n_utterances = 40
+    cfg.data.continuous = {continuous}
+    cfg.data.feat_dim = 8
     cfg.train.num_iterations = 4
     cfg.train.checkpoint_every = 2
     cfg.eval.retrieval = {retrieval}
@@ -31,9 +33,15 @@ def get_config():
 """
 
 
-@pytest.mark.parametrize("model", ["model1", "hmm"])
+@pytest.mark.parametrize(
+    "model", ["model1", "hmm", "hmm_gaussian", "attention", "hmm_dnn"]
+)
 def test_full_cli_pipeline(tmp_path, model, capsys):
-    cfg_path = _write_config(tmp_path, CFG_TMPL.format(model=model, retrieval=model == "model1"))
+    continuous = model in ("hmm_gaussian", "hmm_dnn")
+    cfg_path = _write_config(
+        tmp_path,
+        CFG_TMPL.format(model=model, retrieval=model == "model1", continuous=continuous),
+    )
     wd = tmp_path / "run"
     cli.cmd_train(_ns(config=cfg_path, workdir=str(wd), fresh=False, override=[]))
     assert (wd / "config.json").exists()
@@ -54,7 +62,9 @@ def test_full_cli_pipeline(tmp_path, model, capsys):
 
 
 def test_train_resumes_from_checkpoint(tmp_path, capsys):
-    cfg_path = _write_config(tmp_path, CFG_TMPL.format(model="model1", retrieval=False))
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="model1", retrieval=False, continuous=False)
+    )
     wd = tmp_path / "run"
     cli.cmd_train(_ns(config=cfg_path, workdir=str(wd), fresh=False, override=[]))
     lines1 = (wd / "train_metrics.jsonl").read_text().strip().splitlines()
