@@ -16,6 +16,37 @@ import jax
 import jax.numpy as jnp
 
 
+def table_lookup(
+    table: jax.Array,    # [F, E]
+    row_ids: jax.Array,  # [N, T]
+    col_ids: jax.Array,  # [N, K]
+) -> jax.Array:
+    """out[n,t,k] = table[row_ids[n,t], col_ids[n,k]] via MXU matmuls.
+
+    The double-gather formulation of this lookup is THE hot spot of the EM
+    step on TPU (profiled at 23 of 26 ms/iteration: 3M scalar gathers from a
+    49x61 table).  As one-hot matmuls it is two MXU contractions (~1 ms).
+    """
+    f, e = table.shape
+    rows = jnp.einsum(
+        "ntf,fe->nte", jax.nn.one_hot(row_ids, f, dtype=table.dtype), table
+    )  # [N, T, E]
+    return jnp.einsum(
+        "nte,nke->ntk", rows, jax.nn.one_hot(col_ids, e, dtype=table.dtype)
+    )
+
+
+def select_columns(values: jax.Array, col_ids: jax.Array) -> jax.Array:
+    """out[n,t,k] = values[n,t,col_ids[n,k]] as a batched MXU matmul.
+
+    values: [N, T, E]; col_ids: [N, K].  Replaces take_along_axis gathers.
+    """
+    e = values.shape[-1]
+    return jnp.einsum(
+        "nte,nke->ntk", values, jax.nn.one_hot(col_ids, e, dtype=values.dtype)
+    )
+
+
 def pair_counts(
     gamma: jax.Array,    # [N, T, K] posteriors
     row_ids: jax.Array,  # [N, T] int (e.g. phone ids); invalid rows must have

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from multimodalworddiscovery_tpu.core.counts import pair_counts
+from multimodalworddiscovery_tpu.core.counts import pair_counts, table_lookup
 from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF, masked_logsumexp
 from multimodalworddiscovery_tpu.data.corpus import Corpus
 from multimodalworddiscovery_tpu.models import hmm_core
@@ -51,9 +51,13 @@ def init(corpus: Corpus, max_jump: int = 3, dtype=jnp.float32) -> HMMParams:
 
 
 def _log_emissions(params: HMMParams, corpus: Corpus) -> jax.Array:
-    """[N, Ts, S]: log p(phone at t | state s) via table gather."""
+    """[N, Ts, S]: log p(phone at t | state s).
+
+    MXU table lookup instead of a double gather — the gather formulation was
+    profiled at 23 of 26 ms per EM iteration on TPU (core/counts.py).
+    """
     concepts = hmm_core.state_concepts(corpus)  # [N, S]
-    return params.log_emit[corpus.src[:, :, None], concepts[:, None, :]]
+    return table_lookup(params.log_emit, corpus.src, concepts)
 
 
 def _machinery(params: HMMParams, corpus: Corpus):

@@ -98,9 +98,11 @@ def _machinery(params: DnnHMMParams, corpus: Corpus):
         params.log_jump, params.log_p0, corpus, params.max_jump
     )
     log_init = hmm_core.build_log_init(params.log_p0, corpus)
+    from multimodalworddiscovery_tpu.core.counts import select_columns
+
     logb = _concept_loglik(params, corpus)
     concepts = hmm_core.state_concepts(corpus)
-    log_emit = jnp.take_along_axis(logb, concepts[:, None, :], axis=2)
+    log_emit = select_columns(logb, concepts)
     return log_init, log_trans, log_emit
 
 

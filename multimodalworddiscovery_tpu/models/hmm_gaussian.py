@@ -108,10 +108,12 @@ def _concept_logdensity(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
 
 
 def _log_emissions(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
-    """[N, Ts, S] state emission log-probs (gather by state concept id)."""
+    """[N, Ts, S] state emission log-probs (MXU column select, not a gather)."""
+    from multimodalworddiscovery_tpu.core.counts import select_columns
+
     logb = _concept_logdensity(params, corpus)  # [N, Ts, C]
     concepts = hmm_core.state_concepts(corpus)  # [N, S]
-    return jnp.take_along_axis(logb, concepts[:, None, :], axis=2)
+    return select_columns(logb, concepts)
 
 
 def _machinery(params: GaussianHMMParams, corpus: Corpus):

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from multimodalworddiscovery_tpu.core.counts import pair_counts
+from multimodalworddiscovery_tpu.core.counts import pair_counts, table_lookup
 from multimodalworddiscovery_tpu.core.logsemiring import (
     NEG_INF,
     masked_logsumexp,
@@ -60,7 +60,9 @@ def _pair_logprobs(params: Model1Params, corpus: Corpus) -> tuple[jax.Array, jax
     Returns (logp [N, Ts, 1+Tt], joint mask [N, Ts, 1+Tt]).
     """
     trg_ext, ext_mask = _extended_targets(corpus)
-    logp = params.log_t[corpus.src[:, :, None], trg_ext[:, None, :]]
+    # MXU table lookup, not a double gather (23 ms vs ~1 ms on TPU; see
+    # core/counts.py::table_lookup)
+    logp = table_lookup(params.log_t, corpus.src, trg_ext)
     mask = corpus.src_mask()[:, :, None] & ext_mask[:, None, :]
     return jnp.where(mask, logp, NEG_INF), mask
 

@@ -118,3 +118,12 @@ def test_torch_weight_conversion_roundtrip(tmp_path):
             ci += 1
     j_feat = np.transpose(np.asarray(h), (0, 3, 1, 2))
     np.testing.assert_allclose(j_feat, t_feat, rtol=1e-3, atol=1e-4)
+
+
+def test_pretrained_gating(tmp_path):
+    from multimodalworddiscovery_tpu.frontend.pretrained import checkpoint_available
+
+    assert not checkpoint_available(tmp_path)          # empty dir
+    assert not checkpoint_available(tmp_path / "no")   # missing dir
+    (tmp_path / "model.safetensors").write_bytes(b"x")
+    assert checkpoint_available(tmp_path)
