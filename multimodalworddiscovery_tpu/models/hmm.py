@@ -75,15 +75,15 @@ def loglik(params: HMMParams, corpus: Corpus) -> jax.Array:
     return jnp.sum(logz)
 
 
-def em_step(
+def expected_counts(
     params: HMMParams,
     corpus: Corpus,
-    smoothing: float = 1e-8,
     use_pallas: bool = False,
     interpret: bool = False,
-) -> tuple[HMMParams, dict[str, jax.Array]]:
-    """One batched forward-backward EM iteration (SURVEY.md §3.2 🔥 replaced).
+) -> tuple[tuple[jax.Array, jax.Array], jax.Array]:
+    """E-step only: ((emission counts [V,V], jump-width counts [W+2]), loglik).
 
+    Counts are additive across corpus shards/buckets (exact bucketed EM).
     use_pallas=True routes the E-step through the fused Pallas kernel
     (ops/hmm_fwdbwd_pallas.py): forward, backward, posteriors, and pooled
     transition counts in one kernel pass instead of three XLA scans.
@@ -148,23 +148,38 @@ def em_step(
     # here measured 28 ms on TPU vs 1.6 ms for the matmul form) ---
     concepts = hmm_core.state_concepts(corpus)  # [N, S]
     emit_counts = pair_counts(gamma_nts, corpus.src, concepts, v_src, v_trg)
+    return (emit_counts, width_counts), jnp.sum(logz)
 
-    # --- M-step ---
+
+def m_step(
+    params: HMMParams,
+    counts: tuple[jax.Array, jax.Array],
+    smoothing: float = 1e-8,
+) -> HMMParams:
+    emit_counts, width_counts = counts
     emit_counts = emit_counts + smoothing
     new_log_emit = jnp.log(emit_counts) - jnp.log(
         jnp.sum(emit_counts, axis=0, keepdims=True)
     )
     W = 2 * params.max_jump + 1
-    new_log_jump = jnp.log(width_counts[:W] + smoothing)
-    new_log_p0 = jnp.log(width_counts[W] + smoothing)
-
-    new_params = HMMParams(
+    return HMMParams(
         log_emit=new_log_emit.astype(params.log_emit.dtype),
-        log_jump=new_log_jump.astype(params.log_jump.dtype),
-        log_p0=new_log_p0.astype(params.log_p0.dtype),
+        log_jump=jnp.log(width_counts[:W] + smoothing).astype(params.log_jump.dtype),
+        log_p0=jnp.log(width_counts[W] + smoothing).astype(params.log_p0.dtype),
         max_jump=params.max_jump,
     )
-    return new_params, {"loglik": jnp.sum(logz)}
+
+
+def em_step(
+    params: HMMParams,
+    corpus: Corpus,
+    smoothing: float = 1e-8,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> tuple[HMMParams, dict[str, jax.Array]]:
+    """One batched forward-backward EM iteration (SURVEY.md §3.2 🔥 replaced)."""
+    counts, ll = expected_counts(params, corpus, use_pallas, interpret)
+    return m_step(params, counts, smoothing), {"loglik": ll}
 
 
 def align(params: HMMParams, corpus: Corpus) -> jax.Array:

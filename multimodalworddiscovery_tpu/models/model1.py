@@ -88,29 +88,42 @@ def loglik(params: Model1Params, corpus: Corpus) -> jax.Array:
     return jnp.sum(per_utt)
 
 
+def expected_counts(
+    params: Model1Params, corpus: Corpus
+) -> tuple[jax.Array, jax.Array]:
+    """E-step only: expected (phone, concept) counts + corpus loglik.
+
+    Counts are additive across corpus shards/buckets, which is what makes
+    length-bucketed and data-parallel EM exact (data/bucketing.py).
+    """
+    v_src, v_trg = params.log_t.shape
+    gamma = posteriors(params, corpus)  # [N, Ts, 1+Tt]
+    trg_ext, _ = _extended_targets(corpus)
+    # Expected counts into the (phone, concept) table as MXU one-hot matmuls
+    # (17x faster than the equivalent segment_sum scatter on TPU).
+    counts = pair_counts(gamma, corpus.src, trg_ext, v_src, v_trg)
+    return counts, loglik(params, corpus)
+
+
+def m_step(
+    params: Model1Params, counts: jax.Array, smoothing: float = 1e-8
+) -> Model1Params:
+    counts = counts + smoothing
+    totals = jnp.sum(counts, axis=0, keepdims=True)  # normalize over phones per concept
+    new_log_t = jnp.log(counts) - jnp.log(totals)
+    return Model1Params(log_t=new_log_t.astype(params.log_t.dtype))
+
+
 def em_step(
     params: Model1Params, corpus: Corpus, smoothing: float = 1e-8
 ) -> tuple[Model1Params, dict[str, jax.Array]]:
     """One full EM iteration over the corpus (E + M), jittable.
 
     Replaces the reference's `for utt in corpus` loop inside trainUsingEM
-    (SURVEY.md §3.1 🔥) with one gather, one softmax, one segment_sum.
+    (SURVEY.md §3.1 🔥) with one lookup, one softmax, two count matmuls.
     """
-    v_src, v_trg = params.log_t.shape
-    gamma = posteriors(params, corpus)  # [N, Ts, 1+Tt]
-    trg_ext, _ = _extended_targets(corpus)
-
-    # Expected counts into the (phone, concept) table as MXU one-hot matmuls
-    # (17x faster than the equivalent segment_sum scatter on TPU).
-    counts = pair_counts(gamma, corpus.src, trg_ext, v_src, v_trg)
-
-    counts = counts + smoothing
-    totals = jnp.sum(counts, axis=0, keepdims=True)  # normalize over phones per concept
-    new_log_t = jnp.log(counts) - jnp.log(totals)
-
-    new_params = Model1Params(log_t=new_log_t.astype(params.log_t.dtype))
-    stats = {"loglik": loglik(params, corpus)}
-    return new_params, stats
+    counts, ll = expected_counts(params, corpus)
+    return m_step(params, counts, smoothing), {"loglik": ll}
 
 
 def align(params: Model1Params, corpus: Corpus) -> jax.Array:

@@ -1,0 +1,52 @@
+import jax
+import numpy as np
+
+from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+from multimodalworddiscovery_tpu.data.bucketing import bucket_corpus, padding_waste
+from multimodalworddiscovery_tpu.models import bucketed, hmm, model1
+
+
+def test_bucketing_partitions_corpus():
+    corpus, _, _ = make_flickr8k_mini(n_utterances=50, seed=6)
+    buckets = bucket_corpus(corpus, [10, 16])
+    all_idx = np.concatenate([idx for _, idx in buckets])
+    assert sorted(all_idx.tolist()) == list(range(50))
+    sl = np.asarray(corpus.src_len)
+    for b, idx in buckets:
+        np.testing.assert_array_equal(np.asarray(b.src_len), sl[idx])
+        # bucket padding <= global padding
+        assert b.max_src_len <= corpus.max_src_len
+    # bucketing reduces padding waste on this corpus
+    total_waste = sum(padding_waste(b) * b.n * b.max_src_len for b, _ in buckets)
+    assert total_waste < padding_waste(corpus) * corpus.n * corpus.max_src_len
+
+
+def test_bucketed_em_matches_full_model1():
+    corpus, _, _ = make_flickr8k_mini(n_utterances=40, seed=7)
+    p_full = model1.init(corpus)
+    for _ in range(4):
+        p_full, _ = model1.em_step(p_full, corpus)
+
+    p_b, lls = bucketed.train_bucketed(model1, model1.init(corpus), corpus, [12], 4)
+    np.testing.assert_allclose(
+        np.asarray(p_b.log_t), np.asarray(p_full.log_t), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_bucketed_em_matches_full_hmm():
+    corpus, _, _ = make_flickr8k_mini(n_utterances=30, seed=8)
+    p_full = hmm.init(corpus)
+    lls_full = []
+    for _ in range(3):
+        p_full, s = hmm.em_step(p_full, corpus)
+        lls_full.append(float(s["loglik"]))
+
+    p_b, lls_b = bucketed.train_bucketed(hmm, hmm.init(corpus), corpus, [12], 3)
+    np.testing.assert_allclose(lls_b, lls_full, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(p_b.log_emit), np.asarray(p_full.log_emit), rtol=1e-3, atol=1e-3
+    )
+    # bucketed decode matches full decode
+    a_full = np.asarray(hmm.align(p_full, corpus))
+    a_b = bucketed.align_bucketed(hmm, p_b, corpus, [12])
+    assert (a_full == a_b).mean() > 0.999
