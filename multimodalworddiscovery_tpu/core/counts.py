@@ -27,12 +27,18 @@ def table_lookup(
     step on TPU (profiled at 23 of 26 ms/iteration: 3M scalar gathers from a
     49x61 table).  As one-hot matmuls it is two MXU contractions (~1 ms).
     """
+    # HIGHEST: each output is a single-term one-hot sum, so full precision
+    # reproduces the table value EXACTLY (gather-equivalent bits); default
+    # bf16 rounding would perturb log-probs by ~0.4%.
+    hi = jax.lax.Precision.HIGHEST
     f, e = table.shape
     rows = jnp.einsum(
-        "ntf,fe->nte", jax.nn.one_hot(row_ids, f, dtype=table.dtype), table
+        "ntf,fe->nte", jax.nn.one_hot(row_ids, f, dtype=table.dtype), table,
+        precision=hi,
     )  # [N, T, E]
     return jnp.einsum(
-        "nte,nke->ntk", rows, jax.nn.one_hot(col_ids, e, dtype=table.dtype)
+        "nte,nke->ntk", rows, jax.nn.one_hot(col_ids, e, dtype=table.dtype),
+        precision=hi,
     )
 
 
@@ -43,7 +49,8 @@ def select_columns(values: jax.Array, col_ids: jax.Array) -> jax.Array:
     """
     e = values.shape[-1]
     return jnp.einsum(
-        "nte,nke->ntk", values, jax.nn.one_hot(col_ids, e, dtype=values.dtype)
+        "nte,nke->ntk", values, jax.nn.one_hot(col_ids, e, dtype=values.dtype),
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

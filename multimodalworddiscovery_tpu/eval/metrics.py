@@ -97,18 +97,10 @@ def word_iou(
     best_per_pred = jnp.max(iou_c, axis=2)  # [N, Sp]
     hit_pred = jnp.sum((best_per_pred >= iou_threshold) & pred_mask)
     n_pred = jnp.sum(pred_mask)
-    prf = _prf(
-        # symmetrized tp: average of both directions to keep P<=1, R<=1
-        0.5 * (hit_pred + hit_gold).astype(jnp.float32),
-        n_pred.astype(jnp.float32),
-        n_gold.astype(jnp.float32),
-    )
-    # use direction-correct precision/recall instead of the symmetrized tp:
-    prf["precision"] = _safe_div(hit_pred.astype(jnp.float32), n_pred.astype(jnp.float32))
-    prf["recall"] = _safe_div(hit_gold.astype(jnp.float32), n_gold.astype(jnp.float32))
-    p, r = prf["precision"], prf["recall"]
-    prf["f1"] = jnp.where(p + r > 0, 2 * p * r / jnp.maximum(p + r, 1e-12), 0.0)
-    return {"mean_iou": mean_iou, **prf}
+    p = _safe_div(hit_pred.astype(jnp.float32), n_pred.astype(jnp.float32))
+    r = _safe_div(hit_gold.astype(jnp.float32), n_gold.astype(jnp.float32))
+    f1 = jnp.where(p + r > 0, 2 * p * r / jnp.maximum(p + r, 1e-12), 0.0)
+    return {"mean_iou": mean_iou, "precision": p, "recall": r, "f1": f1}
 
 
 @functools.partial(jax.jit, static_argnames=("tolerance",))
