@@ -288,6 +288,38 @@ def cmd_discover(args) -> None:
         print(json.dumps(results, indent=2))
 
 
+def cmd_lexicon(args) -> None:
+    """Dump the discovered lexicon: for each concept, the most frequent
+    phone sequences among its discovered word segments (the human-readable
+    payoff of word discovery; reference printModel-style dump)."""
+    from collections import Counter, defaultdict
+
+    workdir = Path(args.workdir)
+    cfg, corpus, gold, mod, params = _restore(workdir)
+    alignment = jax.jit(mod.align)(params, corpus)
+    segs, mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
+    host_segs = segments_to_host(segs, mask)
+    src = np.asarray(corpus.src)
+
+    by_concept: dict[int, Counter] = defaultdict(Counter)
+    for i, utt_segs in enumerate(host_segs):
+        for s, e, c in utt_segs:
+            word = " ".join(str(int(p)) for p in src[i, s:e])
+            by_concept[c][word] += 1
+
+    out = {}
+    for c in sorted(by_concept):
+        out[str(c)] = [
+            {"phones": w, "count": n} for w, n in by_concept[c].most_common(args.top_k)
+        ]
+    path = Path(args.output or workdir / "lexicon.json")
+    path.write_text(json.dumps(out, indent=1))
+    for c in sorted(by_concept)[:15]:
+        tops = ", ".join(f"[{w}]x{n}" for w, n in by_concept[c].most_common(3))
+        print(f"concept {c:4d}: {tops}")
+    print(f"wrote {path}")
+
+
 def cmd_plot(args) -> None:
     from multimodalworddiscovery_tpu.utils.plotting import (
         plot_alignment_matrix,
@@ -345,6 +377,12 @@ def main() -> None:
     p_disc.add_argument("--output", default=None)
     p_disc.add_argument("--override", nargs="*", default=[])
     p_disc.set_defaults(fn=cmd_discover)
+
+    p_lex = sub.add_parser("lexicon", help="dump the discovered concept->word lexicon")
+    p_lex.add_argument("--workdir", required=True)
+    p_lex.add_argument("--top-k", type=int, default=5)
+    p_lex.add_argument("--output", default=None)
+    p_lex.set_defaults(fn=cmd_lexicon)
 
     p_plot = sub.add_parser("plot", help="plot alignments/segmentations for inspection")
     p_plot.add_argument("--workdir", required=True)

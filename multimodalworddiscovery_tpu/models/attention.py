@@ -124,6 +124,11 @@ class AttentionParams:
     step: jax.Array
     dim: int = struct.field(pytree_node=False, default=128)
     learning_rate: float = struct.field(pytree_node=False, default=3e-4)
+    # penalty on the entropy of column-normalized cross-attention: pushes each
+    # source position to commit to one concept, sharpening the alignments the
+    # reference reads off the attention matrix (0 = plain CE, the reference's
+    # objective)
+    entropy_weight: float = struct.field(pytree_node=False, default=0.0)
 
 
 def _module(corpus: Corpus, dim: int = 128) -> AttentionAligner:
@@ -145,7 +150,13 @@ def _inputs(corpus: Corpus):
     return corpus.src, corpus.src_mask(), trg_in, corpus.trg_mask()
 
 
-def init(corpus: Corpus, dim: int = 128, learning_rate: float = 3e-4, key=None) -> AttentionParams:
+def init(
+    corpus: Corpus,
+    dim: int = 128,
+    learning_rate: float = 3e-4,
+    entropy_weight: float = 0.0,
+    key=None,
+) -> AttentionParams:
     if key is None:
         key = jax.random.PRNGKey(0)
     mod = _module(corpus, dim)
@@ -158,15 +169,25 @@ def init(corpus: Corpus, dim: int = 128, learning_rate: float = 3e-4, key=None) 
         step=jnp.zeros((), jnp.int32),
         dim=dim,
         learning_rate=learning_rate,
+        entropy_weight=entropy_weight,
     )
 
 
-def _loss_fn(params, mod, src, src_mask, trg_in, trg_mask, trg):
-    logits, _ = mod.apply(params, src, src_mask, trg_in, trg_mask)
+def _loss_fn(params, mod, src, src_mask, trg_in, trg_mask, trg, entropy_weight=0.0):
+    logits, attn = mod.apply(params, src, src_mask, trg_in, trg_mask)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, trg[..., None], axis=-1)[..., 0]
     nll = jnp.where(trg_mask, nll, 0.0)
-    return jnp.sum(nll) / jnp.maximum(jnp.sum(trg_mask), 1)
+    loss = jnp.sum(nll) / jnp.maximum(jnp.sum(trg_mask), 1)
+    if entropy_weight:
+        # column-normalized attention over valid decoder rows; entropy per
+        # valid source position
+        attn = jnp.where(trg_mask[:, :, None], attn, 0.0)
+        col = attn / jnp.maximum(jnp.sum(attn, axis=1, keepdims=True), 1e-9)
+        ent = -jnp.sum(col * jnp.log(col + 1e-9), axis=1)  # [N, Ts]
+        ent = jnp.where(src_mask, ent, 0.0)
+        loss = loss + entropy_weight * jnp.sum(ent) / jnp.maximum(jnp.sum(src_mask), 1)
+    return loss
 
 
 def em_step(state: AttentionParams, corpus: Corpus) -> tuple[AttentionParams, dict]:
@@ -174,7 +195,8 @@ def em_step(state: AttentionParams, corpus: Corpus) -> tuple[AttentionParams, di
     mod = _module(corpus, state.dim)
     src, src_mask, trg_in, trg_mask = _inputs(corpus)
     loss, grads = jax.value_and_grad(_loss_fn)(
-        state.params, mod, src, src_mask, trg_in, trg_mask, corpus.trg
+        state.params, mod, src, src_mask, trg_in, trg_mask, corpus.trg,
+        state.entropy_weight,
     )
     updates, opt_state = _optimizer(state.learning_rate).update(
         grads, state.opt_state, state.params
@@ -186,6 +208,7 @@ def em_step(state: AttentionParams, corpus: Corpus) -> tuple[AttentionParams, di
         step=state.step + 1,
         dim=state.dim,
         learning_rate=state.learning_rate,
+        entropy_weight=state.entropy_weight,
     )
     ntok = jnp.sum(trg_mask)
     return new_state, {"loglik": -loss * ntok, "loss": loss}

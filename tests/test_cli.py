@@ -117,3 +117,21 @@ def test_cmd_discover(tmp_path, capsys):
     assert len(recs) == 20 and "segments" in recs[0]
     metrics = json.loads((wd / "metrics.json").read_text())
     assert 0 <= metrics["boundary"]["f1"] <= 1
+
+
+def test_cmd_lexicon(tmp_path, capsys):
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="hmm", retrieval=False, continuous=False)
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(_ns(config=cfg_path, workdir=str(wd), fresh=False,
+                      override=["train.num_iterations=10"]))
+    cli.cmd_lexicon(_ns(workdir=str(wd), top_k=3, output=None))
+    lex = json.loads((wd / "lexicon.json").read_text())
+    assert len(lex) > 5
+    # entries look like phone strings with counts
+    first = next(iter(lex.values()))[0]
+    assert "phones" in first and first["count"] >= 1
+    # with a trained HMM, the dominant entry per concept should repeat
+    repeated = sum(1 for v in lex.values() if v and v[0]["count"] >= 2)
+    assert repeated > len(lex) // 2
