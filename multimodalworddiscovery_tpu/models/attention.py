@@ -125,9 +125,10 @@ class AttentionParams:
     dim: int = struct.field(pytree_node=False, default=128)
     learning_rate: float = struct.field(pytree_node=False, default=3e-4)
     # penalty on the entropy of column-normalized cross-attention: pushes each
-    # source position to commit to one concept, sharpening the alignments the
-    # reference reads off the attention matrix (0 = plain CE, the reference's
-    # objective)
+    # source position to commit to one concept (0 = plain CE, the reference's
+    # objective).  Measured on the synthetic corpus it HURTS alignment
+    # accuracy (0.476 -> 0.347 as lambda goes 0 -> 1: premature sharpening
+    # locks in wrong commitments), so it stays off by default.
     entropy_weight: float = struct.field(pytree_node=False, default=0.0)
 
 
