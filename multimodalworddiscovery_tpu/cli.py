@@ -126,6 +126,25 @@ def cmd_train(args) -> None:
     corpus, _ = _load_data(cfg)
     mod, params, step = _make_model(cfg, corpus)
 
+    edges = [int(e) for e in str(cfg.train.get("bucket_edges", "")).split(",") if e.strip()]
+    if edges and cfg.model.name in ("model1", "hmm"):
+        from multimodalworddiscovery_tpu.models.bucketed import train_bucketed
+
+        ckpt = CheckpointManager(workdir / "ckpt")
+        writer = MetricsWriter(workdir / "train_metrics.jsonl")
+        t0 = time.perf_counter()
+        params, lls = train_bucketed(
+            mod, params, corpus, edges, cfg.train.num_iterations
+        )
+        dt = time.perf_counter() - t0
+        for it, ll in enumerate(lls):
+            writer.write(it, loglik=ll)
+            print(f"iter {it:4d}  loglik {ll:.2f}")
+        ckpt.save(cfg.train.num_iterations - 1, params)
+        ckpt.close()
+        print(f"bucketed EM ({len(edges) + 1} buckets) in {dt:.2f}s")
+        return
+
     if cfg.train.data_parallel:
         mesh = make_mesh()
         corpus = shard_corpus(corpus, mesh)

@@ -44,6 +44,9 @@ def base_config() -> ConfigDict:
     cfg.train.num_iterations = 20
     cfg.train.checkpoint_every = 10
     cfg.train.data_parallel = False  # shard corpus over all devices
+    # comma-separated src-length bucket edges ("" = no bucketing); exact
+    # bucketed EM for model1/hmm (models/bucketed.py)
+    cfg.train.bucket_edges = ""
 
     cfg.eval = ConfigDict()
     cfg.eval.boundary_tolerance = 1

@@ -135,3 +135,20 @@ def test_cmd_lexicon(tmp_path, capsys):
     # with a trained HMM, the dominant entry per concept should repeat
     repeated = sum(1 for v in lex.values() if v and v[0]["count"] >= 2)
     assert repeated > len(lex) // 2
+
+
+def test_train_bucketed_cli(tmp_path, capsys):
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="hmm", retrieval=False, continuous=False)
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(
+        _ns(config=cfg_path, workdir=str(wd), fresh=False,
+            override=["train.bucket_edges=12"])
+    )
+    out = capsys.readouterr().out
+    assert "bucketed EM (2 buckets)" in out
+    # downstream commands work off the bucketed checkpoint
+    cli.cmd_evaluate(_ns(workdir=str(wd), output=None))
+    metrics = json.loads((wd / "metrics.json").read_text())
+    assert metrics["alignment"]["f1"] > 0.5
