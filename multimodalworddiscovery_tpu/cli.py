@@ -307,6 +307,24 @@ def cmd_discover(args) -> None:
         print(json.dumps(results, indent=2))
 
 
+def cmd_export(args) -> None:
+    """Export trained model parameters as a plain .npz (the reference's
+    printModel-style artifact: inspectable tables, no orbax needed)."""
+    workdir = Path(args.workdir)
+    cfg, corpus, _, mod, params = _restore(workdir)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {}
+    for path, leaf in flat:
+        key = "/".join(
+            getattr(p, "name", None) or str(getattr(p, "key", getattr(p, "idx", p)))
+            for p in path
+        )
+        arrays[key] = np.asarray(leaf)
+    out = Path(args.output or workdir / "model.npz")
+    np.savez(out, **arrays)
+    print(f"wrote {out}: " + ", ".join(f"{k}{v.shape}" for k, v in list(arrays.items())[:6]))
+
+
 def cmd_lexicon(args) -> None:
     """Dump the discovered lexicon: for each concept, the most frequent
     phone sequences among its discovered word segments (the human-readable
@@ -396,6 +414,11 @@ def main() -> None:
     p_disc.add_argument("--output", default=None)
     p_disc.add_argument("--override", nargs="*", default=[])
     p_disc.set_defaults(fn=cmd_discover)
+
+    p_exp = sub.add_parser("export", help="export model params as plain .npz")
+    p_exp.add_argument("--workdir", required=True)
+    p_exp.add_argument("--output", default=None)
+    p_exp.set_defaults(fn=cmd_export)
 
     p_lex = sub.add_parser("lexicon", help="dump the discovered concept->word lexicon")
     p_lex.add_argument("--workdir", required=True)

@@ -152,3 +152,18 @@ def test_train_bucketed_cli(tmp_path, capsys):
     cli.cmd_evaluate(_ns(workdir=str(wd), output=None))
     metrics = json.loads((wd / "metrics.json").read_text())
     assert metrics["alignment"]["f1"] > 0.5
+
+
+def test_cmd_export(tmp_path, capsys):
+    import numpy as np
+
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="hmm", retrieval=False, continuous=False)
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(_ns(config=cfg_path, workdir=str(wd), fresh=False, override=[]))
+    cli.cmd_export(_ns(workdir=str(wd), output=None))
+    with np.load(wd / "model.npz") as z:
+        keys = list(z.files)
+        assert any("log_emit" in k for k in keys), keys
+        assert any("log_jump" in k for k in keys), keys
