@@ -107,12 +107,13 @@ def _load_workdir_config(workdir: Path):
 
     def merge(node, d):
         for k, v in d.items():
-            if isinstance(v, dict):
+            if isinstance(v, dict) and hasattr(node, k):
                 merge(getattr(node, k), v)
             else:
                 setattr(node, k, v)
 
-    merge(cfg, saved)
+    with cfg.unlocked():  # custom config files may carry extra keys
+        merge(cfg, saved)
     return cfg
 
 
