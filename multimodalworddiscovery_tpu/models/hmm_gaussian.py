@@ -135,7 +135,12 @@ def em_step(
     corpus: Corpus,
     smoothing: float = 1e-6,
     var_floor: float = 1e-4,
+    var_floor_rel: float = 1e-3,
 ) -> tuple[GaussianHMMParams, dict[str, jax.Array]]:
+    """One EM iteration.  Variances are floored at
+    max(var_floor, var_floor_rel * global feature variance) per dimension —
+    near-noiseless data otherwise collapses components onto single frames
+    (observed on synthetic tones: log-likelihood exploding to +5e9)."""
     v_trg, n_comp, feat_d = params.means.shape
     n, ts = corpus.src.shape[:2]
     tt_max = corpus.max_trg_len
@@ -169,7 +174,13 @@ def em_step(
     c1 = jnp.einsum("ntck,ntd->ckd", comb, x)
     c2 = jnp.einsum("ntck,ntd->ckd", comb, x**2)
     new_means = c1 / c0[..., None]
-    new_vars = jnp.maximum(c2 / c0[..., None] - new_means**2, var_floor)
+    # per-dimension relative floor from the global feature variance
+    w_feat = tmask.astype(x.dtype)[..., None]
+    tot = jnp.maximum(jnp.sum(w_feat), 1.0)
+    gmean = jnp.sum(x * w_feat, axis=(0, 1)) / tot
+    gvar = jnp.sum((x - gmean) ** 2 * w_feat, axis=(0, 1)) / tot  # [D]
+    floor = jnp.maximum(var_floor, var_floor_rel * gvar)[None, None, :]
+    new_vars = jnp.maximum(c2 / c0[..., None] - new_means**2, floor)
     new_log_mix = jnp.log(c0) - jnp.log(jnp.sum(c0, axis=-1, keepdims=True))
 
     # Transition jump counts (same pattern as the discrete HMM)

@@ -167,3 +167,32 @@ def test_cmd_export(tmp_path, capsys):
         keys = list(z.files)
         assert any("log_emit" in k for k in keys), keys
         assert any("log_jump" in k for k in keys), keys
+
+
+def test_train_from_disk_corpus(tmp_path):
+    """disk data.source end-to-end: save a corpus, train + evaluate off it."""
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.data.io import save_corpus
+
+    corpus, gold, _ = make_flickr8k_mini(n_utterances=25, seed=13)
+    data_dir = tmp_path / "data"
+    save_corpus(corpus, gold, data_dir, "mini")
+
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from multimodalworddiscovery_tpu.core.config import base_config\n"
+        "def get_config():\n"
+        "    c = base_config()\n"
+        "    c.model.name = 'hmm'\n"
+        f"    c.data.source = 'disk'\n"
+        f"    c.data.dir = {str(data_dir)!r}\n"
+        "    c.data.name = 'mini'\n"
+        "    c.train.num_iterations = 8\n"
+        "    c.eval.retrieval = False\n"
+        "    return c\n"
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(_ns(config=str(cfg), workdir=str(wd), fresh=False, override=[]))
+    cli.cmd_evaluate(_ns(workdir=str(wd), output=None))
+    metrics = json.loads((wd / "metrics.json").read_text())
+    assert metrics["alignment"]["f1"] > 0.6, metrics
