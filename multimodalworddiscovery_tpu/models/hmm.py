@@ -98,6 +98,17 @@ def expected_counts(
     w_total = 2 * params.max_jump + 3  # W jumps + p0 slot + impossible slot
 
     if use_pallas:
+        from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
+            estep_fits_vmem,
+            hmm_estep_pallas,
+        )
+
+        if not interpret and not estep_fits_vmem(ts, s):
+            # whole-block-resident kernel would OOM VMEM at this Ts*S;
+            # the XLA scan path below handles any size
+            use_pallas = False
+
+    if use_pallas:
         from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import hmm_estep_pallas
 
         gamma_nts, xi_pooled, logz = hmm_estep_pallas(

@@ -38,6 +38,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def estep_vmem_bytes(ts: int, s: int, block_n: int = 128) -> int:
+    """Rough VMEM footprint of one kernel block (with double buffering):
+    emit in (x2) + gamma out (x2) + alphas scratch + trans (x2) + misc."""
+    s_pad = _round_up(s, 8)
+    big = ts * s_pad * block_n * 4
+    trans = s_pad * s_pad * block_n * 4
+    return 2 * big + 2 * big + big + 2 * trans
+
+
+def estep_fits_vmem(ts: int, s: int, block_n: int = 128, budget: int = 14 << 20) -> bool:
+    """Whether the whole-block-resident kernel fits VMEM.
+
+    The kernel keeps emissions, alphas, and the gamma output block resident;
+    at large Ts*S it exceeds the ~16 MB VMEM (observed OOM at Ts=124, S=64).
+    Callers (hmm.em_step) fall back to the XLA scan path, which is equally
+    fast at small S anyway (docs/PERFORMANCE.md).
+    """
+    return estep_vmem_bytes(ts, s, block_n) <= budget
+
+
 def _kernel(
     init_ref,   # [S, BN]
     trans_ref,  # [S, S, BN]

@@ -92,3 +92,47 @@ def test_posterior_gamma_normalized(frames):
     for i in range(0, fc.n, 7):
         for t in range(0, sl[i], 5):
             np.testing.assert_allclose(gamma[t, i].sum(), 1.0, rtol=1e-3)
+
+
+def test_em_matches_numpy_oracle(frames):
+    from multimodalworddiscovery_tpu.oracles.numpy_hmm_gaussian import NumpyGaussianHMM
+
+    fc, _ = frames
+    # small slice for the per-utterance O(T S^2) oracle
+    import jax.numpy as jnp
+    from multimodalworddiscovery_tpu.data.corpus import Corpus
+
+    n = 12
+    sub = Corpus(
+        src=fc.src[:n], src_len=fc.src_len[:n], trg=fc.trg[:n], trg_len=fc.trg_len[:n],
+        src_vocab=0, trg_vocab=fc.trg_vocab,
+    )
+    x = np.asarray(sub.src); sl = np.asarray(sub.src_len)
+    trg = np.asarray(sub.trg); tl = np.asarray(sub.trg_len)
+    feat_seqs = [x[i, : sl[i]] for i in range(n)]
+    trg_seqs = [trg[i, : tl[i]] for i in range(n)]
+
+    params = hmm_gaussian.init(sub, n_components=2, key=jax.random.PRNGKey(0))
+    oracle = NumpyGaussianHMM(feat_seqs, trg_seqs, sub.trg_vocab, n_components=2)
+    oracle.set_params(
+        np.asarray(params.means), np.asarray(params.log_vars),
+        np.asarray(params.log_mix), np.asarray(params.log_jump),
+        float(params.log_p0),
+    )
+
+    np.testing.assert_allclose(
+        float(hmm_gaussian.loglik(params, sub)), oracle.loglik(), rtol=1e-4
+    )
+    for it in range(2):
+        oracle_ll = oracle.em_iteration()
+        params, stats = jax.jit(hmm_gaussian.em_step)(params, sub)
+        np.testing.assert_allclose(float(stats["loglik"]), oracle_ll, rtol=1e-4,
+                                   err_msg=f"iter {it}")
+        np.testing.assert_allclose(
+            np.asarray(params.means, np.float64), oracle.means, rtol=5e-3, atol=5e-3,
+            err_msg=f"means iter {it}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(params.log_jump, np.float64), oracle.log_jump, rtol=5e-3, atol=5e-3,
+            err_msg=f"jump iter {it}",
+        )
