@@ -321,6 +321,41 @@ def cmd_discover(args) -> None:
         print(json.dumps(results, indent=2))
 
 
+def cmd_preprocess(args) -> None:
+    """Build a corpus directory from public dataset artifacts
+    (reference preprocessing scripts, SURVEY.md §2 C4/C13)."""
+    from multimodalworddiscovery_tpu.data.io import save_corpus
+
+    if args.dataset == "flickr8k":
+        from multimodalworddiscovery_tpu.data import flickr8k
+
+        corpus, gold, meta = flickr8k.build_corpus(
+            args.captions, args.lexicon, args.concepts
+        )
+    elif args.dataset == "mscoco":
+        from multimodalworddiscovery_tpu.data import mscoco
+
+        corpus, gold, meta = mscoco.build_corpus(
+            args.instances, args.captions, args.lexicon
+        )
+    else:
+        raise SystemExit(f"unknown dataset {args.dataset!r}")
+
+    out = Path(args.output)
+    save_corpus(corpus, gold, out, args.name)
+    (out / f"{args.name}_vocab.json").write_text(
+        json.dumps(
+            {"phones": meta["phone_vocab"], "concepts": meta["concept_vocab"],
+             "utterance_ids": meta["utterance_ids"]},
+            indent=1,
+        )
+    )
+    print(
+        f"wrote {out}/{args.name}_*: {corpus.n} utterances, "
+        f"{corpus.src_vocab - 1} phones, {corpus.trg_vocab - 1} concepts"
+    )
+
+
 def cmd_export(args) -> None:
     """Export trained model parameters as a plain .npz (the reference's
     printModel-style artifact: inspectable tables, no orbax needed)."""
@@ -428,6 +463,16 @@ def main() -> None:
     p_disc.add_argument("--output", default=None)
     p_disc.add_argument("--override", nargs="*", default=[])
     p_disc.set_defaults(fn=cmd_discover)
+
+    p_pre = sub.add_parser("preprocess", help="build a corpus dir from public dataset files")
+    p_pre.add_argument("--dataset", choices=["flickr8k", "mscoco"], required=True)
+    p_pre.add_argument("--captions", required=True, help="Flickr8k.token.txt / captions json")
+    p_pre.add_argument("--lexicon", required=True, help="word -> phones dictionary")
+    p_pre.add_argument("--concepts", default=None, help="per-image concepts (flickr8k)")
+    p_pre.add_argument("--instances", default=None, help="COCO instances json (mscoco)")
+    p_pre.add_argument("--output", required=True)
+    p_pre.add_argument("--name", default="corpus")
+    p_pre.set_defaults(fn=cmd_preprocess)
 
     p_exp = sub.add_parser("export", help="export model params as plain .npz")
     p_exp.add_argument("--workdir", required=True)

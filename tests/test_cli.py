@@ -210,3 +210,42 @@ def test_guided_attention_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "attention will be guided" in out
     cli.cmd_evaluate(_ns(workdir=str(wd), output=None))
+
+
+def test_cmd_preprocess_flickr8k(tmp_path, capsys):
+    (tmp_path / "Flickr8k.token.txt").write_text(
+        "1.jpg#0\tA dog chases the ball\n2.jpg#0\tA cat sits on grass\n"
+    )
+    (tmp_path / "lexicon.txt").write_text(
+        "a AH\ndog D AO G\nchases CH EY S\nthe DH AH\nball B AO L\n"
+        "cat K AE T\nsits S IH T S\non AA N\ngrass G R AE S\n"
+    )
+    (tmp_path / "concepts.txt").write_text("1.jpg dog ball\n2.jpg cat grass\n")
+    out = tmp_path / "corpus"
+    cli.cmd_preprocess(
+        _ns(dataset="flickr8k", captions=str(tmp_path / "Flickr8k.token.txt"),
+            lexicon=str(tmp_path / "lexicon.txt"),
+            concepts=str(tmp_path / "concepts.txt"),
+            instances=None, output=str(out), name="f8k")
+    )
+    assert (out / "f8k_src.txt").exists()
+    assert (out / "f8k_gold.json").exists()
+    vocab = json.loads((out / "f8k_vocab.json").read_text())
+    assert "dog" in vocab["concepts"]
+
+    # ...and the produced directory trains end-to-end
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from multimodalworddiscovery_tpu.core.config import base_config\n"
+        "def get_config():\n"
+        "    c = base_config()\n"
+        "    c.data.source = 'disk'\n"
+        f"    c.data.dir = {str(out)!r}\n"
+        "    c.data.name = 'f8k'\n"
+        "    c.train.num_iterations = 3\n"
+        "    c.eval.retrieval = False\n"
+        "    return c\n"
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(_ns(config=str(cfg), workdir=str(wd), fresh=False, override=[]))
+    cli.cmd_evaluate(_ns(workdir=str(wd), output=None))

@@ -69,3 +69,17 @@ def test_cmvn_zero_mean_unit_var(wavs):
         np.testing.assert_allclose(v.var(0), 1.0, rtol=1e-2)
     # padding stays zero
     assert np.all(normed[1, flens[1] :] == 0)
+
+
+def test_wav_roundtrip(tmp_path):
+    from multimodalworddiscovery_tpu.utils.audio import read_wav, write_wav
+
+    rng = np.random.default_rng(0)
+    wav = (0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)).astype(np.float32)
+    write_wav(tmp_path / "a.wav", wav, 16000)
+    back = read_wav(tmp_path / "a.wav")
+    assert back.dtype == np.float32 and len(back) == 8000
+    np.testing.assert_allclose(back, wav, atol=2e-3)
+    # resampling path
+    half = read_wav(tmp_path / "a.wav", target_rate=8000)
+    assert len(half) == 4000
