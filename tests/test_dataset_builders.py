@@ -122,3 +122,64 @@ def test_speechcoco_builder(coco_files):
     assert corpus.n == 2
     assert corpus.src.ndim == 3 and corpus.src.shape[-1] == 13
     assert np.asarray(corpus.src_len)[0] == (4000 - 400) // 160 + 1
+
+
+def test_flickr30k_entities_parser(tmp_path):
+    from multimodalworddiscovery_tpu.data import flickr30k_entities as f30k
+
+    tokens, spans = f30k.parse_sentence(
+        "[/EN#40331/people A young woman] looks at [/EN#40332/other a book] quietly ."
+    )
+    assert tokens == ["a", "young", "woman", "looks", "at", "a", "book", "quietly"]
+    assert spans == [(0, 3, "40331", "people"), (5, 7, "40332", "other")]
+
+    # non-visual EN#0 is dropped from spans
+    t2, s2 = f30k.parse_sentence("[/EN#0/notvisible Nothing] here")
+    assert t2 == ["nothing", "here"] and s2 == []
+
+
+def test_flickr30k_entities_corpus(tmp_path):
+    from multimodalworddiscovery_tpu.data import flickr30k_entities as f30k
+
+    d = tmp_path / "Sentences"
+    d.mkdir()
+    (d / "100.txt").write_text(
+        "[/EN#1/people A man] rides [/EN#2/vehicles a red bike]\n"
+        "[/EN#1/people The man] sits\n"
+    )
+    (d / "200.txt").write_text("[/EN#3/animals A dog] chases [/EN#4/other a ball]\n")
+    (tmp_path / "lex.txt").write_text(
+        "a AH\nman M AE N\nrides R AY D Z\nred R EH D\nbike B AY K\n"
+        "the DH AH\nsits S IH T S\ndog D AO G\nchases CH EY S\nball B AO L\n"
+    )
+    corpus, gold, meta = f30k.build_corpus(d, tmp_path / "lex.txt")
+    assert corpus.n == 3
+    # utt 0: "a man" -> people (positions 1..4 phones), "a red bike" -> vehicles
+    import numpy as np
+
+    sl = np.asarray(corpus.src_len)
+    a0 = gold.alignment[0, : sl[0]]
+    cv = meta["concept_vocab"]
+    assert "people" in cv and "vehicles" in cv
+    # first 4 phones (a man) aligned to people's trg position
+    assert a0[0] == a0[3] and a0[0] > 0
+    # multiword mention merged into ONE gold segment
+    segs0 = gold.segments[0]
+    assert len(segs0) == 2
+    # "a red bike" = AH + R EH D + B AY K = 7 phones
+    assert segs0[1][1] - segs0[1][0] == 7
+
+
+def test_flickr30k_boxes(tmp_path):
+    from multimodalworddiscovery_tpu.data import flickr30k_entities as f30k
+
+    (tmp_path / "100.xml").write_text(
+        "<annotation><size><width>200</width><height>100</height></size>"
+        "<object><name>1</name><bndbox><xmin>20</xmin><ymin>10</ymin>"
+        "<xmax>120</xmax><ymax>60</ymax></bndbox></object>"
+        "<object><name>1</name><name>2</name><bndbox><xmin>0</xmin><ymin>0</ymin>"
+        "<xmax>200</xmax><ymax>100</ymax></bndbox></object></annotation>"
+    )
+    boxes = f30k.parse_boxes(tmp_path / "100.xml")
+    assert len(boxes["1"]) == 2 and len(boxes["2"]) == 1
+    np.testing.assert_allclose(boxes["1"][0], [0.1, 0.1, 0.6, 0.6])
