@@ -97,12 +97,22 @@ def expected_counts(
     length-bucketed and data-parallel EM exact (data/bucketing.py).
     """
     v_src, v_trg = params.log_t.shape
-    gamma = posteriors(params, corpus)  # [N, Ts, 1+Tt]
+    # one _pair_logprobs lookup serves both the posteriors and the loglik
+    logp, mask = _pair_logprobs(params, corpus)
+    lse = masked_logsumexp(logp, axis=-1, keepdims=True)
+    lse_safe = jnp.where(lse > NEG_INF / 2, lse, 0.0)
+    gamma = jnp.where(mask, jnp.exp(logp - lse_safe), 0.0)  # [N, Ts, 1+Tt]
+
+    src_mask = corpus.src_mask()
+    prior = -jnp.log1p(corpus.trg_len.astype(logp.dtype))
+    per_utt = jnp.sum(jnp.where(src_mask, lse[..., 0], 0.0), axis=1)
+    ll = jnp.sum(per_utt + corpus.src_len.astype(logp.dtype) * prior)
+
     trg_ext, _ = _extended_targets(corpus)
     # Expected counts into the (phone, concept) table as MXU one-hot matmuls
     # (17x faster than the equivalent segment_sum scatter on TPU).
     counts = pair_counts(gamma, corpus.src, trg_ext, v_src, v_trg)
-    return counts, loglik(params, corpus)
+    return counts, ll
 
 
 def m_step(
