@@ -321,6 +321,44 @@ def cmd_discover(args) -> None:
         print(json.dumps(results, indent=2))
 
 
+def cmd_retrieve(args) -> None:
+    """Cross-modal retrieval: rank images for every caption (and captions for
+    every image) by alignment score; dump top-k + recall metrics
+    (reference retrieval scripts, SURVEY.md §3.5)."""
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        recall_at_k,
+        retrieval_scores_hmm,
+        retrieval_scores_model1,
+    )
+
+    workdir = Path(args.workdir)
+    cfg, corpus, _, mod, params = _restore(workdir)
+    if cfg.model.name == "model1":
+        scores = retrieval_scores_model1(params, corpus)
+    elif cfg.model.name == "hmm":
+        scores = retrieval_scores_hmm(params, corpus)
+    elif cfg.model.name == "grounding":
+        scores = mod.retrieval_scores(params, corpus)
+    else:
+        raise SystemExit(f"retrieval not supported for model {cfg.model.name!r}")
+
+    s = np.asarray(scores)
+    top = np.argsort(-s, axis=1)[:, : args.top_k]
+    recs = [
+        {"caption": i, "top_images": top[i].tolist(),
+         "scores": [round(float(s[i, j]), 3) for j in top[i]]}
+        for i in range(s.shape[0])
+    ]
+    out = Path(args.output or workdir / "retrieval.json")
+    out.write_text(json.dumps({
+        "recall": {k: float(v) for k, v in recall_at_k(scores).items()},
+        "rankings": recs,
+    }, indent=1))
+    metrics = {k: round(float(v), 4) for k, v in recall_at_k(scores).items()}
+    print(json.dumps(metrics, indent=2))
+    print(f"wrote {out}")
+
+
 def cmd_preprocess(args) -> None:
     """Build a corpus directory from public dataset artifacts
     (reference preprocessing scripts, SURVEY.md §2 C4/C13)."""
@@ -463,6 +501,12 @@ def main() -> None:
     p_disc.add_argument("--output", default=None)
     p_disc.add_argument("--override", nargs="*", default=[])
     p_disc.set_defaults(fn=cmd_discover)
+
+    p_ret = sub.add_parser("retrieve", help="cross-modal retrieval rankings + recall@k")
+    p_ret.add_argument("--workdir", required=True)
+    p_ret.add_argument("--top-k", type=int, default=10)
+    p_ret.add_argument("--output", default=None)
+    p_ret.set_defaults(fn=cmd_retrieve)
 
     p_pre = sub.add_parser("preprocess", help="build a corpus dir from public dataset files")
     p_pre.add_argument("--dataset", choices=["flickr8k", "mscoco"], required=True)

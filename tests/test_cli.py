@@ -249,3 +249,19 @@ def test_cmd_preprocess_flickr8k(tmp_path, capsys):
     wd = tmp_path / "run"
     cli.cmd_train(_ns(config=str(cfg), workdir=str(wd), fresh=False, override=[]))
     cli.cmd_evaluate(_ns(workdir=str(wd), output=None))
+
+
+def test_cmd_retrieve(tmp_path, capsys):
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="hmm", retrieval=False, continuous=False)
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(_ns(config=cfg_path, workdir=str(wd), fresh=False,
+                      override=["train.num_iterations=10"]))
+    cli.cmd_retrieve(_ns(workdir=str(wd), top_k=5, output=None))
+    rec = json.loads((wd / "retrieval.json").read_text())
+    assert "recall@1_c2i" in rec["recall"]
+    assert len(rec["rankings"]) == 40
+    assert len(rec["rankings"][0]["top_images"]) == 5
+    # trained HMM should rank well on this easy corpus
+    assert rec["recall"]["recall@5_c2i"] > 0.5, rec["recall"]
