@@ -160,9 +160,14 @@ def cmd_train(args) -> None:
         return
 
     if cfg.train.data_parallel:
-        mesh = make_mesh()
-        corpus = shard_corpus(corpus, mesh)
-        step = make_data_parallel_step(step, mesh)
+        if cfg.model.name == "attention" and cfg.model.get("guide", ""):
+            # the guide matrix is built for the unpadded corpus; sharding pads
+            # N, so guided attention runs single-device for now
+            print("note: guided attention ignores train.data_parallel")
+        else:
+            mesh = make_mesh()
+            corpus = shard_corpus(corpus, mesh)
+            step = make_data_parallel_step(step, mesh)
     else:
         step = jax.jit(step)
 
