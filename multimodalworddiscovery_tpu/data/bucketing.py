@@ -36,9 +36,11 @@ def bucket_corpus(
     for edge in edges:
         sel = (~assigned) & (src_len <= edge)
         idx = np.where(sel)[0]
-        assigned |= sel
         if len(idx) < min_bucket_size:
+            # too small for its own bucket: leave unassigned so these fall
+            # into a later bucket (or the final rest bucket) — never dropped
             continue
+        assigned |= sel
         max_t = max(int(src_len[idx].max(initial=1)), 1)
         sub = Corpus(
             src=corpus.src[idx][:, :max_t]

@@ -50,3 +50,11 @@ def test_bucketed_em_matches_full_hmm():
     a_full = np.asarray(hmm.align(p_full, corpus))
     a_b = bucketed.align_bucketed(hmm, p_b, corpus, [12])
     assert (a_full == a_b).mean() > 0.999
+
+
+def test_min_bucket_size_never_drops_utterances():
+    corpus, _, _ = make_flickr8k_mini(n_utterances=30, seed=9)
+    # absurd min size: everything must still land somewhere (the rest bucket)
+    buckets = bucket_corpus(corpus, [5, 10, 15], min_bucket_size=100)
+    all_idx = np.concatenate([idx for _, idx in buckets])
+    assert sorted(all_idx.tolist()) == list(range(30))
