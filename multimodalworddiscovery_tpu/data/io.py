@@ -43,7 +43,9 @@ def _load_int_tokens_fast(path: Path):
     """Native single-pass parse for all-integer token files; None if the file
     contains symbolic tokens (those go through the vocab-building path)."""
     head = path.read_text()[:4096]
-    if any(ch.isalpha() for ch in head):
+    # symbolic tokens need the vocab-building path; negative ints would be
+    # mis-parsed by the native scanner (it treats '-' as a separator)
+    if any(ch.isalpha() for ch in head) or "-" in head:
         return None
     from multimodalworddiscovery_tpu.native import pack_token_file
 
