@@ -100,6 +100,9 @@ def _pair_score(s, r, src_mask, trg_mask):
     """Matchmap score for every (speech i, image j) pair -> [N, N].
 
     Harwath-style max-over-regions, mean-over-frames similarity.
+    NOTE: materializes [N, N, Ts, Tt] — sized for training batches /
+    evaluation corpora (N in the hundreds); block the batch upstream for
+    larger retrieval sweeps.
     """
     sim = jnp.einsum("itd,jrd->ijtr", s, r)  # [N, N, Ts, Tt]
     sim = jnp.where(trg_mask[None, :, None, :], sim, -1.0)
