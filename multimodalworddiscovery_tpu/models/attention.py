@@ -78,6 +78,9 @@ class AttentionAligner(nn.Module):
     heads: int = 4
     enc_layers: int = 2
     feat_dim: int = 0
+    subsample: int = 1  # stride-s conv front end (standard ASR trick for
+                        # acoustic frames; attention columns then index
+                        # subsampled positions — align() upsamples back)
 
     @nn.compact
     def __call__(self, src, src_mask, trg_in, trg_mask):
@@ -89,6 +92,16 @@ class AttentionAligner(nn.Module):
             x = nn.Embed(self.src_vocab, self.dim, name="src_embed")(src)
         else:
             x = nn.Dense(self.dim, name="src_proj")(src)
+        if self.subsample > 1:
+            x = nn.Conv(
+                self.dim, (self.subsample * 2 - 1,), strides=(self.subsample,),
+                padding="SAME", name="subsample_conv",
+            )(nn.gelu(x))
+            # a subsampled position is valid if ANY covered frame is valid
+            ts = x.shape[1]
+            pad_to = ts * self.subsample
+            m = jnp.pad(src_mask, ((0, 0), (0, pad_to - src_mask.shape[1])))
+            src_mask = jnp.any(m.reshape(n, ts, self.subsample), axis=-1)
         x = x + self.param(
             "src_pos", nn.initializers.normal(0.02), (1, ts, self.dim)
         )
@@ -130,15 +143,17 @@ class AttentionParams:
     # accuracy (0.476 -> 0.347 as lambda goes 0 -> 1: premature sharpening
     # locks in wrong commitments), so it stays off by default.
     entropy_weight: float = struct.field(pytree_node=False, default=0.0)
+    subsample: int = struct.field(pytree_node=False, default=1)
 
 
-def _module(corpus: Corpus, dim: int = 128) -> AttentionAligner:
+def _module(corpus: Corpus, dim: int = 128, subsample: int = 1) -> AttentionAligner:
     feat_dim = corpus.src.shape[-1] if corpus.src.ndim == 3 else 0
     return AttentionAligner(
         src_vocab=corpus.src_vocab if corpus.src.ndim == 2 else 0,
         trg_vocab=corpus.trg_vocab,
         dim=dim,
         feat_dim=feat_dim,
+        subsample=subsample,
     )
 
 
@@ -156,11 +171,12 @@ def init(
     dim: int = 128,
     learning_rate: float = 3e-4,
     entropy_weight: float = 0.0,
+    subsample: int = 1,
     key=None,
 ) -> AttentionParams:
     if key is None:
         key = jax.random.PRNGKey(0)
-    mod = _module(corpus, dim)
+    mod = _module(corpus, dim, subsample)
     src, src_mask, trg_in, trg_mask = _inputs(corpus)
     params = mod.init(key, src, src_mask, trg_in, trg_mask)
     opt_state = _optimizer(learning_rate).init(params)
@@ -171,6 +187,7 @@ def init(
         dim=dim,
         learning_rate=learning_rate,
         entropy_weight=entropy_weight,
+        subsample=subsample,
     )
 
 
@@ -206,7 +223,7 @@ def em_step(
 
     guide: optional [N, Tt, Ts] teacher attention (see hmm_guide_matrix).
     """
-    mod = _module(corpus, state.dim)
+    mod = _module(corpus, state.dim, state.subsample)
     src, src_mask, trg_in, trg_mask = _inputs(corpus)
     loss, grads = jax.value_and_grad(_loss_fn)(
         state.params, mod, src, src_mask, trg_in, trg_mask, corpus.trg,
@@ -223,23 +240,30 @@ def em_step(
         dim=state.dim,
         learning_rate=state.learning_rate,
         entropy_weight=state.entropy_weight,
+        subsample=state.subsample,
     )
     ntok = jnp.sum(trg_mask)
     return new_state, {"loglik": -loss * ntok, "loss": loss}
 
 
 def loglik(state: AttentionParams, corpus: Corpus) -> jax.Array:
-    mod = _module(corpus, state.dim)
+    mod = _module(corpus, state.dim, state.subsample)
     src, src_mask, trg_in, trg_mask = _inputs(corpus)
     loss = _loss_fn(state.params, mod, src, src_mask, trg_in, trg_mask, corpus.trg)
     return -loss * jnp.sum(trg_mask)
 
 
 def attention_matrix(state: AttentionParams, corpus: Corpus) -> jax.Array:
-    """[N, Tt, Ts] teacher-forced cross-attention weights."""
-    mod = _module(corpus, state.dim)
+    """[N, Tt, Ts] teacher-forced cross-attention weights.
+
+    With subsample > 1 the raw attention indexes subsampled positions; it is
+    upsampled (nearest) back to frame resolution here so every consumer sees
+    frame-level weights."""
+    mod = _module(corpus, state.dim, state.subsample)
     src, src_mask, trg_in, trg_mask = _inputs(corpus)
     _, attn = mod.apply(state.params, src, src_mask, trg_in, trg_mask)
+    if state.subsample > 1:
+        attn = jnp.repeat(attn, state.subsample, axis=2)[:, :, : corpus.max_src_len]
     return attn
 
 

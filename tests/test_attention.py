@@ -91,3 +91,20 @@ def test_guided_attention_beats_plain(mini):
     acc_guided = (np.asarray(attention.align(guided, corpus)) == gold.alignment)[wm].mean()
 
     assert acc_guided > acc_plain + 0.1, (acc_plain, acc_guided)
+
+
+def test_subsampled_attention_on_frames():
+    """Conv-subsampled encoder (ASR-style) on acoustic frames: shapes map
+    back to frame resolution and training improves alignment."""
+    small_c, small_g, _ = make_flickr8k_mini(n_utterances=60, seed=13)
+    fc, fg, _ = phones_to_frames(small_c, small_g, feat_dim=8, noise=0.05, seed=13)
+    state = attention.init(fc, subsample=2, key=jax.random.PRNGKey(0))
+    attn = np.asarray(attention.attention_matrix(state, fc))
+    assert attn.shape == (fc.n, fc.max_trg_len, fc.max_src_len)
+    state, lls = jax.jit(lambda s: attention.train(s, fc, 120))(state)
+    lls = np.asarray(lls)
+    assert lls[-1] > lls[0]
+    a = np.asarray(attention.align(state, fc))
+    assert a.shape == (fc.n, fc.max_src_len)
+    sm = np.asarray(fc.src_mask())
+    assert (a[~sm] == 0).all()
