@@ -223,6 +223,11 @@ def em_step(
 
     guide: optional [N, Tt, Ts] teacher attention (see hmm_guide_matrix).
     """
+    if guide is not None and state.subsample != 1:
+        raise ValueError(
+            "guided attention expects frame-resolution attention; train with "
+            "subsample=1 (the guide CE is computed against raw attention rows)"
+        )
     mod = _module(corpus, state.dim, state.subsample)
     src, src_mask, trg_in, trg_mask = _inputs(corpus)
     loss, grads = jax.value_and_grad(_loss_fn)(
@@ -297,17 +302,22 @@ def train(
     return jax.lax.scan(body, state, None, length=num_iterations)
 
 
-def hmm_guide_matrix(hmm_params, corpus: Corpus) -> jax.Array:
+def hmm_guide_matrix(hmm_params, corpus: Corpus, posteriors_fn=None) -> jax.Array:
     """Teacher attention [N, Tt, Ts] from a trained HMM's state posteriors.
 
     Maps the HMM gamma [N, Ts, S] onto target positions (real states only;
     NULL mass is dropped and rows renormalized), giving the attention matrix
     a discrete aligner would produce — the supervision signal of the guided
     (DNN-HMM-DNN hybrid style) attention objective.
-    """
-    from multimodalworddiscovery_tpu.models import hmm as hmm_mod
 
-    gamma = hmm_mod.posteriors(hmm_params, corpus)  # [N, Ts, S]
+    posteriors_fn: any HMM-family ``posteriors(params, corpus)`` (defaults to
+    the discrete HMM; pass hmm_gaussian.posteriors for acoustic frames).
+    """
+    if posteriors_fn is None:
+        from multimodalworddiscovery_tpu.models import hmm as hmm_mod
+
+        posteriors_fn = hmm_mod.posteriors
+    gamma = posteriors_fn(hmm_params, corpus)  # [N, Ts, S]
     tt = corpus.max_trg_len
     real = gamma[..., :tt]  # [N, Ts, Tt] (real states are positions 0..Tt-1)
     guide = jnp.swapaxes(real, 1, 2)  # [N, Tt, Ts]
