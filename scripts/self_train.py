@@ -1,0 +1,95 @@
+"""Teacher-student alternation (DNN-HMM-DNN hybrid, iterated).
+
+Round 0: GMM-HMM EM teacher -> guided attention student.
+Round k: re-estimate the GMM-HMM's emission statistics from the student's
+         alignments (hard-count means/vars per concept), continue EM, build a
+         fresh guide, retrain the student.
+
+Measures positional alignment accuracy per stage on the synthetic frames
+corpus (gold available).  Usage: python scripts/self_train.py [--rounds 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--utterances", type=int, default=800)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--hmm-iters", type=int, default=15)
+    ap.add_argument("--attn-iters", type=int, default=400)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mwd_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.models import attention, hmm_gaussian
+
+    t0 = time.perf_counter()
+
+    def log(m):
+        print(f"[{time.perf_counter()-t0:6.1f}s] {m}", flush=True)
+
+    pc, pg, _ = make_flickr8k_mini(n_utterances=args.utterances, seed=11)
+    fc, fg, _ = phones_to_frames(pc, pg, feat_dim=13, noise=0.1, seed=11)
+    wm = np.asarray(fc.src_mask()) & (fg.alignment > 0)
+
+    def acc(pred):
+        return float((np.asarray(pred) == fg.alignment)[wm].mean())
+
+    # round 0 teacher
+    hp = hmm_gaussian.init(fc, n_components=2, key=jax.random.PRNGKey(0))
+    hp, _ = jax.jit(lambda p: hmm_gaussian.train(p, fc, args.hmm_iters))(hp)
+    log(f"round 0 teacher (GMM-HMM): acc {acc(hmm_gaussian.align(hp, fc)):.3f}")
+
+    for r in range(args.rounds):
+        guide = attention.hmm_guide_matrix(
+            hp, fc, posteriors_fn=hmm_gaussian.posteriors
+        )
+        st = attention.init(fc, key=jax.random.PRNGKey(r))
+        st, _ = jax.jit(lambda s: attention.train(s, fc, args.attn_iters, guide))(st)
+        a_student = attention.align(st, fc)
+        log(f"round {r} student (guided attention): acc {acc(a_student):.3f}")
+
+        if r + 1 == args.rounds:
+            break
+
+        # re-seed the teacher's emissions from the student's alignments:
+        # hard-assign frames to concepts, recompute per-concept means/vars
+        # (K=1 re-init broadcast over components), then continue EM
+        concept_of = jnp.concatenate(
+            [jnp.zeros((fc.n, 1), fc.trg.dtype), fc.trg], axis=1
+        )  # position -> concept id (0 = NULL)
+        frame_concept = jnp.take_along_axis(concept_of, a_student, axis=1)
+        x = fc.src
+        v = fc.trg_vocab
+        w = fc.src_mask().astype(x.dtype)
+        onehot = jax.nn.one_hot(frame_concept, v, dtype=x.dtype) * w[..., None]
+        c0 = jnp.maximum(jnp.sum(onehot, axis=(0, 1)), 1e-3)  # [C]
+        mu = jnp.einsum("ntc,ntd->cd", onehot, x) / c0[:, None]
+        var = jnp.einsum("ntc,ntd->cd", onehot, x**2) / c0[:, None] - mu**2
+        var = jnp.maximum(var, 1e-3)
+        k = hp.means.shape[1]
+        hp = hp.replace(
+            means=jnp.broadcast_to(mu[:, None, :], hp.means.shape),
+            log_vars=jnp.broadcast_to(jnp.log(var)[:, None, :], hp.log_vars.shape),
+        )
+        hp, _ = jax.jit(lambda p: hmm_gaussian.train(p, fc, args.hmm_iters))(hp)
+        log(f"round {r+1} teacher (re-seeded GMM-HMM): acc {acc(hmm_gaussian.align(hp, fc)):.3f}")
+
+
+if __name__ == "__main__":
+    main()
