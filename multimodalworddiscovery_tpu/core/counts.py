@@ -63,7 +63,11 @@ def pair_counts(
     n_cols: int,
 ) -> jax.Array:
     """counts [n_rows, n_cols] via MXU one-hot contractions (no scatters)."""
+    # HIGHEST: expected counts feed jnp.log in every m_step; default bf16 MXU
+    # rounding perturbs gamma sums ~0.4% relative, which the CPU-only parity
+    # tests cannot catch (repo rule: matmuls feeding log pipelines use HIGHEST).
+    hi = jax.lax.Precision.HIGHEST
     oh_col = jax.nn.one_hot(col_ids, n_cols, dtype=gamma.dtype)  # [N, K, E]
-    r = jnp.einsum("ntk,nke->nte", gamma, oh_col)
+    r = jnp.einsum("ntk,nke->nte", gamma, oh_col, precision=hi)
     oh_row = jax.nn.one_hot(row_ids, n_rows, dtype=gamma.dtype)  # [N, T, F]
-    return jnp.einsum("ntf,nte->fe", oh_row, r)
+    return jnp.einsum("ntf,nte->fe", oh_row, r, precision=hi)
