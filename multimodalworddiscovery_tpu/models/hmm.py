@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from multimodalworddiscovery_tpu.core.counts import pair_counts, table_lookup
-from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF, masked_logsumexp
 from multimodalworddiscovery_tpu.data.corpus import Corpus
 from multimodalworddiscovery_tpu.models import hmm_core
 
@@ -80,81 +79,22 @@ def expected_counts(
     corpus: Corpus,
     use_pallas: bool = False,
     interpret: bool = False,
+    dot_dtype: str = "float32",
 ) -> tuple[tuple[jax.Array, jax.Array], jax.Array]:
     """E-step only: ((emission counts [V,V], jump-width counts [W+2]), loglik).
 
     Counts are additive across corpus shards/buckets (exact bucketed EM).
-    use_pallas=True routes the E-step through the fused Pallas kernel
-    (ops/hmm_fwdbwd_pallas.py): forward, backward, posteriors, and pooled
-    transition counts in one kernel pass instead of three XLA scans.
+    use_pallas=True routes the E-step through the fused time-chunked Pallas
+    kernel (hmm_core.estep -> ops/hmm_fwdbwd_pallas.py): forward, backward,
+    posteriors, and pooled transition counts in one kernel pass instead of
+    three XLA scans.
     """
     v_src, v_trg = params.log_emit.shape
-    n, ts = corpus.src.shape
-    tt_max = corpus.max_trg_len
-    s = 2 * tt_max
-
-    log_init, log_trans, log_emit = _machinery(params, corpus)
-    width_ids = hmm_core.jump_width_ids(tt_max, params.max_jump)  # [S, S]
-    w_total = 2 * params.max_jump + 3  # W jumps + p0 slot + impossible slot
-
-    if use_pallas:
-        from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
-            estep_fits_vmem,
-            hmm_estep_pallas,
-        )
-
-        if not interpret and not estep_fits_vmem(ts, s):
-            # whole-block-resident kernel would OOM VMEM at this Ts*S;
-            # the XLA scan path below handles any size
-            use_pallas = False
-
-    if use_pallas:
-        from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import hmm_estep_pallas
-
-        gamma_nts, xi_pooled, logz = hmm_estep_pallas(
-            log_init, log_trans, log_emit, corpus.src_len, interpret=interpret
-        )
-        width_counts = jax.ops.segment_sum(
-            xi_pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
-        )
-    else:
-        alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
-        betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
-
-        smask = hmm_core.state_mask(corpus)  # [N, S]
-        tmask = corpus.src_mask()  # [N, Ts]
-        logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
-
-        # --- state posteriors gamma [Ts, N, S] ---
-        log_gamma = alphas + betas - logz_safe[None, :, None]
-        valid = tmask.T[:, :, None] & smask[None, :, :]
-        gamma = jnp.where(valid, jnp.exp(log_gamma), 0.0)
-        gamma_nts = jnp.moveaxis(gamma, 0, 1)
-
-        def xi_step(acc, inputs):
-            t, alpha_t, beta_next, emit_next = inputs
-            # xi_t[n, s, s'] for the t -> t+1 transition
-            logxi = (
-                alpha_t[:, :, None]
-                + log_trans
-                + (emit_next + beta_next)[:, None, :]
-                - logz_safe[:, None, None]
-            )
-            alive = ((t + 1) < corpus.src_len)[:, None, None]
-            xi = jnp.where(alive, jnp.exp(jnp.minimum(logxi, 0.0)), 0.0)
-            return acc + jnp.sum(xi, axis=0), None  # accumulate [S, S]
-
-        emits = jnp.moveaxis(log_emit, 1, 0)  # [Ts, N, S]
-        xi_pooled, _ = jax.lax.scan(
-            xi_step,
-            jnp.zeros((s, s), log_emit.dtype),
-            (jnp.arange(ts - 1), alphas[:-1], betas[1:], emits[1:]),
-        )
-        # project onto jump widths ONCE (not one scatter per scan step)
-        width_counts = jax.ops.segment_sum(
-            xi_pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
-        )
-
+    log_emit = _log_emissions(params, corpus)
+    gamma_nts, width_counts, logz = hmm_core.estep(
+        params.log_jump, params.log_p0, params.max_jump, log_emit, corpus,
+        use_pallas=use_pallas, interpret=interpret, dot_dtype=dot_dtype,
+    )
     # --- emission counts as MXU one-hot matmuls (a flat segment_sum scatter
     # here measured 28 ms on TPU vs 1.6 ms for the matmul form) ---
     concepts = hmm_core.state_concepts(corpus)  # [N, S]
@@ -187,9 +127,10 @@ def em_step(
     smoothing: float = 1e-8,
     use_pallas: bool = False,
     interpret: bool = False,
+    dot_dtype: str = "float32",
 ) -> tuple[HMMParams, dict[str, jax.Array]]:
     """One batched forward-backward EM iteration (SURVEY.md §3.2 🔥 replaced)."""
-    counts, ll = expected_counts(params, corpus, use_pallas, interpret)
+    counts, ll = expected_counts(params, corpus, use_pallas, interpret, dot_dtype)
     return m_step(params, counts, smoothing), {"loglik": ll}
 
 
@@ -201,22 +142,24 @@ def align(params: HMMParams, corpus: Corpus) -> jax.Array:
 
 
 def posteriors(params: HMMParams, corpus: Corpus) -> jax.Array:
-    """State posteriors [N, Ts, S] (for inspection/plotting)."""
+    """State posteriors [N, Ts, S] (for inspection/plotting/guides)."""
     log_init, log_trans, log_emit = _machinery(params, corpus)
-    alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
-    betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
-    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
-    log_gamma = alphas + betas - logz_safe[None, :, None]
-    gamma = jnp.exp(log_gamma)
-    valid = corpus.src_mask().T[:, :, None] & hmm_core.state_mask(corpus)[None, :, :]
-    return jnp.moveaxis(jnp.where(valid, gamma, 0.0), 0, 1)
+    return hmm_core.posteriors_from(log_init, log_trans, log_emit, corpus)
 
 
 def train(
-    params: HMMParams, corpus: Corpus, num_iterations: int, smoothing: float = 1e-8
+    params: HMMParams,
+    corpus: Corpus,
+    num_iterations: int,
+    smoothing: float = 1e-8,
+    use_pallas: bool = False,
+    dot_dtype: str = "float32",
 ) -> tuple[HMMParams, jax.Array]:
     def body(p, _):
-        p2, stats = em_step(p, corpus, smoothing=smoothing)
+        p2, stats = em_step(
+            p, corpus, smoothing=smoothing, use_pallas=use_pallas,
+            dot_dtype=dot_dtype,
+        )
         return p2, stats["loglik"]
 
     return jax.lax.scan(body, params, None, length=num_iterations)

@@ -31,6 +31,7 @@ from multimodalworddiscovery_tpu.core.logsemiring import (
     log_normalize,
     masked_logsumexp,
 )
+from multimodalworddiscovery_tpu.core.masking import lengths_to_mask
 from multimodalworddiscovery_tpu.data.corpus import Corpus
 
 
@@ -71,24 +72,48 @@ def jump_width_ids(tt_max: int, max_jump: int) -> jax.Array:
     return ids.astype(jnp.int32)
 
 
+def factor_log_trans(
+    log_jump: jax.Array, log_p0: jax.Array, corpus: Corpus, max_jump: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Factored transition structure: trans[n,s,s'] = base[s,s'] - rowz[n,s]
+    + colmask[n,s'].
+
+    base [S, S] is the shared (utterance-independent) jump-weight matrix,
+    colmask [N, S] is 0 on the utterance's valid states / NEG_INF elsewhere,
+    and rowz [N, S] is the per-row log normalizer (0 for fully-masked rows,
+    matching ``log_normalize``'s safe guard).  The fused Pallas E-step
+    (ops/hmm_fwdbwd_pallas.py) consumes this form directly: a [N,S,S] dense
+    transition tensor is 0.5 GB at N=8k, S=128, while the factored form is
+    O(S^2 + N*S) and turns the recursion inner product into an MXU matmul on
+    max-rescaled exponentials.
+    """
+    tt_max = corpus.max_trg_len
+    ids = jump_width_ids(tt_max, max_jump)  # [S, S]
+    table = jnp.concatenate(
+        [log_jump, log_p0[None], jnp.array([NEG_INF], log_jump.dtype)]
+    )  # [W + 2]
+    base = table[ids]  # [S, S]
+    smask = state_mask(corpus)  # [N, S]
+    colmask = jnp.where(smask, 0.0, NEG_INF).astype(base.dtype)
+    rowz = masked_logsumexp(base[None, :, :] + colmask[:, None, :], axis=-1)
+    rowz = jnp.where(rowz > NEG_INF / 2, rowz, 0.0)  # all-masked rows
+    return base, rowz, colmask
+
+
 def build_log_trans(
     log_jump: jax.Array, log_p0: jax.Array, corpus: Corpus, max_jump: int
 ) -> jax.Array:
     """[N, S, S] row-normalized log transition matrices.
 
     log_jump: [W] unnormalized jump weights; log_p0: scalar null weight.
+    Dense materialization of ``factor_log_trans`` (used by the XLA scan path;
+    the Pallas E-step keeps the factored form).
     """
-    tt_max = corpus.max_trg_len
-    ids = jump_width_ids(tt_max, max_jump)  # [S, S]
-    W = 2 * max_jump + 1
-    table = jnp.concatenate(
-        [log_jump, log_p0[None], jnp.array([NEG_INF], log_jump.dtype)]
-    )  # [W + 2]
-    base = table[ids]  # [S, S]
-    smask = state_mask(corpus)  # [N, S]
-    # valid transition: both states valid for this utterance
-    logw = jnp.where(smask[:, None, :], base[None, :, :], NEG_INF)
-    return log_normalize(logw, axis=-1)
+    base, rowz, colmask = factor_log_trans(log_jump, log_p0, corpus, max_jump)
+    logw = base[None, :, :] + colmask[:, None, :]
+    out = jnp.maximum(logw - rowz[:, :, None], NEG_INF)
+    # keep exact NEG_INF at masked entries (logw - rowz could drift below)
+    return jnp.where(logw > NEG_INF / 2, out, NEG_INF)
 
 
 def build_log_init(log_p0: jax.Array, corpus: Corpus) -> jax.Array:
@@ -211,6 +236,103 @@ def forward_associative(
     logz = masked_logsumexp(alphas[-1], axis=-1)
     logz = jnp.where(src_len > 0, logz, 0.0)
     return alphas, logz
+
+
+def estep(
+    log_jump: jax.Array,
+    log_p0: jax.Array,
+    max_jump: int,
+    log_emit: jax.Array,
+    corpus: Corpus,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    dot_dtype: str = "float32",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Shared HMM E-step for every Vogel-transition aligner (discrete /
+    Gaussian / DNN-hybrid emissions differ only in ``log_emit``).
+
+    Returns (gamma [N, Ts, S] state posteriors, width_counts [2*max_jump+3]
+    expected jump counts (… , p0 slot, impossible slot), logz [N]).
+
+    use_pallas=True routes through the fused time-chunked Pallas kernel
+    (ops/hmm_fwdbwd_pallas.py: forward, backward, posteriors and pooled
+    transition counts in one pass, MXU inner products); the XLA scan path
+    below is its oracle.  All outputs are additive across corpus shards or
+    length buckets (exact bucketed / data-parallel EM).
+    """
+    tt_max = corpus.max_trg_len
+    log_init = build_log_init(log_p0, corpus)
+    width_ids = jump_width_ids(tt_max, max_jump)  # [S, S]
+    w_total = 2 * max_jump + 3
+
+    if use_pallas:
+        from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
+            hmm_estep_pallas,
+        )
+
+        base, rowz, colmask = factor_log_trans(log_jump, log_p0, corpus, max_jump)
+        gamma_nts, xi_pooled, logz = hmm_estep_pallas(
+            log_init, base, rowz, colmask, log_emit, corpus.src_len,
+            dot_dtype=dot_dtype, interpret=interpret,
+        )
+    else:
+        n, ts, s = log_emit.shape
+        log_trans = build_log_trans(log_jump, log_p0, corpus, max_jump)
+        alphas, logz = forward(log_init, log_trans, log_emit, corpus.src_len)
+        betas = backward(log_trans, log_emit, corpus.src_len)
+
+        smask = state_mask(corpus)  # [N, S]
+        tmask = lengths_to_mask(corpus.src_len, ts)  # [N, Ts]
+        logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
+
+        log_gamma = alphas + betas - logz_safe[None, :, None]
+        valid = tmask.T[:, :, None] & smask[None, :, :]
+        gamma = jnp.where(valid, jnp.exp(log_gamma), 0.0)  # [Ts, N, S]
+        gamma_nts = jnp.moveaxis(gamma, 0, 1)
+
+        def xi_step(acc, inputs):
+            t, alpha_t, beta_next, emit_next = inputs
+            logxi = (
+                alpha_t[:, :, None]
+                + log_trans
+                + (emit_next + beta_next)[:, None, :]
+                - logz_safe[:, None, None]
+            )
+            alive = ((t + 1) < corpus.src_len)[:, None, None]
+            xi = jnp.where(alive, jnp.exp(jnp.minimum(logxi, 0.0)), 0.0)
+            return acc + jnp.sum(xi, axis=0), None  # accumulate [S, S]
+
+        emits = jnp.moveaxis(log_emit, 1, 0)  # [Ts, N, S]
+        xi_pooled, _ = jax.lax.scan(
+            xi_step,
+            jnp.zeros((s, s), log_emit.dtype),
+            (jnp.arange(ts - 1), alphas[:-1], betas[1:], emits[1:]),
+        )
+
+    # project pooled xi onto jump widths ONCE (not one scatter per scan step)
+    width_counts = jax.ops.segment_sum(
+        xi_pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
+    )
+    return gamma_nts, width_counts, logz
+
+
+def posteriors_from(
+    log_init: jax.Array,
+    log_trans: jax.Array,
+    log_emit: jax.Array,
+    corpus: Corpus,
+) -> jax.Array:
+    """State posteriors [N, Ts, S] from assembled machinery (shared by the
+    per-model ``posteriors`` wrappers; inspection/plotting/guide paths)."""
+    alphas, logz = forward(log_init, log_trans, log_emit, corpus.src_len)
+    betas = backward(log_trans, log_emit, corpus.src_len)
+    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
+    gamma = jnp.exp(alphas + betas - logz_safe[None, :, None])
+    valid = (
+        lengths_to_mask(corpus.src_len, log_emit.shape[1]).T[:, :, None]
+        & state_mask(corpus)[None, :, :]
+    )
+    return jnp.moveaxis(jnp.where(valid, gamma, 0.0), 0, 1)
 
 
 def viterbi(

@@ -22,7 +22,6 @@ import optax
 from flax import linen as nn
 from flax import struct
 
-from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF
 from multimodalworddiscovery_tpu.data.corpus import Corpus
 from multimodalworddiscovery_tpu.models import hmm_core
 
@@ -112,89 +111,161 @@ def loglik(params: DnnHMMParams, corpus: Corpus) -> jax.Array:
     return jnp.sum(logz)
 
 
-def em_step(params: DnnHMMParams, corpus: Corpus, smoothing: float = 1e-6):
+def frame_posteriors(
+    params: DnnHMMParams,
+    corpus: Corpus,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    dot_dtype: str = "float32",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """E-step core: (frame concept posteriors r [N, Ts, C], width counts,
+    logz [N]).  r is the CE target of the neural M-step."""
     v_trg = corpus.trg_vocab
-    n, ts = corpus.src.shape[:2]
-    tt_max = corpus.max_trg_len
+    from multimodalworddiscovery_tpu.core.counts import select_columns
 
-    log_init, log_trans, log_emit = _machinery(params, corpus)
-    alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
-    betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
-
-    smask = hmm_core.state_mask(corpus)
-    tmask = corpus.src_mask()
-    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
-    gamma = jnp.exp(alphas + betas - logz_safe[None, :, None])
-    valid = tmask.T[:, :, None] & smask[None, :, :]
-    gamma = jnp.moveaxis(jnp.where(valid, gamma, 0.0), 0, 1)  # [N, Ts, S]
-
+    logb = _concept_loglik(params, corpus)
     concepts = hmm_core.state_concepts(corpus)
+    log_emit = select_columns(logb, concepts)
+    gamma, width_counts, logz = hmm_core.estep(
+        params.log_jump, params.log_p0, params.max_jump, log_emit, corpus,
+        use_pallas=use_pallas, interpret=interpret, dot_dtype=dot_dtype,
+    )
     onehot = jax.nn.one_hot(concepts, v_trg, dtype=gamma.dtype)  # [N, S, C]
-    r = jnp.einsum("nts,nsc->ntc", gamma, onehot)  # frame concept posteriors
+    r = jnp.einsum("nts,nsc->ntc", gamma, onehot)
+    return r, width_counts, logz
 
-    # --- neural M-step: a few Adam steps of CE(r, mlp(x)) ---
-    mod = _module(corpus, params.hidden)
-    opt = _optimizer(params.learning_rate)
-    w = tmask.astype(r.dtype)[..., None]
 
-    def ce_loss(mlp):
-        logits = mod.apply(mlp, corpus.src)
-        logq = jax.nn.log_softmax(logits, axis=-1)
-        return -jnp.sum(r * logq * w) / jnp.maximum(jnp.sum(w), 1.0)
+def expected_counts(
+    params: DnnHMMParams,
+    corpus: Corpus,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    dot_dtype: str = "float32",
+) -> tuple[dict[str, jax.Array], jax.Array]:
+    """Additive E-step counts: prior counts [C] + jump-width counts.
 
-    def sgd(carry, _):
-        mlp, opt_state = carry
-        loss, grads = jax.value_and_grad(ce_loss)(mlp)
-        updates, opt_state = opt.update(grads, opt_state)
-        mlp = optax.apply_updates(mlp, updates)
-        return (mlp, opt_state), loss
-
-    (new_mlp, new_opt), ce = jax.lax.scan(
-        sgd, (params.mlp, params.opt_state), None, length=params.n_sgd
+    The neural part of the (generalized) M-step is NOT summarized by additive
+    counts — ``neural_m_step`` consumes per-bucket (corpus, r) pairs instead;
+    see models/bucketed.py.
+    """
+    r, width_counts, logz = frame_posteriors(
+        params, corpus, use_pallas=use_pallas, interpret=interpret,
+        dot_dtype=dot_dtype,
+    )
+    w = corpus.src_mask().astype(r.dtype)[..., None]
+    return (
+        {"prior": jnp.sum(r * w, axis=(0, 1)), "width": width_counts},
+        jnp.sum(logz),
     )
 
-    # --- priors from posteriors ---
-    prior_counts = jnp.sum(r * w, axis=(0, 1)) + smoothing
-    new_log_prior = jnp.log(prior_counts) - jnp.log(jnp.sum(prior_counts))
 
-    # --- transitions (same as other HMMs) ---
-    width_ids = hmm_core.jump_width_ids(tt_max, params.max_jump)
-    w_total = 2 * params.max_jump + 3
-
-    def xi_step(acc, inputs):
-        t, alpha_t, beta_next, emit_next = inputs
-        logxi = (
-            alpha_t[:, :, None]
-            + log_trans
-            + (emit_next + beta_next)[:, None, :]
-            - logz_safe[:, None, None]
-        )
-        alive = ((t + 1) < corpus.src_len)[:, None, None]
-        xi = jnp.where(alive, jnp.exp(jnp.minimum(logxi, 0.0)), 0.0)
-        return acc + jnp.sum(xi, axis=0), None
-
-    emits = jnp.moveaxis(log_emit, 1, 0)
-    s = log_emit.shape[2]
-    xi_pooled, _ = jax.lax.scan(
-        xi_step,
-        jnp.zeros((s, s), log_emit.dtype),
-        (jnp.arange(ts - 1), alphas[:-1], betas[1:], emits[1:]),
-    )
-    width_counts = jax.ops.segment_sum(
-        xi_pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
-    )
+def m_step(
+    params: DnnHMMParams, counts: dict[str, jax.Array], smoothing: float = 1e-6
+) -> DnnHMMParams:
+    """Closed-form part of the generalized M-step (priors + transitions);
+    the MLP is updated separately by ``neural_m_step``."""
+    prior_counts = counts["prior"] + smoothing
+    width_counts = counts["width"]
     W = 2 * params.max_jump + 1
-
-    new_params = DnnHMMParams(
-        mlp=new_mlp,
-        opt_state=new_opt,
-        log_prior=new_log_prior,
+    return DnnHMMParams(
+        mlp=params.mlp,
+        opt_state=params.opt_state,
+        log_prior=jnp.log(prior_counts) - jnp.log(jnp.sum(prior_counts)),
         log_jump=jnp.log(width_counts[:W] + smoothing),
         log_p0=jnp.log(width_counts[W] + smoothing),
         max_jump=params.max_jump,
         hidden=params.hidden,
         learning_rate=params.learning_rate,
         n_sgd=params.n_sgd,
+    )
+
+
+def _ce_num(mlp, mod, src, r, w):
+    """UNnormalized CE sum (additive across buckets/shards)."""
+    logits = mod.apply(mlp, src)
+    logq = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.sum(r * logq * w)
+
+
+def neural_m_step(
+    params: DnnHMMParams, batches: list[tuple[Corpus, jax.Array]]
+) -> tuple[DnnHMMParams, jax.Array]:
+    """n_sgd Adam steps of CE(r, MLP(x)) pooled over ``batches`` of
+    (corpus, r).  With one batch this is exactly the single-corpus neural
+    M-step; with length buckets, gradients of the UNnormalized CE are summed
+    and scaled by the total frame weight, which is identical to the unbucketed
+    update (gradients are additive)."""
+    mod = _module(batches[0][0], params.hidden)
+    opt = _optimizer(params.learning_rate)
+    ws = [c.src_mask().astype(jnp.float32)[..., None] for c, _ in batches]
+    total_w = jnp.maximum(sum(jnp.sum(w) for w in ws), 1.0)
+
+    grad_fns = [
+        jax.jit(jax.value_and_grad(lambda mlp, src=c.src, r=r, w=w: _ce_num(mlp, mod, src, r, w)))
+        for (c, r), w in zip(batches, ws)
+    ]
+
+    mlp, opt_state = params.mlp, params.opt_state
+    ce = jnp.zeros(())
+    for _ in range(params.n_sgd):
+        num = jnp.zeros(())
+        grads = None
+        for f in grad_fns:
+            n_b, g_b = f(mlp)
+            num = num + n_b
+            grads = g_b if grads is None else jax.tree.map(jnp.add, grads, g_b)
+        grads = jax.tree.map(lambda g: g / total_w, grads)
+        updates, opt_state = opt.update(grads, opt_state)
+        mlp = optax.apply_updates(mlp, updates)
+        ce = num / total_w
+    new_params = DnnHMMParams(
+        mlp=mlp, opt_state=opt_state, log_prior=params.log_prior,
+        log_jump=params.log_jump, log_p0=params.log_p0,
+        max_jump=params.max_jump, hidden=params.hidden,
+        learning_rate=params.learning_rate, n_sgd=params.n_sgd,
+    )
+    return new_params, ce
+
+
+def em_step(
+    params: DnnHMMParams,
+    corpus: Corpus,
+    smoothing: float = 1e-6,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    dot_dtype: str = "float32",
+):
+    """One generalized-EM iteration, fully jittable (the neural M-step's
+    n_sgd Adam steps run under lax.scan on the single full corpus)."""
+    r, width_counts, logz = frame_posteriors(
+        params, corpus, use_pallas=use_pallas, interpret=interpret,
+        dot_dtype=dot_dtype,
+    )
+    w = corpus.src_mask().astype(r.dtype)[..., None]
+    counts = {"prior": jnp.sum(r * w, axis=(0, 1)), "width": width_counts}
+    params = m_step(params, counts, smoothing)
+
+    # --- neural M-step: a few Adam steps of CE(r, mlp(x)) under lax.scan ---
+    mod = _module(corpus, params.hidden)
+    opt = _optimizer(params.learning_rate)
+    total_w = jnp.maximum(jnp.sum(w), 1.0)
+
+    def sgd(carry, _):
+        mlp, opt_state = carry
+        num, grads = jax.value_and_grad(_ce_num)(mlp, mod, corpus.src, r, w)
+        grads = jax.tree.map(lambda g: g / total_w, grads)
+        updates, opt_state = opt.update(grads, opt_state)
+        mlp = optax.apply_updates(mlp, updates)
+        return (mlp, opt_state), num / total_w
+
+    (new_mlp, new_opt), ce = jax.lax.scan(
+        sgd, (params.mlp, params.opt_state), None, length=params.n_sgd
+    )
+    new_params = DnnHMMParams(
+        mlp=new_mlp, opt_state=new_opt, log_prior=params.log_prior,
+        log_jump=params.log_jump, log_p0=params.log_p0,
+        max_jump=params.max_jump, hidden=params.hidden,
+        learning_rate=params.learning_rate, n_sgd=params.n_sgd,
     )
     return new_params, {"loglik": jnp.sum(logz), "ce": ce[-1]}
 
@@ -207,12 +278,7 @@ def align(params: DnnHMMParams, corpus: Corpus) -> jax.Array:
 
 def posteriors(params: DnnHMMParams, corpus: Corpus) -> jax.Array:
     log_init, log_trans, log_emit = _machinery(params, corpus)
-    alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
-    betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
-    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
-    gamma = jnp.exp(alphas + betas - logz_safe[None, :, None])
-    valid = corpus.src_mask().T[:, :, None] & hmm_core.state_mask(corpus)[None, :, :]
-    return jnp.moveaxis(jnp.where(valid, gamma, 0.0), 0, 1)
+    return hmm_core.posteriors_from(log_init, log_trans, log_emit, corpus)
 
 
 def train(params: DnnHMMParams, corpus: Corpus, num_iterations: int):

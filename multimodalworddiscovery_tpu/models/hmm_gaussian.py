@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF, masked_logsumexp
+from multimodalworddiscovery_tpu.core.logsemiring import masked_logsumexp
 from multimodalworddiscovery_tpu.data.corpus import Corpus
 from multimodalworddiscovery_tpu.models import hmm_core
 
@@ -130,32 +130,27 @@ def loglik(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
     return jnp.sum(logz)
 
 
-def em_step(
+def expected_counts(
     params: GaussianHMMParams,
     corpus: Corpus,
-    smoothing: float = 1e-6,
-    var_floor: float = 1e-4,
-    var_floor_rel: float = 1e-3,
-) -> tuple[GaussianHMMParams, dict[str, jax.Array]]:
-    """One EM iteration.  Variances are floored at
-    max(var_floor, var_floor_rel * global feature variance) per dimension —
-    near-noiseless data otherwise collapses components onto single frames
-    (observed on synthetic tones: log-likelihood exploding to +5e9)."""
-    v_trg, n_comp, feat_d = params.means.shape
-    n, ts = corpus.src.shape[:2]
-    tt_max = corpus.max_trg_len
+    use_pallas: bool = False,
+    interpret: bool = False,
+    dot_dtype: str = "float32",
+) -> tuple[dict[str, jax.Array], jax.Array]:
+    """E-step sufficient statistics — ALL additive across corpus shards or
+    length buckets (exact bucketed / data-parallel EM):
 
-    log_init, log_trans, log_emit = _machinery(params, corpus)
-    alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
-    betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
+      c0 [C,K], c1/c2 [C,K,D]   combined (gamma x responsibility) moments
+      width [W+2]               expected jump counts
+      fsum/fsq [D], fcnt []     global feature moments (for the var floor)
+    """
+    v_trg = corpus.trg_vocab
 
-    smask = hmm_core.state_mask(corpus)
-    tmask = corpus.src_mask()
-    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
-    log_gamma = alphas + betas - logz_safe[None, :, None]
-    valid = tmask.T[:, :, None] & smask[None, :, :]
-    gamma = jnp.where(valid, jnp.exp(log_gamma), 0.0)  # [Ts, N, S]
-    gamma = jnp.moveaxis(gamma, 0, 1)  # [N, Ts, S]
+    log_emit = _log_emissions(params, corpus)
+    gamma, width_counts, logz = hmm_core.estep(
+        params.log_jump, params.log_p0, params.max_jump, log_emit, corpus,
+        use_pallas=use_pallas, interpret=interpret, dot_dtype=dot_dtype,
+    )  # gamma [N, Ts, S]
 
     # Pool state posteriors onto concept ids: r [N, Ts, C]
     concepts = hmm_core.state_concepts(corpus)  # [N, S]
@@ -170,49 +165,42 @@ def em_step(
 
     # Gaussian sufficient statistics (MXU matmuls over the whole corpus)
     x = corpus.src
-    c0 = jnp.sum(comb, axis=(0, 1)) + smoothing  # [C, K]
-    c1 = jnp.einsum("ntck,ntd->ckd", comb, x)
-    c2 = jnp.einsum("ntck,ntd->ckd", comb, x**2)
-    new_means = c1 / c0[..., None]
-    # per-dimension relative floor from the global feature variance
+    tmask = corpus.src_mask()
     w_feat = tmask.astype(x.dtype)[..., None]
-    tot = jnp.maximum(jnp.sum(w_feat), 1.0)
-    gmean = jnp.sum(x * w_feat, axis=(0, 1)) / tot
-    gvar = jnp.sum((x - gmean) ** 2 * w_feat, axis=(0, 1)) / tot  # [D]
+    counts = {
+        "c0": jnp.sum(comb, axis=(0, 1)),  # [C, K]
+        "c1": jnp.einsum("ntck,ntd->ckd", comb, x),
+        "c2": jnp.einsum("ntck,ntd->ckd", comb, x**2),
+        "width": width_counts,
+        "fsum": jnp.sum(x * w_feat, axis=(0, 1)),
+        "fsq": jnp.sum(x**2 * w_feat, axis=(0, 1)),
+        "fcnt": jnp.sum(w_feat),
+    }
+    return counts, jnp.sum(logz)
+
+
+def m_step(
+    params: GaussianHMMParams,
+    counts: dict[str, jax.Array],
+    smoothing: float = 1e-6,
+    var_floor: float = 1e-4,
+    var_floor_rel: float = 1e-3,
+) -> GaussianHMMParams:
+    """Variances are floored at max(var_floor, var_floor_rel * global feature
+    variance) per dimension — near-noiseless data otherwise collapses
+    components onto single frames (observed on synthetic tones:
+    log-likelihood exploding to +5e9)."""
+    c0 = counts["c0"] + smoothing
+    new_means = counts["c1"] / c0[..., None]
+    tot = jnp.maximum(counts["fcnt"], 1.0)
+    gmean = counts["fsum"] / tot
+    gvar = counts["fsq"] / tot - gmean**2  # [D]
     floor = jnp.maximum(var_floor, var_floor_rel * gvar)[None, None, :]
-    new_vars = jnp.maximum(c2 / c0[..., None] - new_means**2, floor)
+    new_vars = jnp.maximum(counts["c2"] / c0[..., None] - new_means**2, floor)
     new_log_mix = jnp.log(c0) - jnp.log(jnp.sum(c0, axis=-1, keepdims=True))
-
-    # Transition jump counts (same pattern as the discrete HMM)
-    width_ids = hmm_core.jump_width_ids(tt_max, params.max_jump)
-    w_total = 2 * params.max_jump + 3
-
-    def xi_step(acc, inputs):
-        t, alpha_t, beta_next, emit_next = inputs
-        logxi = (
-            alpha_t[:, :, None]
-            + log_trans
-            + (emit_next + beta_next)[:, None, :]
-            - logz_safe[:, None, None]
-        )
-        alive = ((t + 1) < corpus.src_len)[:, None, None]
-        xi = jnp.where(alive, jnp.exp(jnp.minimum(logxi, 0.0)), 0.0)
-        return acc + jnp.sum(xi, axis=0), None
-
-    emits = jnp.moveaxis(log_emit, 1, 0)
-    s = log_emit.shape[2]
-    xi_pooled, _ = jax.lax.scan(
-        xi_step,
-        jnp.zeros((s, s), log_emit.dtype),
-        (jnp.arange(ts - 1), alphas[:-1], betas[1:], emits[1:]),
-    )
-    # project onto jump widths once, not per scan step
-    width_counts = jax.ops.segment_sum(
-        xi_pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
-    )
+    width_counts = counts["width"]
     W = 2 * params.max_jump + 1
-
-    new_params = GaussianHMMParams(
+    return GaussianHMMParams(
         means=new_means.astype(params.means.dtype),
         log_vars=jnp.log(new_vars).astype(params.log_vars.dtype),
         log_mix=new_log_mix.astype(params.log_mix.dtype),
@@ -220,7 +208,25 @@ def em_step(
         log_p0=jnp.log(width_counts[W] + smoothing).astype(params.log_p0.dtype),
         max_jump=params.max_jump,
     )
-    return new_params, {"loglik": jnp.sum(logz)}
+
+
+def em_step(
+    params: GaussianHMMParams,
+    corpus: Corpus,
+    smoothing: float = 1e-6,
+    var_floor: float = 1e-4,
+    var_floor_rel: float = 1e-3,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    dot_dtype: str = "float32",
+) -> tuple[GaussianHMMParams, dict[str, jax.Array]]:
+    """One EM iteration (expected_counts + m_step)."""
+    counts, ll = expected_counts(
+        params, corpus, use_pallas=use_pallas, interpret=interpret,
+        dot_dtype=dot_dtype,
+    )
+    new_params = m_step(params, counts, smoothing, var_floor, var_floor_rel)
+    return new_params, {"loglik": ll}
 
 
 def align(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
@@ -231,19 +237,18 @@ def align(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
 
 def posteriors(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
     log_init, log_trans, log_emit = _machinery(params, corpus)
-    alphas, logz = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
-    betas = hmm_core.backward(log_trans, log_emit, corpus.src_len)
-    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
-    gamma = jnp.exp(alphas + betas - logz_safe[None, :, None])
-    valid = corpus.src_mask().T[:, :, None] & hmm_core.state_mask(corpus)[None, :, :]
-    return jnp.moveaxis(jnp.where(valid, gamma, 0.0), 0, 1)
+    return hmm_core.posteriors_from(log_init, log_trans, log_emit, corpus)
 
 
 def train(
-    params: GaussianHMMParams, corpus: Corpus, num_iterations: int
+    params: GaussianHMMParams,
+    corpus: Corpus,
+    num_iterations: int,
+    use_pallas: bool = False,
+    dot_dtype: str = "float32",
 ) -> tuple[GaussianHMMParams, jax.Array]:
     def body(p, _):
-        p2, stats = em_step(p, corpus)
+        p2, stats = em_step(p, corpus, use_pallas=use_pallas, dot_dtype=dot_dtype)
         return p2, stats["loglik"]
 
     return jax.lax.scan(body, params, None, length=num_iterations)

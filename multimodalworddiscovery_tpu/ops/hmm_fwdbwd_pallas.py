@@ -1,25 +1,41 @@
-"""Fused Pallas HMM E-step: forward + backward + posteriors in ONE kernel.
+"""Fused Pallas HMM E-step: forward + backward + posteriors, time-chunked.
 
 BASELINE.json north star: the HMM forward-backward recursion (SURVEY.md §3.2
 🔥, the headline benchmark) as a Pallas kernel instead of a per-step XLA scan.
 
-Layout: the batch lives on the LANE axis (128 utterances per block), states on
-sublanes — the recursion's [S, S] contraction is then pure VPU work over
-[S, S, 128] tiles with no HBM round-trip for the carried alpha:
+Design (round 2 — replaces the whole-[Ts,S,BN]-resident round-1 kernel that
+OOMed VMEM at Ts=124, S=64):
 
-  grid = (N / BN,)   one program per utterance block
-  VMEM residents: log_emit [Ts, S, BN], log_trans [S, S, BN], alphas [Ts, S, BN]
+1. **Factored transitions.** ``trans[n,s,s'] = base[s,s'] - rowz[n,s] +
+   colmask[n,s']`` (models/hmm_core.py:factor_log_trans).  The kernel never
+   sees an [N,S,S] tensor — O(S²) shared + O(N·S) per-lane terms only.
 
-  pass 1 (forward):  alpha[t] kept in VMEM scratch, logZ per lane at the end
-  pass 2 (backward): beta carried in registers; writes gamma[t] (state
-                     posteriors) straight to HBM and accumulates the pooled
-                     transition tensor  xi_sum[s, s'] = sum_{t,n} xi  in VMEM
+2. **MXU recursions.** With the factored form, one forward step is
+   ``alpha'[s'] = log( Σ_s exp(base0[s,s']) · exp(a2[s] - m) ) + m + emit``
+   — a plain f32 matmul on max-rescaled exponentials (all ≤ 1 because
+   ``base0 = base - max(base)``), so the S² inner product runs on the MXU
+   instead of the VPU.  Backward and the pooled transition-posterior
+   accumulation (``xi_sum = Bexp ⊙ (Ea @ F^T)``) get the same treatment.
+   Per CLAUDE.md, the f32 dots use ``precision=HIGHEST``; ``dot_dtype=
+   'bfloat16'`` selects the faster bf16-input/f32-accumulate variant
+   (inputs are ≤ 1 by construction — see docs/PERFORMANCE.md for the
+   measured accuracy/MFU tradeoff).
 
-Outputs: gamma [N, Ts, S] (feeds the emission-count scatter, which stays in
-XLA — scatters are not a TPU kernel's job), xi_pooled [S, S] per block
-(projected onto jump widths by the caller), logZ [N].
+3. **Time chunked through the grid.** grid = (N/BN, Ts/Tc); the time axis
+   streams chunk-by-chunk with an [S, BN] carry in VMEM scratch (scratch
+   persists across grid steps; the batch-block index is the outer, slower
+   dimension).  Forward streams alphas to HBM; backward walks the chunks in
+   reverse (index_map ``j -> n_chunks-1-j``), reading alpha chunks back and
+   writing gamma chunks out.  VMEM residency is O(Tc·S·BN), so any (Ts, S)
+   fits by shrinking Tc — there is no silent XLA fallback anymore.
 
-The jnp scans in models/hmm_core.py are the test oracle.
+Layout: batch on lanes (BN=128 utterances per block), states on sublanes.
+
+Outputs: gamma [N, Ts, S] (feeds the emission-count matmul, which stays in
+XLA), xi_pooled [S, S] (projected onto jump widths by the caller), logZ [N].
+
+The jnp scans in models/hmm_core.py are the test oracle
+(tests/test_hmm_estep_pallas.py, interpret mode on CPU).
 """
 
 from __future__ import annotations
@@ -33,175 +49,280 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def estep_vmem_bytes(ts: int, s: int, block_n: int = 128) -> int:
-    """Rough VMEM footprint of one kernel block (with double buffering):
-    emit in (x2) + gamma out (x2) + alphas scratch + trans (x2) + misc."""
+def pick_tiles(ts: int, s: int, vmem_budget: int = 12 << 20) -> tuple[int, int]:
+    """(block_n, chunk_t) such that the backward pass (the VMEM-heaviest:
+    emit + alphas in, gamma out, all double-buffered) fits the budget."""
     s_pad = _round_up(s, 8)
-    big = ts * s_pad * block_n * 4
-    trans = s_pad * s_pad * block_n * 4
-    return 2 * big + 2 * big + big + 2 * trans
+    for block_n in (128, 64, 32, 16, 8):
+        fixed = 2 * s_pad * s_pad * 4 + 10 * s_pad * block_n * 4
+        for tc in (128, 64, 32, 16, 8, 4, 2, 1):
+            if 6 * tc * s_pad * block_n * 4 + fixed <= vmem_budget:
+                return block_n, tc
+    raise ValueError(f"no VMEM tiling for Ts={ts}, S={s}")  # S >~ 2800
 
 
-def estep_fits_vmem(ts: int, s: int, block_n: int = 128, budget: int = 14 << 20) -> bool:
-    """Whether the whole-block-resident kernel fits VMEM.
-
-    The kernel keeps emissions, alphas, and the gamma output block resident;
-    at large Ts*S it exceeds the ~16 MB VMEM (observed OOM at Ts=124, S=64).
-    Callers (hmm.em_step) fall back to the XLA scan path, which is equally
-    fast at small S anyway (docs/PERFORMANCE.md).
-    """
-    return estep_vmem_bytes(ts, s, block_n) <= budget
-
-
-def _kernel(
-    init_ref,   # [S, BN]
-    trans_ref,  # [S, S, BN]
-    emit_ref,   # [Ts, S, BN]
-    len_ref,    # [1, BN]
-    gamma_ref,  # out [Ts, S, BN]
-    xi_ref,     # out [S, S]
-    logz_ref,   # out [1, BN]
-    alphas,     # scratch [Ts, S, BN]
+def _fwd_kernel(
+    base_ref,     # [S, S]   base0 = base - max(base)  (shared)
+    init_ref,     # [S, BN]
+    rowz_ref,     # [S, BN]  rowz0 = rowz - max(base)
+    colmask_ref,  # [S, BN]
+    emit_ref,     # [Tc, S, BN]
+    len_ref,      # [1, BN] int32
+    alphas_ref,   # out [Tc, S, BN]
+    logz_ref,     # out [1, BN]
+    carry,        # scratch [S, BN]
     *,
-    ts: int,
+    tc: int,
+    n_chunks: int,
+    bf16: bool,
 ):
-    s, bn = init_ref.shape
-    lens = len_ref[0, :]  # [BN]
-    trans = trans_ref[:]  # [S, S, BN]
+    j = pl.program_id(1)
+    lens = len_ref[0]
+    bexp = jnp.exp(base_ref[:])  # ≤ 1
+    rowz = rowz_ref[:]
+    colmask = colmask_ref[:]
+    if bf16:
+        bexp = bexp.astype(jnp.bfloat16)
 
-    def lse_over_prev(vec):
-        # vec [S, BN] -> logsumexp_s(vec[s] + trans[s, s', :]) -> [S', BN]
-        x = vec[:, None, :] + trans  # [S, S', BN]
-        m = jnp.max(x, axis=0)  # [S', BN]
+    @pl.when(j == 0)
+    def _():
+        a0 = init_ref[:] + emit_ref[0]
+        carry[:] = a0
+        alphas_ref[0] = a0
+
+    def body(i, alpha):
+        t = j * tc + i
+        a2 = alpha - rowz
+        m = jnp.max(a2, axis=0)  # [BN]
         m_safe = jnp.where(m > NEG_INF / 2, m, 0.0)
-        out = jnp.log(jnp.sum(jnp.exp(x - m_safe[None, :, :]), axis=0) + 1e-38)
-        return jnp.where(m > NEG_INF / 2, out + m_safe, NEG_INF)
-
-    # ---------- forward ----------
-    alpha0 = init_ref[:] + emit_ref[0]
-    alphas[0] = alpha0
-
-    def fwd_body(t, alpha):
-        upd = lse_over_prev(alpha) + emit_ref[t]
+        e = jnp.exp(a2 - m_safe[None, :])  # ≤ 1
+        if bf16:
+            e = e.astype(jnp.bfloat16)
+        # p[s', n] = Σ_s bexp[s, s'] · e[s, n]   (MXU)
+        p = jax.lax.dot_general(
+            bexp, e, (((0,), (0,)), ((), ())),
+            precision=None if bf16 else _HI,
+            preferred_element_type=jnp.float32,
+        )
+        upd = jnp.where(
+            p > 0.0, jnp.log(jnp.maximum(p, 1e-38)) + m_safe[None, :], NEG_INF
+        )
+        upd = upd + emit_ref[i] + colmask
         alive = (t < lens)[None, :]
         alpha_new = jnp.where(alive, upd, alpha)
-        alphas[t] = alpha_new
+        alphas_ref[i] = alpha_new
         return alpha_new
 
-    alpha_last = jax.lax.fori_loop(1, ts, fwd_body, alpha0)
+    start = jnp.where(j == 0, 1, 0)
+    alpha_last = jax.lax.fori_loop(start, tc, body, carry[:], unroll=False)
+    carry[:] = alpha_last
 
-    m = jnp.max(alpha_last, axis=0)
-    m_safe = jnp.where(m > NEG_INF / 2, m, 0.0)
-    logz = jnp.log(jnp.sum(jnp.exp(alpha_last - m_safe[None, :]), axis=0) + 1e-38)
-    logz = jnp.where(m > NEG_INF / 2, logz + m_safe, NEG_INF)
-    logz = jnp.where(lens > 0, logz, 0.0)
-    logz_ref[0, :] = logz
+    @pl.when(j == n_chunks - 1)
+    def _():
+        m = jnp.max(alpha_last, axis=0)
+        m_safe = jnp.where(m > NEG_INF / 2, m, 0.0)
+        z = jnp.log(jnp.sum(jnp.exp(alpha_last - m_safe[None, :]), axis=0) + 1e-38)
+        z = jnp.where(m > NEG_INF / 2, z + m_safe, NEG_INF)
+        logz_ref[0] = jnp.where(lens > 0, z, 0.0)
+
+
+def _bwd_kernel(
+    base_ref,     # [S, S]  base0
+    rowz_ref,     # [S, BN] rowz0
+    colmask_ref,  # [S, BN]
+    emit_ref,     # [Tc, S, BN]   (chunk n_chunks-1-j)
+    alphas_ref,   # [Tc, S, BN]   (chunk n_chunks-1-j)
+    len_ref,      # [1, BN]
+    logz_ref,     # [1, BN]
+    gamma_ref,    # out [Tc, S, BN]
+    xi_ref,       # out [1, S, S]
+    ebc,          # scratch [S, BN]: eb = emit[t+1] + beta[t+1] carry
+    xi_acc,       # scratch [S, S]
+    *,
+    tc: int,
+    n_chunks: int,
+    bf16: bool,
+):
+    j = pl.program_id(1)
+    c0 = (n_chunks - 1 - j) * tc
+    lens = len_ref[0]
+    logz = logz_ref[0]
     logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
+    bexp32 = jnp.exp(base_ref[:])
+    bexp = bexp32.astype(jnp.bfloat16) if bf16 else bexp32
+    rowz = rowz_ref[:]
+    colmask = colmask_ref[:]
 
-    # ---------- backward + posteriors + pooled transition counts ----------
-    xi_acc0 = jnp.zeros((s, s), jnp.float32)
-    beta_last = jnp.zeros((s, bn), jnp.float32)
+    @pl.when(j == 0)
+    def _():
+        ebc[:] = jnp.full_like(ebc, NEG_INF)
+        xi_acc[:] = jnp.zeros_like(xi_acc)
 
-    # gamma at the last time index (beta = 0 there for lanes with len == ts)
-    def write_gamma(t, beta_t):
-        lg = alphas[t] + beta_t - logz_safe[None, :]
-        alive = (t < lens)[None, :]
-        gamma_ref[t] = jnp.where(alive, jnp.exp(jnp.minimum(lg, 0.0)), 0.0)
-
-    write_gamma(ts - 1, beta_last)
-
-    def bwd_body(i, carry):
-        beta, xi_acc = carry
-        t = ts - 2 - i  # ts-2 .. 0
-        emit_next = emit_ref[t + 1]
-        eb = emit_next + beta  # [S', BN]
-        # beta[t] = logsumexp_{s'}(trans[s, s', n] + eb[s', n])
-        x = trans + eb[None, :, :]  # [S, S', BN]
-        mm = jnp.max(x, axis=1)  # [S, BN]
-        mm_safe = jnp.where(mm > NEG_INF / 2, mm, 0.0)
-        upd = jnp.log(jnp.sum(jnp.exp(x - mm_safe[:, None, :]), axis=1) + 1e-38)
-        upd = jnp.where(mm > NEG_INF / 2, upd + mm_safe, NEG_INF)
-        ended = ((t + 1) >= lens)[None, :]
-        beta_new = jnp.where(ended, jnp.zeros_like(upd), upd)
-
-        # xi for the t -> t+1 transition (lanes where t+1 < len)
-        logxi = (
-            alphas[t][:, None, :] + trans + eb[None, :, :] - logz_safe[None, None, :]
+    def body(k, eb):
+        i = tc - 1 - k
+        t = c0 + i
+        ebm = eb + colmask
+        m2 = jnp.max(ebm, axis=0)  # [BN]
+        m2_safe = jnp.where(m2 > NEG_INF / 2, m2, 0.0)
+        f = jnp.exp(ebm - m2_safe[None, :])  # ≤ 1
+        fd = f.astype(jnp.bfloat16) if bf16 else f
+        # q[s, n] = Σ_s' bexp[s, s'] · f[s', n]   (MXU)
+        q = jax.lax.dot_general(
+            bexp, fd, (((1,), (0,)), ((), ())),
+            precision=None if bf16 else _HI,
+            preferred_element_type=jnp.float32,
         )
-        alive2 = ((t + 1) < lens)[None, None, :]
-        xi = jnp.where(alive2, jnp.exp(jnp.minimum(logxi, 0.0)), 0.0)
-        xi_acc = xi_acc + jnp.sum(xi, axis=2)
+        upd = jnp.where(
+            q > 0.0, jnp.log(jnp.maximum(q, 1e-38)) + m2_safe[None, :], NEG_INF
+        )
+        upd = upd - rowz
+        ended = ((t + 1) >= lens)[None, :]
+        beta_t = jnp.where(ended, 0.0, upd)
 
-        write_gamma(t, beta_new)
-        return beta_new, xi_acc
+        alpha_t = alphas_ref[i]
+        lg = alpha_t + beta_t - logz_safe[None, :]
+        alive = (t < lens)[None, :]
+        gamma_ref[i] = jnp.where(alive, jnp.exp(jnp.minimum(lg, 0.0)), 0.0)
 
-    _, xi_acc = jax.lax.fori_loop(0, ts - 1, bwd_body, (beta_last, xi_acc0))
-    xi_ref[:] = xi_acc[None]  # out block is [1, S, S]
+        # xi(t -> t+1) pooled over (t, n):
+        #   xi[s,s'] = exp(a2[s,n] + base0[s,s'] + ebm[s',n])
+        #            = bexp[s,s'] · (Ea @ F^T)[s,s']
+        # Ea = exp(a2 + m2) ≤ exp(range of base) — clamped for fp32 safety.
+        tr_alive = ((t + 1) < lens)[None, :]
+        a2 = alpha_t - rowz - logz_safe[None, :]
+        ea = jnp.exp(jnp.minimum(a2 + m2_safe[None, :], 80.0))
+        ea = jnp.where(tr_alive, ea, 0.0)
+        ead = ea.astype(jnp.bfloat16) if bf16 else ea
+        xc = jax.lax.dot_general(
+            ead, fd, (((1,), (1,)), ((), ())),
+            precision=None if bf16 else _HI,
+            preferred_element_type=jnp.float32,
+        )  # [S, S']
+        xi_acc[:] = xi_acc[:] + bexp32 * xc
+        return emit_ref[i] + beta_t
+
+    eb_fin = jax.lax.fori_loop(0, tc, body, ebc[:], unroll=False)
+    ebc[:] = eb_fin
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        xi_ref[0] = xi_acc[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "chunk_t", "dot_dtype", "interpret")
+)
 def hmm_estep_pallas(
-    log_init: jax.Array,   # [N, S]
-    log_trans: jax.Array,  # [N, S, S]
-    log_emit: jax.Array,   # [N, Ts, S]
-    src_len: jax.Array,    # [N]
-    block_n: int = 128,
+    log_init: jax.Array,  # [N, S]
+    base: jax.Array,      # [S, S]   shared jump-weight matrix
+    rowz: jax.Array,      # [N, S]   per-row log normalizer
+    colmask: jax.Array,   # [N, S]   0 valid / NEG_INF invalid states
+    log_emit: jax.Array,  # [N, Ts, S]
+    src_len: jax.Array,   # [N]
+    block_n: int | None = None,
+    chunk_t: int | None = None,
+    dot_dtype: str = "float32",
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused E-step.  Returns (gamma [N, Ts, S], xi_pooled [S, S], logz [N]).
 
-    gamma is zero outside the valid (time, state) region; xi_pooled is the
-    transition posterior summed over all t and n (per-jump-width projection is
-    the caller's).
+    Transitions come factored (models/hmm_core.py:factor_log_trans):
+    ``trans[n,s,s'] = base[s,s'] - rowz[n,s] + colmask[n,s']``.  gamma is zero
+    outside the valid (time, state) region; xi_pooled is the transition
+    posterior summed over all t and n (per-jump-width projection is the
+    caller's).  Any (Ts, S) fits VMEM via time chunking — no fallback path.
     """
     n, ts, s = log_emit.shape
-    s_pad = _round_up(s, 8)
-    n_pad = _round_up(n, block_n)
+    auto_bn, auto_tc = pick_tiles(ts, s)
+    bn = block_n or auto_bn
+    tc = chunk_t or auto_tc
+    bf16 = dot_dtype == "bfloat16"
 
-    def pad(x, target_shape):
-        out = jnp.full(target_shape, NEG_INF, jnp.float32)
+    s_pad = _round_up(s, 8)
+    n_pad = _round_up(n, bn)
+    ts_pad = _round_up(ts, tc)
+    n_chunks = ts_pad // tc
+
+    maxbase = jnp.max(base)  # finite (NEG_INF slots never the max)
+    base0 = jnp.maximum(base - maxbase, NEG_INF)
+
+    def pad(x, shape, fill=NEG_INF):
+        out = jnp.full(shape, fill, jnp.float32)
         return out.at[tuple(slice(0, d) for d in x.shape)].set(x)
 
+    base_p = pad(base0, (s_pad, s_pad))
     init_p = pad(log_init, (n_pad, s_pad))
-    trans_p = pad(log_trans, (n_pad, s_pad, s_pad))
-    emit_p = pad(log_emit, (n_pad, ts, s_pad))
+    rowz_p = pad(rowz - maxbase, (n_pad, s_pad), fill=0.0)
+    colmask_p = pad(colmask, (n_pad, s_pad))
+    emit_p = pad(log_emit, (n_pad, ts_pad, s_pad))
     len_p = jnp.zeros((n_pad,), jnp.int32).at[:n].set(src_len)
 
-    # lane-major layouts
-    init_t = jnp.moveaxis(init_p, 0, -1)  # [S, N]
-    trans_t = jnp.moveaxis(trans_p, 0, -1)  # [S, S, N]
-    emit_t = jnp.moveaxis(emit_p, 0, -1)  # [Ts, S, N]
-    len_t = len_p[None, :]  # [1, N]
+    # lane-major layouts: batch on lanes, states on sublanes, time leading
+    init_t = jnp.moveaxis(init_p, 0, -1)      # [S, N]
+    rowz_t = jnp.moveaxis(rowz_p, 0, -1)      # [S, N]
+    colmask_t = jnp.moveaxis(colmask_p, 0, -1)
+    emit_t = jnp.moveaxis(emit_p, 0, -1)      # [Ts, S, N]
+    len_t = len_p[None, :]                    # [1, N]
 
-    grid = (n_pad // block_n,)
-    gamma, xi, logz = pl.pallas_call(
-        functools.partial(_kernel, ts=ts),
+    grid = (n_pad // bn, n_chunks)
+    kw = dict(tc=tc, n_chunks=n_chunks, bf16=bf16)
+
+    spec_sn = pl.BlockSpec((s_pad, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    spec_1n = pl.BlockSpec((1, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    spec_base = pl.BlockSpec(
+        (s_pad, s_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    spec_chunk = pl.BlockSpec(
+        (tc, s_pad, bn), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+    )
+    spec_chunk_rev = pl.BlockSpec(
+        (tc, s_pad, bn),
+        lambda i, j: (n_chunks - 1 - j, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+
+    alphas, logz = pl.pallas_call(
+        functools.partial(_fwd_kernel, **kw),
         out_shape=(
-            jax.ShapeDtypeStruct((ts, s_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], s_pad, s_pad), jnp.float32),
+            jax.ShapeDtypeStruct((ts_pad, s_pad, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         ),
         grid=grid,
+        in_specs=[spec_base, spec_sn, spec_sn, spec_sn, spec_chunk, spec_1n],
+        out_specs=(spec_chunk, spec_1n),
+        scratch_shapes=[pltpu.VMEM((s_pad, bn), jnp.float32)],
+        interpret=interpret,
+    )(base_p, init_t, rowz_t, colmask_t, emit_t, len_t)
+
+    gamma, xi = pl.pallas_call(
+        functools.partial(_bwd_kernel, **kw),
+        out_shape=(
+            jax.ShapeDtypeStruct((ts_pad, s_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], s_pad, s_pad), jnp.float32),
+        ),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((s_pad, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_pad, s_pad, block_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, s_pad, block_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            spec_base, spec_sn, spec_sn, spec_chunk_rev, spec_chunk_rev,
+            spec_1n, spec_1n,
         ],
         out_specs=(
-            pl.BlockSpec((ts, s_pad, block_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            spec_chunk_rev,
+            pl.BlockSpec((1, s_pad, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((ts, s_pad, block_n), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((s_pad, bn), jnp.float32),
+            pltpu.VMEM((s_pad, s_pad), jnp.float32),
+        ],
         interpret=interpret,
-    )(init_t, trans_t, emit_t, len_t)
+    )(base_p, rowz_t, colmask_t, emit_t, alphas, len_t, logz)
 
-    gamma = jnp.moveaxis(gamma, -1, 0)[:n, :, :s]  # [N, Ts, S]
+    gamma = jnp.moveaxis(gamma, -1, 0)[:n, :ts, :s]  # [N, Ts, S]
     xi_pooled = jnp.sum(xi, axis=0)[:s, :s]
     return gamma, xi_pooled, logz[0, :n]

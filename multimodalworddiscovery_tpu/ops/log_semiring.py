@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF
 
 
-def _kernel(a_ref, b_ref, out_ref, m_scratch, acc_scratch):
+def _kernel(a_ref, b_ref, out_ref, m_scratch, acc_scratch, *, bf16: bool = False):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -46,10 +46,18 @@ def _kernel(a_ref, b_ref, out_ref, m_scratch, acc_scratch):
     m_b_safe = jnp.where(m_b > NEG_INF / 2, m_b, 0.0)
     p = jnp.exp(a - m_a_safe)
     q = jnp.exp(b - m_b_safe)
-    # HIGHEST: bf16-rounded exponentials cost ~1e-2 absolute error in log space
-    s_t = jnp.dot(
-        p, q, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )  # [bi, bj]
+    if bf16:
+        # bf16 MXU inputs (exponentials are <= 1 by construction), f32
+        # accumulate: ~1e-2 absolute log-space error for a large MFU win —
+        # see docs/PERFORMANCE.md for the measured tradeoff.  Default stays
+        # HIGHEST per the repo rule (matmuls feeding log pipelines).
+        p, q = p.astype(jnp.bfloat16), q.astype(jnp.bfloat16)
+        s_t = jnp.dot(p, q, preferred_element_type=jnp.float32)
+    else:
+        s_t = jnp.dot(
+            p, q, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [bi, bj]
     m_t = m_a_safe + m_b_safe
     m_t = jnp.where((m_a > NEG_INF / 2) & (m_b > NEG_INF / 2), m_t, NEG_INF)
 
@@ -76,7 +84,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_i", "block_j", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("block_i", "block_j", "block_k", "dot_dtype", "interpret"),
 )
 def log_matmul_pallas(
     a: jax.Array,
@@ -84,12 +93,14 @@ def log_matmul_pallas(
     block_i: int = 128,
     block_j: int = 128,
     block_k: int = 128,
+    dot_dtype: str = "float32",
     interpret: bool = False,
 ) -> jax.Array:
     """[I, K] x [K, J] -> [I, J] in the log semiring (tiled, MXU).
 
     Inputs are padded with NEG_INF (identity of logsumexp) to tile multiples.
     For batched operands use jax.vmap — the kernel is rank-2.
+    dot_dtype='bfloat16' trades ~1e-2 absolute log-space error for MFU.
     """
     i, k = a.shape
     k2, j = b.shape
@@ -100,7 +111,7 @@ def log_matmul_pallas(
 
     grid = (ip // block_i, jp // block_j, kp // block_k)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, bf16=dot_dtype == "bfloat16"),
         out_shape=jax.ShapeDtypeStruct((ip, jp), jnp.float32),
         grid=grid,
         in_specs=[

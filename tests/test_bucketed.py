@@ -52,6 +52,94 @@ def test_bucketed_em_matches_full_hmm():
     assert (a_full == a_b).mean() > 0.999
 
 
+def _continuous_corpus(n=24, seed=11):
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
+    corpus, gold, _ = make_flickr8k_mini(n_utterances=n, seed=seed)
+    corpus, gold, _ = phones_to_frames(corpus, gold, feat_dim=8, seed=seed)
+    return corpus
+
+
+def test_bucketed_em_matches_full_hmm_gaussian():
+    from multimodalworddiscovery_tpu.models import hmm_gaussian
+
+    corpus = _continuous_corpus()
+    key = jax.random.PRNGKey(0)
+    p_full = hmm_gaussian.init(corpus, n_components=2, key=key)
+    lls_full = []
+    for _ in range(3):
+        p_full, s = hmm_gaussian.em_step(p_full, corpus, smoothing=1e-6)
+        lls_full.append(float(s["loglik"]))
+
+    edges = [int(np.median(np.asarray(corpus.src_len)))]
+    p_b, lls_b = bucketed.train_bucketed(
+        hmm_gaussian, hmm_gaussian.init(corpus, n_components=2, key=key),
+        corpus, edges, 3, smoothing=1e-6,
+    )
+    np.testing.assert_allclose(lls_b, lls_full, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(p_b.means), np.asarray(p_full.means), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_b.log_vars), np.asarray(p_full.log_vars), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_bucketed_em_matches_full_hmm_dnn():
+    from multimodalworddiscovery_tpu.models import hmm_dnn
+
+    corpus = _continuous_corpus(n=20, seed=12)
+    key = jax.random.PRNGKey(1)
+    p_full = hmm_dnn.init(corpus, hidden=32, n_sgd=2, key=key)
+    lls_full = []
+    for _ in range(2):
+        p_full, s = hmm_dnn.em_step(p_full, corpus, smoothing=1e-6)
+        lls_full.append(float(s["loglik"]))
+
+    edges = [int(np.median(np.asarray(corpus.src_len)))]
+    p_b, lls_b = bucketed.train_bucketed(
+        hmm_dnn, hmm_dnn.init(corpus, hidden=32, n_sgd=2, key=key),
+        corpus, edges, 2, smoothing=1e-6,
+    )
+    np.testing.assert_allclose(lls_b, lls_full, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(p_b.log_prior), np.asarray(p_full.log_prior), rtol=1e-4, atol=1e-4
+    )
+    # the neural M-step's pooled-gradient update matches the fused scan
+    flat_b = jax.tree_util.tree_leaves(p_b.mlp)
+    flat_f = jax.tree_util.tree_leaves(p_full.mlp)
+    for a, b in zip(flat_b, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_bucketed_em_data_parallel_mesh():
+    from multimodalworddiscovery_tpu.core.mesh import make_mesh
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=30, seed=8)
+    p_full = hmm.init(corpus)
+    for _ in range(2):
+        p_full, _ = hmm.em_step(p_full, corpus)
+
+    mesh = make_mesh()
+    p_b, _ = bucketed.train_bucketed(
+        hmm, hmm.init(corpus), corpus, [12], 2, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_b.log_emit), np.asarray(p_full.log_emit), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_bucketed_on_iteration_callback():
+    corpus, _, _ = make_flickr8k_mini(n_utterances=20, seed=5)
+    seen = []
+    bucketed.train_bucketed(
+        hmm, hmm.init(corpus), corpus, [12], 3,
+        on_iteration=lambda it, p, ll: seen.append((it, ll)),
+    )
+    assert [it for it, _ in seen] == [0, 1, 2]
+    assert all(np.isfinite(ll) for _, ll in seen)
+
+
 def test_min_bucket_size_never_drops_utterances():
     corpus, _, _ = make_flickr8k_mini(n_utterances=30, seed=9)
     # absurd min size: everything must still land somewhere (the rest bucket)

@@ -15,7 +15,10 @@ def setup():
     params = hmm.init(corpus)
     params, _ = hmm.em_step(params, corpus)  # non-trivial params
     log_init, log_trans, log_emit = hmm._machinery(params, corpus)
-    return corpus, params, log_init, log_trans, log_emit
+    factored = hmm_core.factor_log_trans(
+        params.log_jump, params.log_p0, corpus, params.max_jump
+    )
+    return corpus, params, log_init, log_trans, log_emit, factored
 
 
 def _oracle(corpus, log_init, log_trans, log_emit):
@@ -51,11 +54,21 @@ def _oracle(corpus, log_init, log_trans, log_emit):
     return gamma, xi_pooled, logz
 
 
+def test_factored_trans_matches_dense(setup):
+    _, _, _, log_trans, _, (base, rowz, colmask) = setup
+    dense = base[None, :, :] - rowz[:, :, None] + colmask[:, None, :]
+    want = np.asarray(log_trans)
+    got = np.asarray(dense)
+    valid = want > NEG_INF / 2
+    np.testing.assert_allclose(got[valid], want[valid], rtol=1e-5, atol=1e-5)
+    assert np.all(got[~valid] < NEG_INF / 2)
+
+
 def test_estep_kernel_matches_scan_oracle(setup):
-    corpus, params, log_init, log_trans, log_emit = setup
+    corpus, params, log_init, log_trans, log_emit, (base, rowz, colmask) = setup
     want_gamma, want_xi, want_logz = _oracle(corpus, log_init, log_trans, log_emit)
     got_gamma, got_xi, got_logz = hmm_estep_pallas(
-        log_init, log_trans, log_emit, corpus.src_len, interpret=True
+        log_init, base, rowz, colmask, log_emit, corpus.src_len, interpret=True
     )
     np.testing.assert_allclose(
         np.asarray(got_logz), np.asarray(want_logz), rtol=1e-4, atol=1e-4
@@ -68,17 +81,28 @@ def test_estep_kernel_matches_scan_oracle(setup):
     )
 
 
-def test_estep_kernel_block_size_irrelevant(setup):
-    corpus, params, log_init, log_trans, log_emit = setup
-    g1, x1, z1 = hmm_estep_pallas(
-        log_init, log_trans, log_emit, corpus.src_len, block_n=128, interpret=True
-    )
-    g2, x2, z2 = hmm_estep_pallas(
-        log_init, log_trans, log_emit, corpus.src_len, block_n=8, interpret=True
-    )
+def test_estep_kernel_tile_sizes_irrelevant(setup):
+    corpus, params, log_init, log_trans, log_emit, (base, rowz, colmask) = setup
+    args = (log_init, base, rowz, colmask, log_emit, corpus.src_len)
+    g1, x1, z1 = hmm_estep_pallas(*args, block_n=128, chunk_t=64, interpret=True)
+    g2, x2, z2 = hmm_estep_pallas(*args, block_n=8, chunk_t=4, interpret=True)
+    g3, x3, z3 = hmm_estep_pallas(*args, block_n=16, chunk_t=1, interpret=True)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z3), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g3), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x3), rtol=1e-4, atol=1e-4)
+
+
+def test_estep_kernel_bf16_dots_close(setup):
+    """bf16 MXU inputs (exponentials <= 1) stay within loose tolerance."""
+    corpus, params, log_init, log_trans, log_emit, (base, rowz, colmask) = setup
+    args = (log_init, base, rowz, colmask, log_emit, corpus.src_len)
+    g1, x1, z1 = hmm_estep_pallas(*args, interpret=True)
+    g2, x2, z2 = hmm_estep_pallas(*args, dot_dtype="bfloat16", interpret=True)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-2, atol=2e-2)
 
 
 def test_em_step_with_pallas_estep_matches(setup):

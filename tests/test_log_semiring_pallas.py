@@ -52,3 +52,16 @@ def test_vmapped_batch():
     got = np.asarray(f(jnp.asarray(a), jnp.asarray(b)))
     want = np.asarray(log_matmul(jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_log_matmul_pallas_bf16_close():
+    import numpy as np
+    from multimodalworddiscovery_tpu.ops.log_semiring import log_matmul_pallas
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray((4 * rng.normal(size=(96, 160))).astype(np.float32))
+    b = jnp.asarray((4 * rng.normal(size=(160, 72))).astype(np.float32))
+    f32 = log_matmul_pallas(a, b, interpret=True)
+    bf16 = log_matmul_pallas(a, b, dot_dtype="bfloat16", interpret=True)
+    # exponentials <= 1: bf16 rounding costs ~1e-2 absolute in log space
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32), atol=5e-2)
