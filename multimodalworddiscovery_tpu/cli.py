@@ -60,54 +60,139 @@ def _load_data(cfg) -> tuple[Corpus, GoldAnnotations | None]:
     raise ValueError(f"unknown data.source {cfg.data.source!r}")
 
 
-def _make_model(cfg, corpus):
+def _resolve_use_pallas(cfg, corpus) -> bool:
+    """Resolve model.use_pallas = auto|on|off for the HMM family.
+
+    auto: the fused kernel wins on TPU once the state space is non-trivial
+    (bench/results.jsonl hmm_estep entries); the XLA scan path stays the
+    CPU/small-S default."""
+    mode = str(cfg.model.get("use_pallas", "auto")).lower()
+    if mode in ("on", "true", "1"):
+        return True
+    if mode in ("off", "false", "0"):
+        return False
+    if mode != "auto":
+        raise ValueError(f"model.use_pallas must be auto|on|off, got {mode!r}")
+    on_tpu = jax.devices()[0].platform != "cpu"
+    return on_tpu and 2 * corpus.max_trg_len >= 32
+
+
+def _make_teacher(cfg, corpus):
+    """Train the guide teacher (discrete or Gaussian HMM) for guided
+    attention; returns (teacher_params, posteriors_fn)."""
+    teacher = cfg.model.guide
+    iters = cfg.model.get("guide_iters", 15)
+    if teacher == "hmm":
+        from multimodalworddiscovery_tpu.models import hmm as tmod
+    elif teacher == "hmm_gaussian":
+        from multimodalworddiscovery_tpu.models import hmm_gaussian as tmod
+    else:
+        raise ValueError(f"model.guide must be ''|hmm|hmm_gaussian, got {teacher!r}")
+    if teacher == "hmm":
+        tp = tmod.init(corpus, max_jump=cfg.model.max_jump)
+    else:
+        tp = tmod.init(
+            corpus, max_jump=cfg.model.max_jump,
+            n_components=cfg.model.get("n_components", 2),
+            key=jax.random.PRNGKey(cfg.seed + 1),
+        )
+    tp, _ = jax.jit(lambda p: tmod.train(p, corpus, iters))(tp)
+    print(f"trained {teacher} teacher ({iters} EM iters); attention will be guided")
+    return tp, tmod.posteriors
+
+
+def _make_model(cfg, corpus, init_only: bool = False):
+    """Build (module, params, step) for the configured model.
+
+    ``init_only`` skips expensive step construction (e.g. training the HMM
+    teacher for guided attention) — restore paths only need the parameter
+    template, never the training step.
+    """
     mod = get_model(cfg.model.name)
     name = cfg.model.name
+    key = jax.random.PRNGKey(cfg.seed)
     if name == "model1":
         params = mod.init(corpus)
         step = functools.partial(mod.em_step, smoothing=cfg.model.smoothing)
-    elif name == "hmm_gaussian":
-        params = mod.init(
-            corpus,
-            max_jump=cfg.model.max_jump,
-            n_components=cfg.model.get("n_components", 2),
-            key=jax.random.PRNGKey(cfg.seed),
-        )
-        step = mod.em_step
-    elif name in ("hmm", "hmm_dnn"):
-        params = mod.init(corpus, max_jump=cfg.model.max_jump)
-        step = mod.em_step
+    elif name in ("hmm", "hmm_gaussian", "hmm_dnn"):
+        use_pallas = _resolve_use_pallas(cfg, corpus)
+        dot_dtype = cfg.model.get("dot_dtype", "float32")
+        if name == "hmm":
+            params = mod.init(corpus, max_jump=cfg.model.max_jump)
+            step = functools.partial(
+                mod.em_step, smoothing=cfg.model.smoothing,
+                use_pallas=use_pallas, dot_dtype=dot_dtype,
+            )
+        elif name == "hmm_gaussian":
+            params = mod.init(
+                corpus,
+                max_jump=cfg.model.max_jump,
+                n_components=cfg.model.get("n_components", 2),
+                key=key,
+            )
+            step = functools.partial(
+                mod.em_step, use_pallas=use_pallas, dot_dtype=dot_dtype
+            )
+        else:
+            params = mod.init(
+                corpus, max_jump=cfg.model.max_jump,
+                hidden=cfg.model.get("hidden", 256),
+                learning_rate=cfg.model.get("learning_rate", 1e-3),
+                n_sgd=cfg.model.get("n_sgd", 4),
+                key=key,
+            )
+            step = functools.partial(
+                mod.em_step, use_pallas=use_pallas, dot_dtype=dot_dtype
+            )
+        if use_pallas and not init_only:
+            print("E-step: fused Pallas kernel (model.use_pallas)")
     elif name == "attention":
         params = mod.init(
             corpus, dim=cfg.model.get("dim", 128),
             learning_rate=cfg.model.get("learning_rate", 3e-4),
-            key=jax.random.PRNGKey(cfg.seed),
+            entropy_weight=cfg.model.get("entropy_weight", 0.0),
+            subsample=cfg.model.get("subsample", 1),
+            key=key,
         )
         step = mod.em_step
-        if cfg.model.get("guide", "") == "hmm":
-            # HMM-guided attention (DNN-HMM-DNN hybrid): train a teacher HMM,
-            # supervise cross-attention with its posteriors.  Measured 0.48 ->
-            # 0.99 positional accuracy on the synthetic corpus.
-            from multimodalworddiscovery_tpu.models import hmm as hmm_mod
+        if cfg.model.get("guide", "") and not init_only:
+            # Teacher-guided attention (DNN-HMM-DNN hybrid): train a teacher
+            # HMM, supervise cross-attention with its posteriors (measured
+            # 0.48 -> 0.99 positional accuracy on the synthetic corpus).
+            # The guide matrix is computed INSIDE the step from the teacher's
+            # parameters, so it works for full corpora, sharded corpora and
+            # minibatches alike.
+            tp, posteriors_fn = _make_teacher(cfg, corpus)
+            gw = cfg.model.get("guide_weight", 1.0)
 
-            hp = hmm_mod.init(corpus, max_jump=cfg.model.max_jump)
-            hp, _ = jax.jit(
-                lambda p: hmm_mod.train(p, corpus, cfg.model.get("guide_iters", 15))
-            )(hp)
-            guide = mod.hmm_guide_matrix(hp, corpus)
-            step = functools.partial(mod.em_step, guide=guide)
-            print("trained HMM teacher; attention will be guided")
+            def step(state, c, _tp=tp, _pf=posteriors_fn, _gw=gw):
+                g = mod.hmm_guide_matrix(_tp, c, posteriors_fn=_pf)
+                return mod.em_step(state, c, guide=g, guide_weight=_gw)
+
     elif name == "grounding":
         params = mod.init(
             corpus, dim=cfg.model.get("dim", 128),
             learning_rate=cfg.model.get("learning_rate", 1e-3),
-            key=jax.random.PRNGKey(cfg.seed),
+            margin=cfg.model.get("margin", 1.0),
+            key=key,
         )
         step = mod.em_step
     else:
         params = mod.init(corpus)
         step = mod.em_step
     return mod, params, step
+
+
+def _align_call(cfg, mod, params, corpus):
+    """Decode with model-specific knobs from config (e.g. the attention
+    aligner's NULL threshold) when the model supports them."""
+    import inspect
+
+    kw = {}
+    nt = float(cfg.model.get("null_threshold", 0.0) or 0.0)
+    if nt and "null_threshold" in inspect.signature(mod.align).parameters:
+        kw["null_threshold"] = nt
+    return jax.jit(functools.partial(mod.align, **kw))(params, corpus)
 
 
 def _save_config(cfg, workdir: Path) -> None:
@@ -140,45 +225,112 @@ def cmd_train(args) -> None:
     corpus, _ = _load_data(cfg)
     mod, params, step = _make_model(cfg, corpus)
 
+    em_models = ("model1", "hmm", "hmm_gaussian", "hmm_dnn")
+    grad_models = ("attention", "grounding")
     edges = [int(e) for e in str(cfg.train.get("bucket_edges", "")).split(",") if e.strip()]
-    if edges and cfg.model.name in ("model1", "hmm"):
+    batch_size = int(cfg.train.get("batch_size", 0))
+    if edges and cfg.model.name not in em_models:
+        raise SystemExit(
+            f"train.bucket_edges requires an EM aligner {em_models}; "
+            f"{cfg.model.name!r} is gradient-trained — use train.batch_size"
+        )
+    if batch_size and cfg.model.name not in grad_models:
+        raise SystemExit(
+            f"train.batch_size requires a gradient model {grad_models}; "
+            f"EM aligners use train.bucket_edges for ragged corpora"
+        )
+
+    ckpt = CheckpointManager(workdir / "ckpt")
+    writer = MetricsWriter(workdir / "train_metrics.jsonl")
+
+    if edges:
+        # --- exact length-bucketed EM (optionally data-parallel) ---
         from multimodalworddiscovery_tpu.models.bucketed import train_bucketed
 
-        ckpt = CheckpointManager(workdir / "ckpt")
-        writer = MetricsWriter(workdir / "train_metrics.jsonl")
-        t0 = time.perf_counter()
-        params, lls = train_bucketed(
-            mod, params, corpus, edges, cfg.train.num_iterations
+        mesh = make_mesh() if cfg.train.data_parallel else None
+        smoothing = (
+            cfg.model.smoothing if cfg.model.name in ("model1", "hmm") else 1e-6
         )
-        dt = time.perf_counter() - t0
-        for it, ll in enumerate(lls):
+        t0 = time.perf_counter()
+
+        def on_iteration(it, p, ll):
             writer.write(it, loglik=ll)
             print(f"iter {it:4d}  loglik {ll:.2f}")
-        ckpt.save(cfg.train.num_iterations - 1, params)
+            if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
+                ckpt.save(it, p)
+
+        params, _ = train_bucketed(
+            mod, params, corpus, edges, cfg.train.num_iterations,
+            smoothing=smoothing, mesh=mesh,
+            use_pallas=(
+                _resolve_use_pallas(cfg, corpus)
+                if cfg.model.name != "model1" else False
+            ),
+            on_iteration=on_iteration,
+        )
         ckpt.close()
-        print(f"bucketed EM ({len(edges) + 1} buckets) in {dt:.2f}s")
+        print(
+            f"bucketed EM ({len(edges) + 1} buckets"
+            + (f", {mesh.shape} mesh" if mesh else "")
+            + f") in {time.perf_counter() - t0:.2f}s"
+        )
+        return
+
+    mesh = None
+    if batch_size:
+        # --- minibatch SGD for the gradient models (device-resident corpus,
+        # per-step on-device gather; guide computed per batch inside step) ---
+        from multimodalworddiscovery_tpu.models.minibatch import make_minibatch_step
+
+        if cfg.train.data_parallel:
+            mesh = make_mesh()
+            corpus = shard_corpus(corpus, mesh)
+        mb_step = make_minibatch_step(step, corpus, batch_size, mesh=mesh)
+
+        start = 0
+        if ckpt.latest_step() is not None and not args.fresh:
+            params, start = ckpt.restore(params)
+            start += 1
+            print(f"resumed from step {start}")
+        key = jax.random.PRNGKey(cfg.seed)
+        t_total = 0.0
+        for it in range(start, cfg.train.num_iterations):
+            t0 = time.perf_counter()
+            params, stats = mb_step(params, jax.random.fold_in(key, it))
+            jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+            dt = time.perf_counter() - t0
+            t_total += dt
+            ll = float(stats["loglik"])
+            writer.write(it, loglik=ll, seconds=dt, batch_size=batch_size)
+            if it % 20 == 0 or it == cfg.train.num_iterations - 1:
+                print(f"step {it:5d}  loglik {ll:.2f}  ({dt*1e3:.1f} ms)")
+            if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
+                ckpt.save(it, params)
+        ckpt.close()
+        print(
+            f"trained {cfg.train.num_iterations - start} minibatch steps "
+            f"(B={batch_size}"
+            + (f", {mesh.shape} mesh" if mesh else "")
+            + f") in {t_total:.2f}s"
+        )
         return
 
     if cfg.train.data_parallel:
-        if cfg.model.name == "attention" and cfg.model.get("guide", ""):
-            # the guide matrix is built for the unpadded corpus; sharding pads
-            # N, so guided attention runs single-device for now
-            print("note: guided attention ignores train.data_parallel")
-        else:
-            mesh = make_mesh()
-            corpus = shard_corpus(corpus, mesh)
-            step = make_data_parallel_step(step, mesh)
+        # guided attention composes too: the guide matrix is computed inside
+        # the step from teacher params, so sharding the (padded) corpus is
+        # transparent to it
+        mesh = make_mesh()
+        corpus = shard_corpus(corpus, mesh)
+        step = make_data_parallel_step(step, mesh)
     else:
         step = jax.jit(step)
 
-    ckpt = CheckpointManager(workdir / "ckpt")
     start = 0
     if ckpt.latest_step() is not None and not args.fresh:
         params, start = ckpt.restore(params)
         start += 1
         print(f"resumed from iteration {start}")
 
-    writer = MetricsWriter(workdir / "train_metrics.jsonl")
     t_total = 0.0
     for it in range(start, cfg.train.num_iterations):
         t0 = time.perf_counter()
@@ -198,7 +350,7 @@ def cmd_train(args) -> None:
 def _restore(workdir: Path):
     cfg = _load_workdir_config(workdir)
     corpus, gold = _load_data(cfg)
-    mod, params, _ = _make_model(cfg, corpus)
+    mod, params, _ = _make_model(cfg, corpus, init_only=True)
     ckpt = CheckpointManager(workdir / "ckpt")
     params, step = ckpt.restore(params)
     ckpt.close()
@@ -208,7 +360,7 @@ def _restore(workdir: Path):
 def cmd_align(args) -> None:
     workdir = Path(args.workdir)
     cfg, corpus, _, mod, params = _restore(workdir)
-    alignment = np.asarray(jax.jit(mod.align)(params, corpus))
+    alignment = np.asarray(_align_call(cfg, mod, params, corpus))
     out = Path(args.output or workdir / "alignment.json")
     save_alignment_json(alignment, np.asarray(corpus.src_len), out)
     print(f"wrote {out}")
@@ -217,7 +369,7 @@ def cmd_align(args) -> None:
 def cmd_segment(args) -> None:
     workdir = Path(args.workdir)
     cfg, corpus, _, mod, params = _restore(workdir)
-    alignment = jax.jit(mod.align)(params, corpus)
+    alignment = _align_call(cfg, mod, params, corpus)
     segs, mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
     out = Path(args.output or workdir / "segments.json")
     save_alignment_json(
@@ -229,13 +381,46 @@ def cmd_segment(args) -> None:
     print(f"wrote {out}")
 
 
+def _retrieval_metrics(cfg, mod, params, corpus) -> dict:
+    """recall@k — dense N x N by default, or over candidate pools when
+    eval.retrieval_pool > 0 (the scalable protocol; VERDICT round-1 weak #5)."""
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        recall_at_k,
+        recall_at_k_pooled,
+        retrieval_scores_hmm,
+        retrieval_scores_hmm_pooled,
+        retrieval_scores_model1,
+        retrieval_scores_model1_pooled,
+        sample_candidate_pools,
+    )
+
+    name = cfg.model.name
+    pool = int(cfg.eval.get("retrieval_pool", 0))
+    if pool:
+        cand = sample_candidate_pools(
+            corpus.n, min(pool, corpus.n), jax.random.PRNGKey(cfg.seed)
+        )
+        if name == "model1":
+            scores = retrieval_scores_model1_pooled(params, corpus, cand)
+        elif name == "hmm":
+            scores = retrieval_scores_hmm_pooled(params, corpus, cand)
+        else:
+            scores = mod.retrieval_scores_pooled(params, corpus, cand)
+        return recall_at_k_pooled(scores)
+    if name == "model1":
+        scores = retrieval_scores_model1(params, corpus)
+    elif name == "hmm":
+        scores = retrieval_scores_hmm(params, corpus)
+    else:
+        scores = mod.retrieval_scores(params, corpus)
+    return recall_at_k(scores)
+
+
 def cmd_evaluate(args) -> None:
     from multimodalworddiscovery_tpu.eval import (
         alignment_prf,
         boundary_prf,
         cluster_purity,
-        recall_at_k,
-        retrieval_scores_model1,
         word_iou,
     )
 
@@ -244,7 +429,7 @@ def cmd_evaluate(args) -> None:
     if gold is None:
         raise SystemExit("no gold annotations available for this dataset")
 
-    alignment = jax.jit(mod.align)(params, corpus)
+    alignment = _align_call(cfg, mod, params, corpus)
     gold_alignment = jnp.asarray(gold.alignment)
 
     pred_segs, pred_mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
@@ -258,15 +443,34 @@ def cmd_evaluate(args) -> None:
         "boundary": boundary_prf(pb, gb, tolerance=cfg.eval.boundary_tolerance),
         "purity": cluster_purity(pred_segs, pred_mask, gold_segs, gold_mask, corpus.trg_vocab),
     }
-    if cfg.eval.retrieval and cfg.model.name == "model1":
-        scores = retrieval_scores_model1(params, corpus)
-        results["retrieval"] = recall_at_k(scores)
-    elif cfg.eval.retrieval and cfg.model.name == "hmm":
-        from multimodalworddiscovery_tpu.eval.retrieval import retrieval_scores_hmm
+    if cfg.eval.get("dtw", True) and corpus.src.ndim == 3:
+        # DTW scoring of discovered word units on acoustic frames
+        # (SURVEY.md §3.5) — all on device.  The all-pairs matrix is
+        # O((utts * segs)^2) DTW DPs, so it runs on an explicit, LOGGED
+        # sample (no silent truncation).
+        from multimodalworddiscovery_tpu.eval.dtw import (
+            cluster_dtw_coherence,
+            dtw_to_gold,
+        )
 
-        results["retrieval"] = recall_at_k(retrieval_scores_hmm(params, corpus))
-    elif cfg.eval.retrieval and cfg.model.name == "grounding":
-        results["retrieval"] = recall_at_k(mod.retrieval_scores(params, corpus))
+        max_len = int(cfg.eval.get("dtw_max_seg_len", 32))
+        k_utt = min(corpus.n, int(cfg.eval.get("dtw_utterances", 64)))
+        k_seg = min(pred_segs.shape[1], int(cfg.eval.get("dtw_segments", 8)))
+        if k_utt < corpus.n or k_seg < pred_segs.shape[1]:
+            print(
+                f"dtw: scoring first {k_utt}/{corpus.n} utterances, "
+                f"{k_seg} segments each (eval.dtw_utterances/dtw_segments)"
+            )
+        feats = corpus.src[:k_utt]
+        ps, pm = pred_segs[:k_utt, :k_seg], pred_mask[:k_utt, :k_seg]
+        gs, gm = gold_segs[:k_utt, :k_seg], gold_mask[:k_utt, :k_seg]
+        coh = cluster_dtw_coherence(feats, ps, pm, max_len)
+        results["dtw"] = dict(
+            coh, to_gold=dtw_to_gold(feats, ps, pm, gs, gm, max_len)
+        )
+
+    if cfg.eval.retrieval and cfg.model.name in ("model1", "hmm", "grounding"):
+        results["retrieval"] = _retrieval_metrics(cfg, mod, params, corpus)
 
     results = _to_jsonable(jax.tree.map(lambda x: float(x), results))
     out = Path(args.output or workdir / "metrics.json")
@@ -338,6 +542,19 @@ def cmd_retrieve(args) -> None:
 
     workdir = Path(args.workdir)
     cfg, corpus, _, mod, params = _restore(workdir)
+    if args.pool:
+        cfg.eval.retrieval_pool = args.pool
+    if int(cfg.eval.get("retrieval_pool", 0)):
+        # pooled protocol: rankings are within each caption's candidate pool
+        metrics = {
+            k: round(float(v), 4)
+            for k, v in _retrieval_metrics(cfg, mod, params, corpus).items()
+        }
+        out = Path(args.output or workdir / "retrieval.json")
+        out.write_text(json.dumps({"recall": metrics}, indent=1))
+        print(json.dumps(metrics, indent=2))
+        print(f"wrote {out}")
+        return
     if cfg.model.name == "model1":
         scores = retrieval_scores_model1(params, corpus)
     elif cfg.model.name == "hmm":
@@ -425,7 +642,7 @@ def cmd_lexicon(args) -> None:
 
     workdir = Path(args.workdir)
     cfg, corpus, gold, mod, params = _restore(workdir)
-    alignment = jax.jit(mod.align)(params, corpus)
+    alignment = _align_call(cfg, mod, params, corpus)
     segs, mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
     host_segs = segments_to_host(segs, mask)
     src = np.asarray(corpus.src)
@@ -458,7 +675,7 @@ def cmd_plot(args) -> None:
     workdir = Path(args.workdir)
     cfg, corpus, gold, mod, params = _restore(workdir)
     i = args.utterance
-    alignment = jax.jit(mod.align)(params, corpus)
+    alignment = _align_call(cfg, mod, params, corpus)
     segs, mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
     seg_list = segments_to_host(segs, mask)[i]
     sl = int(np.asarray(corpus.src_len)[i])
@@ -510,6 +727,8 @@ def main() -> None:
     p_ret = sub.add_parser("retrieve", help="cross-modal retrieval rankings + recall@k")
     p_ret.add_argument("--workdir", required=True)
     p_ret.add_argument("--top-k", type=int, default=10)
+    p_ret.add_argument("--pool", type=int, default=0,
+                       help="candidate-pool size (0 = dense N x N scoring)")
     p_ret.add_argument("--output", default=None)
     p_ret.set_defaults(fn=cmd_retrieve)
 

@@ -38,8 +38,24 @@ def base_config() -> ConfigDict:
     cfg.model.self_loop_prob = 0.0
     cfg.model.emission = "discrete"  # discrete | gaussian
     cfg.model.n_components = 2  # GMM components per concept (hmm_gaussian)
-    cfg.model.guide = ""  # "hmm" => HMM-posterior-guided attention
+    # fused Pallas E-step for the HMM family: auto = on TPU when the state
+    # space is large enough to beat the XLA scan (models/hmm_core.py:estep)
+    cfg.model.use_pallas = "auto"  # auto | on | off
+    cfg.model.dot_dtype = "float32"  # float32 | bfloat16 kernel MXU inputs
+    # teacher-guided attention (DNN-HMM-DNN hybrid): "" | hmm | hmm_gaussian
+    # (the Gaussian teacher is the one for continuous/frame corpora)
+    cfg.model.guide = ""
     cfg.model.guide_iters = 15
+    cfg.model.guide_weight = 1.0
+    # neural aligner knobs (attention / grounding / hmm_dnn)
+    cfg.model.dim = 128
+    cfg.model.learning_rate = 3e-4
+    cfg.model.entropy_weight = 0.0
+    cfg.model.subsample = 1  # conv-subsampled encoder stride (attention)
+    cfg.model.null_threshold = 0.0  # attention alignment NULL cutoff
+    cfg.model.hidden = 256  # hmm_dnn emission MLP width
+    cfg.model.n_sgd = 4  # hmm_dnn Adam steps per generalized-EM M-step
+    cfg.model.margin = 1.0  # grounding ranking-loss margin
     cfg.model.feat_dim = 0
 
     cfg.train = ConfigDict()
@@ -47,13 +63,27 @@ def base_config() -> ConfigDict:
     cfg.train.checkpoint_every = 10
     cfg.train.data_parallel = False  # shard corpus over all devices
     # comma-separated src-length bucket edges ("" = no bucketing); exact
-    # bucketed EM for model1/hmm (models/bucketed.py)
+    # bucketed EM for model1/hmm/hmm_gaussian/hmm_dnn (models/bucketed.py)
     cfg.train.bucket_edges = ""
+    # minibatch size for the gradient models (attention/grounding);
+    # 0 = full-batch.  With data_parallel, must divide by the device count.
+    cfg.train.batch_size = 0
 
     cfg.eval = ConfigDict()
     cfg.eval.boundary_tolerance = 1
     cfg.eval.iou_threshold = 0.5
     cfg.eval.retrieval = True
+    # 0 = dense N x N retrieval scoring; >0 = recall@k over fixed-size
+    # candidate pools (the scalable protocol for MSCOCO-sized corpora)
+    cfg.eval.retrieval_pool = 0
+    # DTW scoring of discovered units (continuous corpora only): within- vs
+    # across-cluster coherence + distance to the closest gold unit
+    cfg.eval.dtw = True
+    cfg.eval.dtw_max_seg_len = 32
+    # the all-pairs DTW matrix is O((utts*segs)^2) DPs: score an explicit
+    # sample (logged), raise for full-corpus runs on TPU
+    cfg.eval.dtw_utterances = 64
+    cfg.eval.dtw_segments = 8
 
     return cfg
 

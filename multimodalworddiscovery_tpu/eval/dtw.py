@@ -138,3 +138,98 @@ def segment_dtw_matrix(
     dist = jnp.where(valid[:, None] & valid[None, :], dist, _BIG)
     index = jnp.stack([utt, jnp.tile(jnp.arange(s), n)], axis=-1)
     return dist, index
+
+
+def _extract_segments(
+    feats: jax.Array, segments: jax.Array, seg_mask: jax.Array, max_seg_len: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Flatten per-utterance segments into a fixed [M, L, D] buffer.
+
+    Returns (seg_feats [M,L,D], lens [M], labels [M], utt [M]); invalid slots
+    have len 0 and label -1."""
+    n, t, d = feats.shape
+    s = segments.shape[1]
+    starts = segments[..., 0].reshape(-1)
+    ends = segments[..., 1].reshape(-1)
+    labels = segments[..., 2].reshape(-1)
+    valid = seg_mask.reshape(-1)
+    lens = jnp.where(valid, jnp.clip(ends - starts, 0, max_seg_len), 0)
+    labels = jnp.where(valid, labels, -1)
+    utt = jnp.repeat(jnp.arange(n), s)
+    offs = jnp.arange(max_seg_len)
+    idx = jnp.clip(starts[:, None] + offs[None, :], 0, t - 1)
+    return feats[utt[:, None], idx], lens, labels, utt
+
+
+def cluster_dtw_coherence(
+    feats: jax.Array,
+    segments: jax.Array,
+    seg_mask: jax.Array,
+    max_seg_len: int = 32,
+    metric: str = "sqeuclidean",
+    batch_size: int = 64,
+) -> dict[str, jax.Array]:
+    """Within- vs across-cluster mean DTW distance of discovered word units.
+
+    Reference use-case (SURVEY.md §3.5): segment-level DTW scoring — units
+    assigned to the same concept should be acoustically closer to each other
+    (within) than to units of other concepts (across); ratio < 1 = coherent.
+    All on device; returns {"within", "across", "ratio"}.
+    """
+    dist, _ = segment_dtw_matrix(
+        feats, segments, seg_mask, max_seg_len, metric, batch_size
+    )
+    labels = jnp.where(seg_mask, segments[..., 2], -1).reshape(-1)
+    valid = labels >= 0
+    pair_ok = (valid[:, None] & valid[None, :]) & ~jnp.eye(
+        labels.shape[0], dtype=bool
+    )
+    same = pair_ok & (labels[:, None] == labels[None, :])
+    diff = pair_ok & (labels[:, None] != labels[None, :])
+    d0 = jnp.where(dist < _BIG / 2, dist, 0.0)
+    within = jnp.sum(jnp.where(same, d0, 0.0)) / jnp.maximum(jnp.sum(same), 1)
+    across = jnp.sum(jnp.where(diff, d0, 0.0)) / jnp.maximum(jnp.sum(diff), 1)
+    return {
+        "within": within,
+        "across": across,
+        "ratio": within / jnp.maximum(across, 1e-9),
+    }
+
+
+def dtw_to_gold(
+    feats: jax.Array,
+    pred_segments: jax.Array,
+    pred_mask: jax.Array,
+    gold_segments: jax.Array,
+    gold_mask: jax.Array,
+    max_seg_len: int = 32,
+    metric: str = "sqeuclidean",
+    batch_size: int = 64,
+) -> jax.Array:
+    """Mean (over predicted units) of the normalized DTW distance to the
+    CLOSEST gold unit in the same utterance — 0 when every discovered unit
+    coincides with a gold word (SURVEY.md §3.5 "DTW scoring" vs gold)."""
+    pf, plen, _, putt = _extract_segments(feats, pred_segments, pred_mask, max_seg_len)
+    gf, glen, _, gutt = _extract_segments(feats, gold_segments, gold_mask, max_seg_len)
+    mp, mg = pf.shape[0], gf.shape[0]
+    d = feats.shape[-1]
+
+    def score_one(args):
+        xi, li = args
+        return dtw_distance(
+            jnp.broadcast_to(xi[None], (mg, max_seg_len, d)),
+            gf,
+            jnp.broadcast_to(li[None], (mg,)),
+            glen,
+            metric=metric,
+            normalize=True,
+        )
+
+    cross = jax.lax.map(score_one, (pf, plen), batch_size=batch_size)  # [Mp, Mg]
+    ok = (plen[:, None] > 0) & (glen[None, :] > 0) & (putt[:, None] == gutt[None, :])
+    cross = jnp.where(ok, cross, _BIG)
+    best = jnp.min(cross, axis=1)  # [Mp]
+    has_match = jnp.any(ok, axis=1) & (plen > 0)
+    return jnp.sum(jnp.where(has_match, best, 0.0)) / jnp.maximum(
+        jnp.sum(has_match), 1
+    )

@@ -75,6 +75,97 @@ def retrieval_scores_hmm(params, corpus: Corpus, batch_size: int = 8) -> jax.Arr
     )
 
 
+def sample_candidate_pools(
+    n: int, pool_size: int, key: jax.Array
+) -> jax.Array:
+    """[N, C] candidate image indices per caption; column 0 is the true image.
+
+    The standard large-corpus retrieval protocol (recall@k over fixed-size
+    pools): full N x N scoring is O(N^2) forwards and cannot scale to the
+    MSCOCO-sized corpora of BASELINE config #4, while pools keep scoring
+    O(N * C) with the same ranking semantics per pool.
+    """
+    if pool_size > n:
+        raise ValueError(f"pool_size {pool_size} > corpus size {n}")
+    # distractors sampled iid (excluding the true image by shifting collisions)
+    draws = jax.random.randint(key, (n, pool_size - 1), 0, n - 1)
+    true = jnp.arange(n)[:, None]
+    draws = jnp.where(draws >= true, draws + 1, draws)  # never the true image
+    return jnp.concatenate([true, draws], axis=1)
+
+
+def retrieval_scores_hmm_pooled(
+    params, corpus: Corpus, candidates: jax.Array, batch_size: int = 8
+) -> jax.Array:
+    """HMM forward loglik of caption i vs its candidate images -> [N, C]."""
+    from multimodalworddiscovery_tpu.models import hmm as hmm_mod
+    from multimodalworddiscovery_tpu.models import hmm_core
+
+    c = candidates.shape[1]
+
+    def one_caption(args):
+        src_row, src_len_row, cand = args  # [Ts], [], [C]
+        paired = Corpus(
+            src=jnp.broadcast_to(src_row[None], (c, src_row.shape[0])),
+            src_len=jnp.broadcast_to(src_len_row[None], (c,)),
+            trg=corpus.trg[cand],
+            trg_len=corpus.trg_len[cand],
+            src_vocab=corpus.src_vocab,
+            trg_vocab=corpus.trg_vocab,
+        )
+        log_init, log_trans, log_emit = hmm_mod._machinery(params, paired)
+        _, logz = hmm_core.forward(log_init, log_trans, log_emit, paired.src_len)
+        return logz  # [C]
+
+    return jax.lax.map(
+        one_caption, (corpus.src, corpus.src_len, candidates),
+        batch_size=batch_size,
+    )
+
+
+def retrieval_scores_model1_pooled(
+    params: Model1Params, corpus: Corpus, candidates: jax.Array,
+    batch_size: int = 32,
+) -> jax.Array:
+    """Model-1 loglik of caption i vs its candidate images -> [N, C]."""
+    trg_ext, ext_mask = _extended_targets(corpus)  # [N, 1+Tt]
+    src_mask = corpus.src_mask()
+    tt1 = trg_ext.shape[1]
+    c = candidates.shape[1]
+
+    def one_caption(args):
+        src_row, src_mask_row, src_len_row, cand = args
+        logp_rows = params.log_t[src_row]  # [Ts, V_trg]
+        te = trg_ext[cand]  # [C, 1+Tt]
+        em = ext_mask[cand]
+        pair = logp_rows[:, te.reshape(-1)].reshape(-1, c, tt1).transpose(1, 0, 2)
+        mask = src_mask_row[None, :, None] & em[:, None, :]
+        pair = jnp.where(mask, pair, NEG_INF)
+        per_pos = masked_logsumexp(pair, axis=-1)  # [C, Ts]
+        ll = jnp.sum(jnp.where(src_mask_row[None, :], per_pos, 0.0), axis=1)
+        prior = -jnp.log1p(corpus.trg_len[cand].astype(ll.dtype))
+        return ll + src_len_row.astype(ll.dtype) * prior
+
+    return jax.lax.map(
+        one_caption, (corpus.src, src_mask, corpus.src_len, candidates),
+        batch_size=batch_size,
+    )
+
+
+def recall_at_k_pooled(
+    pool_scores: jax.Array, ks: tuple[int, ...] = (1, 5, 10)
+) -> dict[str, jax.Array]:
+    """Recall@k from [N, C] pooled scores (column 0 = true image)."""
+    true = pool_scores[:, :1]
+    rank = jnp.sum(pool_scores[:, 1:] > true, axis=1)
+    out: dict[str, jax.Array] = {}
+    for k in ks:
+        out[f"recall@{k}_c2i"] = jnp.mean((rank < k).astype(jnp.float32))
+    out["median_rank_c2i"] = jnp.median(rank + 1).astype(jnp.float32)
+    out["pool_size"] = jnp.asarray(float(pool_scores.shape[1]))
+    return out
+
+
 def recall_at_k(scores: jax.Array, ks: tuple[int, ...] = (1, 5, 10)) -> dict[str, jax.Array]:
     """Recall@k both directions from an [N, N] score matrix (diagonal = true).
 

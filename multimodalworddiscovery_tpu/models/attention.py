@@ -217,9 +217,14 @@ def _loss_fn(params, mod, src, src_mask, trg_in, trg_mask, trg, entropy_weight=0
 
 
 def em_step(
-    state: AttentionParams, corpus: Corpus, guide: jax.Array | None = None
+    state: AttentionParams,
+    corpus: Corpus,
+    guide: jax.Array | None = None,
+    guide_weight: float = 1.0,
 ) -> tuple[AttentionParams, dict]:
-    """One full-batch AdamW step (the SGD analogue of an EM iteration).
+    """One batched AdamW step (the SGD analogue of an EM iteration) — the
+    corpus argument may be the full corpus or a gathered minibatch
+    (models/minibatch.py).
 
     guide: optional [N, Tt, Ts] teacher attention (see hmm_guide_matrix).
     """
@@ -232,7 +237,7 @@ def em_step(
     src, src_mask, trg_in, trg_mask = _inputs(corpus)
     loss, grads = jax.value_and_grad(_loss_fn)(
         state.params, mod, src, src_mask, trg_in, trg_mask, corpus.trg,
-        state.entropy_weight, guide,
+        state.entropy_weight, guide, guide_weight,
     )
     updates, opt_state = _optimizer(state.learning_rate).update(
         grads, state.opt_state, state.params
@@ -294,9 +299,10 @@ def train(
     corpus: Corpus,
     num_iterations: int,
     guide: jax.Array | None = None,
+    guide_weight: float = 1.0,
 ) -> tuple[AttentionParams, jax.Array]:
     def body(s, _):
-        s2, stats = em_step(s, corpus, guide)
+        s2, stats = em_step(s, corpus, guide, guide_weight)
         return s2, stats["loglik"]
 
     return jax.lax.scan(body, state, None, length=num_iterations)

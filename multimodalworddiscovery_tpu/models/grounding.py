@@ -84,7 +84,13 @@ def _module(corpus: Corpus, dim: int) -> GroundingModel:
     )
 
 
-def init(corpus: Corpus, dim: int = 128, learning_rate: float = 1e-3, key=None) -> GroundingParams:
+def init(
+    corpus: Corpus,
+    dim: int = 128,
+    learning_rate: float = 1e-3,
+    margin: float = 1.0,
+    key=None,
+) -> GroundingParams:
     if key is None:
         key = jax.random.PRNGKey(0)
     mod = _module(corpus, dim)
@@ -92,7 +98,7 @@ def init(corpus: Corpus, dim: int = 128, learning_rate: float = 1e-3, key=None) 
     opt_state = optax.adam(learning_rate).init(params)
     return GroundingParams(
         params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32),
-        dim=dim, learning_rate=learning_rate,
+        dim=dim, learning_rate=learning_rate, margin=margin,
     )
 
 
@@ -155,6 +161,38 @@ def retrieval_scores(state: GroundingParams, corpus: Corpus) -> jax.Array:
     mod = _module(corpus, state.dim)
     s, r = mod.apply(state.params, corpus.src, corpus.trg)
     return _pair_score(s, r, corpus.src_mask(), corpus.trg_mask())
+
+
+def retrieval_scores_pooled(
+    state: GroundingParams,
+    corpus: Corpus,
+    candidates: jax.Array,  # [N, C] image indices; col 0 = true image
+    batch_size: int = 32,
+) -> jax.Array:
+    """Matchmap score of caption i vs its candidate images -> [N, C].
+
+    Never materializes [N, N, Ts, Tt] (round-1 weakness): embeddings are
+    computed once, then a lax.map over captions scores each against only its
+    C-candidate pool — O(N * C * Ts * Tt) in bounded blocks."""
+    mod = _module(corpus, state.dim)
+    s, r = mod.apply(state.params, corpus.src, corpus.trg)  # [N,Ts,D],[N,Tt,D]
+    src_mask = corpus.src_mask()
+    trg_mask = corpus.trg_mask()
+
+    def one_caption(args):
+        s_i, sm_i, cand = args  # [Ts, D], [Ts], [C]
+        r_c = r[cand]  # [C, Tt, D]
+        tm_c = trg_mask[cand]  # [C, Tt]
+        sim = jnp.einsum("td,crd->ctr", s_i, r_c)  # [C, Ts, Tt]
+        sim = jnp.where(tm_c[:, None, :], sim, -1.0)
+        best_region = jnp.max(sim, axis=-1)  # [C, Ts]
+        best_region = jnp.where(sm_i[None, :], best_region, 0.0)
+        denom = jnp.maximum(jnp.sum(sm_i), 1)
+        return jnp.sum(best_region, axis=-1) / denom  # [C]
+
+    return jax.lax.map(
+        one_caption, (s, src_mask, candidates), batch_size=batch_size
+    )
 
 
 def train(state: GroundingParams, corpus: Corpus, num_iterations: int):

@@ -258,10 +258,120 @@ def test_cmd_retrieve(tmp_path, capsys):
     wd = tmp_path / "run"
     cli.cmd_train(_ns(config=cfg_path, workdir=str(wd), fresh=False,
                       override=["train.num_iterations=10"]))
-    cli.cmd_retrieve(_ns(workdir=str(wd), top_k=5, output=None))
+    cli.cmd_retrieve(_ns(workdir=str(wd), top_k=5, pool=0, output=None))
     rec = json.loads((wd / "retrieval.json").read_text())
     assert "recall@1_c2i" in rec["recall"]
     assert len(rec["rankings"]) == 40
     assert len(rec["rankings"][0]["top_images"]) == 5
     # trained HMM should rank well on this easy corpus
     assert rec["recall"]["recall@5_c2i"] > 0.5, rec["recall"]
+    # pooled protocol (the MSCOCO-scale path)
+    cli.cmd_retrieve(_ns(workdir=str(wd), top_k=5, pool=8, output=None))
+    rec2 = json.loads((wd / "retrieval.json").read_text())
+    assert rec2["recall"]["pool_size"] == 8
+    assert rec2["recall"]["recall@1_c2i"] >= rec["recall"]["recall@1_c2i"]
+
+
+def test_train_minibatch_cli(tmp_path, capsys):
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="attention", retrieval=False, continuous=False)
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(
+        _ns(config=cfg_path, workdir=str(wd), fresh=False,
+            override=["train.batch_size=8", "train.num_iterations=6", "model.dim=32"])
+    )
+    out = capsys.readouterr().out
+    assert "minibatch steps (B=8)" in out
+    lines = (wd / "train_metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 6
+    cli.cmd_align(_ns(workdir=str(wd), output=None))
+    assert (wd / "alignment.json").exists()
+
+
+def test_train_guided_attention_data_parallel(tmp_path, capsys):
+    """Round-1 excluded guided attention from data_parallel; the guide is now
+    computed inside the sharded step, so the combination must train."""
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="attention", retrieval=False, continuous=False)
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(
+        _ns(config=cfg_path, workdir=str(wd), fresh=False,
+            override=["model.guide=hmm", "model.guide_iters=3", "model.dim=32",
+                      "train.data_parallel=true", "train.num_iterations=3"])
+    )
+    out = capsys.readouterr().out
+    assert "teacher" in out and "ignores" not in out
+    lines = (wd / "train_metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 3
+
+
+def test_train_guided_minibatch_gaussian_teacher(tmp_path, capsys):
+    """self_train recipe knobs from config: Gaussian teacher + guided student
+    + minibatching, on the continuous corpus."""
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="attention", retrieval=False, continuous=True)
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(
+        _ns(config=cfg_path, workdir=str(wd), fresh=False,
+            override=["model.guide=hmm_gaussian", "model.guide_iters=3",
+                      "model.guide_weight=0.5", "train.batch_size=8",
+                      "model.dim=32", "train.num_iterations=2"])
+    )
+    out = capsys.readouterr().out
+    assert "hmm_gaussian teacher" in out
+
+
+def test_train_bucketed_gaussian_cli(tmp_path, capsys):
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="hmm_gaussian", retrieval=False, continuous=True)
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(
+        _ns(config=cfg_path, workdir=str(wd), fresh=False,
+            override=["train.bucket_edges=40"])
+    )
+    out = capsys.readouterr().out
+    assert "bucketed EM (2 buckets)" in out
+    # per-iteration checkpointing: checkpoint_every=2 over 4 iters -> steps 1,3
+    cli.cmd_align(_ns(workdir=str(wd), output=None))
+    assert (wd / "alignment.json").exists()
+
+
+def test_train_path_misconfig_errors(tmp_path):
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="attention", retrieval=False, continuous=False)
+    )
+    with pytest.raises(SystemExit, match="bucket_edges"):
+        cli.cmd_train(
+            _ns(config=cfg_path, workdir=str(tmp_path / "r1"), fresh=False,
+                override=["train.bucket_edges=12"])
+        )
+    cfg_path2 = _write_config(
+        tmp_path, CFG_TMPL.format(model="hmm", retrieval=False, continuous=False)
+    )
+    with pytest.raises(SystemExit, match="batch_size"):
+        cli.cmd_train(
+            _ns(config=cfg_path2, workdir=str(tmp_path / "r2"), fresh=False,
+                override=["train.batch_size=8"])
+        )
+
+
+def test_use_pallas_config_modes(tmp_path):
+    from multimodalworddiscovery_tpu.core.config import base_config
+
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=10, seed=0)
+    cfg = base_config()
+    cfg.model.use_pallas = "on"
+    assert cli._resolve_use_pallas(cfg, corpus) is True
+    cfg.model.use_pallas = "off"
+    assert cli._resolve_use_pallas(cfg, corpus) is False
+    cfg.model.use_pallas = "auto"  # tests run on CPU -> scan path
+    assert cli._resolve_use_pallas(cfg, corpus) is False
+    cfg.model.use_pallas = "bogus"
+    with pytest.raises(ValueError, match="use_pallas"):
+        cli._resolve_use_pallas(cfg, corpus)

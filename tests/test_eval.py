@@ -183,3 +183,95 @@ def test_segment_dtw_matrix():
                 continue
             (same if concepts[a] == concepts[b] else diff).append(dist[a, b])
     assert np.mean(same) < np.mean(diff), (np.mean(same), np.mean(diff))
+
+
+def test_cluster_dtw_coherence_and_gold():
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.eval.dtw import cluster_dtw_coherence, dtw_to_gold
+    from multimodalworddiscovery_tpu.segment import segments_from_alignment
+
+    corpus, gold, _ = make_flickr8k_mini(n_utterances=8, seed=9)
+    fc, fg, _ = phones_to_frames(corpus, gold, feat_dim=6, noise=0.05, seed=9)
+    segs, mask = segments_from_alignment(
+        jnp.asarray(fg.alignment), fc.trg, fc.src_len
+    )
+    coh = cluster_dtw_coherence(fc.src, segs, mask, max_seg_len=16)
+    # same-word segments are noisy repeats of the same frames: coherent
+    assert float(coh["ratio"]) < 0.8, {k: float(v) for k, v in coh.items()}
+    assert float(coh["within"]) >= 0.0
+
+    # gold vs itself: every predicted unit has an exact gold twin
+    d_self = dtw_to_gold(fc.src, segs, mask, segs, mask, max_seg_len=16)
+    np.testing.assert_allclose(float(d_self), 0.0, atol=1e-4)
+
+    # shift every predicted segment by 2 frames: distance must grow
+    shifted = jnp.stack(
+        [segs[..., 0] + 2, segs[..., 1] + 2, segs[..., 2]], axis=-1
+    )
+    d_shift = dtw_to_gold(fc.src, shifted, mask, segs, mask, max_seg_len=16)
+    assert float(d_shift) > float(d_self) + 1e-3
+
+
+def test_pooled_retrieval_matches_dense_column0():
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        recall_at_k_pooled,
+        retrieval_scores_hmm,
+        retrieval_scores_hmm_pooled,
+        retrieval_scores_model1,
+        retrieval_scores_model1_pooled,
+        sample_candidate_pools,
+    )
+    from multimodalworddiscovery_tpu.models import model1
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=24, seed=4)
+    params = model1.init(corpus)
+    for _ in range(6):
+        params, _ = model1.em_step(params, corpus)
+
+    cand = sample_candidate_pools(corpus.n, 8, jax.random.PRNGKey(0))
+    assert np.all(np.asarray(cand)[:, 0] == np.arange(24))
+    assert not np.any(np.asarray(cand)[:, 1:] == np.arange(24)[:, None])
+
+    pooled = retrieval_scores_model1_pooled(params, corpus, cand)
+    dense = retrieval_scores_model1(params, corpus)
+    # column 0 scores the true pairing: must equal the dense diagonal
+    np.testing.assert_allclose(
+        np.asarray(pooled)[:, 0], np.diagonal(np.asarray(dense)), rtol=1e-4
+    )
+    # every pooled entry equals the corresponding dense entry
+    np.testing.assert_allclose(
+        np.asarray(pooled),
+        np.asarray(dense)[np.arange(24)[:, None], np.asarray(cand)],
+        rtol=1e-4,
+    )
+    out = recall_at_k_pooled(pooled, ks=(1,))
+    assert 0.0 <= float(out["recall@1_c2i"]) <= 1.0
+
+    from multimodalworddiscovery_tpu.models import hmm
+
+    hp = hmm.init(corpus)
+    for _ in range(6):
+        hp, _ = hmm.em_step(hp, corpus)
+    pooled_h = retrieval_scores_hmm_pooled(hp, corpus, cand)
+    dense_h = retrieval_scores_hmm(hp, corpus)
+    np.testing.assert_allclose(
+        np.asarray(pooled_h),
+        np.asarray(dense_h)[np.arange(24)[:, None], np.asarray(cand)],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_pooled_retrieval_grounding():
+    from multimodalworddiscovery_tpu.eval.retrieval import sample_candidate_pools
+    from multimodalworddiscovery_tpu.models import grounding
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=16, seed=5)
+    state = grounding.init(corpus, dim=32, key=jax.random.PRNGKey(0))
+    cand = sample_candidate_pools(corpus.n, 6, jax.random.PRNGKey(1))
+    pooled = grounding.retrieval_scores_pooled(state, corpus, cand)
+    dense = grounding.retrieval_scores(state, corpus)
+    np.testing.assert_allclose(
+        np.asarray(pooled),
+        np.asarray(dense)[np.arange(16)[:, None], np.asarray(cand)],
+        rtol=1e-4, atol=1e-5,
+    )

@@ -48,3 +48,20 @@ def test_golden_metrics(name, mod, iters):
     for k, want in GOLDEN[name].items():
         # small float32 drift allowed; a real regression moves these a lot
         assert abs(got[k] - want) < 0.02, (name, k, got[k], want)
+
+
+def test_golden_dtw_coherence():
+    """DTW cluster coherence of the GOLD segmentation on the frozen
+    continuous corpus (pure data + metric determinism; SURVEY.md §3.5)."""
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.eval.dtw import cluster_dtw_coherence
+
+    corpus, gold, _ = make_flickr8k_mini(n_utterances=60, seed=42)
+    fc, fg, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.05, seed=42)
+    segs, mask = segments_from_alignment(
+        jnp.asarray(fg.alignment), fc.trg, fc.src_len
+    )
+    coh = cluster_dtw_coherence(fc.src, segs, mask, max_seg_len=16)
+    want = GOLDEN["dtw_gold_segments"]
+    for k in ("within", "across", "ratio"):
+        np.testing.assert_allclose(float(coh[k]), want[k], rtol=0.02, atol=1e-3)
