@@ -15,7 +15,11 @@ import jax
 import numpy as np
 
 N_UTTERANCES = 8000  # Flickr8k-scale (8k images)
-N_ITERS_TPU = 10
+# 100 iterations in ONE fused scan dispatch (BASELINE.md protocol): the axon
+# relay adds ~50 ms fixed latency per dispatch+host-read; at 10 iters that
+# fixed cost ate ~60% of the measurement (round-1 driver number 1.03M vs the
+# amortized 2.8M utt*iter/s).  100 iters amortizes it to <10%.
+N_ITERS_TPU = 100
 ORACLE_UTTS = 128  # oracle measured on a subset, per-utterance cost is flat
 ORACLE_ITERS = 1
 
@@ -64,7 +68,11 @@ def main() -> None:
     tpu_time = time.perf_counter() - t0
     tpu_throughput = N_UTTERANCES * N_ITERS_TPU / tpu_time
     lls = np.asarray(lls)
-    assert np.isfinite(final_ll) and np.all(np.diff(lls) > -1e2), lls  # sanity
+    # sanity: finite, and near-monotone (fp32 EM can dip ~1e-4 relative near
+    # convergence over a 100-iter run; exact monotonicity is an x64 property)
+    assert np.isfinite(final_ll), lls
+    assert np.all(np.diff(lls) > -1e-3 * np.abs(lls[:-1])), lls
+    assert lls[-1] > lls[0], lls
 
     print(
         json.dumps(

@@ -57,19 +57,38 @@ def bench_log_matmul(out):
     for size in (512, 1024, 2048):
         a = jnp.asarray((5 * rng.normal(size=(size, size))).astype(np.float32))
         b = jnp.asarray((5 * rng.normal(size=(size, size))).astype(np.float32))
-        impls = [("log_matmul_pallas", log_matmul_pallas)]
+        impls = [
+            ("log_matmul_pallas", log_matmul_pallas),
+            ("log_matmul_pallas_bf16",
+             lambda x, y: log_matmul_pallas(x, y, dot_dtype="bfloat16")),
+        ]
         if size <= 1024:  # the one-shot XLA form OOMs beyond this
             impls.append(("log_matmul_xla", log_matmul))
+        ref = None
         for name, fn in impls:
-            o = fn(a, b)
+            # chained: each iteration feeds the previous output back into A,
+            # so the relay cannot ack-without-compute or replay (CLAUDE.md)
+            def chained(x, y, fn=fn):
+                def body(acc, _):
+                    o = fn(acc, y)
+                    return o - jnp.max(o) - 1.0, jnp.max(o)
+                return jax.lax.scan(body, x, None, length=10)
+
+            run = jax.jit(lambda x, y, f=chained: f(x, y))
+            o, ms = run(a, b)
             jax.block_until_ready(o)
             t = time.perf_counter()
-            for _ in range(10):
-                o = fn(a, b)
-            _ = float(o[0, 0])
+            o, ms = run(a, b)
+            _ = float(ms[-1])
             dt = (time.perf_counter() - t) / 10
-            _record(out, kernel=name, size=size, ms=round(dt * 1e3, 3),
-                    gflops_equiv=round(2 * size**3 / dt / 1e9))
+            rec = dict(kernel=name, size=size, ms=round(dt * 1e3, 3),
+                       gflops_equiv=round(2 * size**3 / dt / 1e9))
+            if name == "log_matmul_pallas":
+                ref = fn(a, b)
+            if name == "log_matmul_pallas_bf16" and ref is not None:
+                err = float(jnp.max(jnp.abs(fn(a, b) - ref)))
+                rec["max_abs_log_err_vs_f32"] = round(err, 5)
+            _record(out, **rec)
 
 
 def bench_em(out):
@@ -93,6 +112,62 @@ def bench_em(out):
                 utt_iter_per_sec=round(8000 / dt))
 
 
+def bench_hmm_estep(out):
+    """Fused Pallas E-step vs XLA scan path across state-space sizes.
+
+    Timing: K chained EM iterations in ONE lax.scan dispatch (params feed
+    back, so the relay cannot replay), host read of the final loglik.
+    The large-S shapes are the config-#5 regime (S=64/128, Ts~128+) where the
+    round-1 whole-resident kernel OOMed VMEM.
+    """
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.models import hmm
+
+    shapes = [
+        # (label, n, concepts-range) -> S = 2*max_concepts-ish
+        ("S12", dict(n_utterances=8000, n_concepts=60, n_phones=48,
+                     min_concepts=3, max_concepts=6, seed=0)),
+        ("S64", dict(n_utterances=1024, n_concepts=200, n_phones=48,
+                     min_concepts=24, max_concepts=32, min_word_len=3,
+                     max_word_len=5, seed=1)),
+        ("S128", dict(n_utterances=512, n_concepts=400, n_phones=48,
+                      min_concepts=48, max_concepts=64, min_word_len=2,
+                      max_word_len=3, seed=2)),
+    ]
+    iters = 10
+    for label, gen in shapes:
+        corpus, _, _ = make_flickr8k_mini(**gen)
+        s = 2 * corpus.max_trg_len
+        ts = corpus.max_src_len
+        n = corpus.n
+        variants = [
+            ("hmm_estep_xla", dict(use_pallas=False)),
+            ("hmm_estep_pallas", dict(use_pallas=True)),
+            ("hmm_estep_pallas_bf16",
+             dict(use_pallas=True, dot_dtype="bfloat16")),
+        ]
+        base_ll = None
+        for name, kw in variants:
+            train = jax.jit(lambda p, kw=kw: hmm.train(p, corpus, iters, **kw))
+            p0 = hmm.init(corpus)
+            p1, lls = train(p0)
+            jax.block_until_ready(p1)
+            t = time.perf_counter()
+            p1, lls = train(p0)
+            last = float(lls[-1])
+            dt = (time.perf_counter() - t) / iters
+            rec = dict(kernel=name, shape=label, S=s, Ts=ts, N=n,
+                       ms_per_iter=round(dt * 1e3, 3),
+                       utt_iter_per_sec=round(n / dt))
+            if name == "hmm_estep_xla":
+                base_ll = last
+            elif base_ll is not None:
+                rec["ll_rel_err_vs_xla"] = round(
+                    abs(last - base_ll) / max(1.0, abs(base_ll)), 6
+                )
+            _record(out, **rec)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bench/results.jsonl")
@@ -112,6 +187,7 @@ def main():
     bench_mfcc(out)
     bench_log_matmul(out)
     bench_em(out)
+    bench_hmm_estep(out)
 
 
 if __name__ == "__main__":
