@@ -114,7 +114,7 @@ def _make_model(cfg, corpus, init_only: bool = False):
     if name == "model1":
         params = mod.init(corpus)
         step = functools.partial(mod.em_step, smoothing=cfg.model.smoothing)
-    elif name in ("hmm", "hmm_gaussian", "hmm_dnn"):
+    elif name in ("hmm", "hmm_gaussian", "hmm_dnn", "hmm_crf"):
         use_pallas = _resolve_use_pallas(cfg, corpus)
         dot_dtype = cfg.model.get("dot_dtype", "float32")
         if name == "hmm":

@@ -177,8 +177,12 @@ def init(
     if key is None:
         key = jax.random.PRNGKey(0)
     mod = _module(corpus, dim, subsample)
-    src, src_mask, trg_in, trg_mask = _inputs(corpus)
-    params = mod.init(key, src, src_mask, trg_in, trg_mask)
+    # init on a 2-utterance slice: parameter shapes depend on (Ts, Tt, dim),
+    # never on N — tracing the full corpus here would materialize [N,h,Ts,Ts]
+    # attention logits (3.7 GB at N=40k) just to create parameters
+    tiny = jax.tree.map(lambda x: x[:2], corpus)
+    src, src_mask, trg_in, trg_mask = _inputs(tiny)
+    params = jax.jit(mod.init)(key, src, src_mask, trg_in, trg_mask)
     opt_state = _optimizer(learning_rate).init(params)
     return AttentionParams(
         params=params,

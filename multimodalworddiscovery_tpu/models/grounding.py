@@ -94,7 +94,8 @@ def init(
     if key is None:
         key = jax.random.PRNGKey(0)
     mod = _module(corpus, dim)
-    params = mod.init(key, corpus.src, corpus.trg)
+    # parameter shapes never depend on N: init on a 2-utterance slice
+    params = jax.jit(mod.init)(key, corpus.src[:2], corpus.trg[:2])
     opt_state = optax.adam(learning_rate).init(params)
     return GroundingParams(
         params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32),

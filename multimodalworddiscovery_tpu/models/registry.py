@@ -28,6 +28,10 @@ def get_model(name: str) -> ModuleType:
         from multimodalworddiscovery_tpu.models import hmm_dnn
 
         return hmm_dnn
+    if name == "hmm_crf":
+        from multimodalworddiscovery_tpu.models import hmm_crf
+
+        return hmm_crf
     if name == "grounding":
         from multimodalworddiscovery_tpu.models import grounding
 
@@ -38,5 +42,5 @@ def get_model(name: str) -> ModuleType:
         return segmental_kmeans
     raise KeyError(
         f"unknown model {name!r}; available: model1, hmm, hmm_gaussian, "
-        "attention, grounding, segmental_kmeans"
+        "hmm_dnn, hmm_crf, attention, grounding, segmental_kmeans"
     )
