@@ -60,19 +60,22 @@ def main() -> None:
     # request sequences — a scalar transfer of a fresh value can't be faked.
     train = jax.jit(lambda p: hmm.train(p, corpus, N_ITERS_TPU))
     params = hmm.init(corpus)
-    p1, lls = train(params)  # warm-up / compile
+    p1, lls_warm = train(params)  # warm-up / compile; also the EM trajectory
     jax.block_until_ready(p1)
     t0 = time.perf_counter()
-    p, lls = train(params)
+    # the timed call's INPUT is the warm-up's output: a different request
+    # sequence with fresh values, so the relay cannot ack from history
+    p, lls = train(p1)
     final_ll = float(lls[-1])  # host transfer inside the timed region
     tpu_time = time.perf_counter() - t0
     tpu_throughput = N_UTTERANCES * N_ITERS_TPU / tpu_time
-    lls = np.asarray(lls)
-    # sanity: finite, and near-monotone (fp32 EM can dip ~1e-4 relative near
-    # convergence over a 100-iter run; exact monotonicity is an x64 property)
-    assert np.isfinite(final_ll), lls
-    assert np.all(np.diff(lls) > -1e-3 * np.abs(lls[:-1])), lls
-    assert lls[-1] > lls[0], lls
+    # sanity: the warm-up run (from init) must improve near-monotonically
+    # (fp32 EM can dip ~1e-4 relative near convergence; exact monotonicity is
+    # an x64 property); the timed run (already converged) must stay finite
+    lw = np.asarray(lls_warm)
+    assert np.all(np.diff(lw) > -1e-3 * np.abs(lw[:-1])), lw
+    assert lw[-1] > lw[0], lw
+    assert np.isfinite(final_ll), np.asarray(lls)
 
     print(
         json.dumps(

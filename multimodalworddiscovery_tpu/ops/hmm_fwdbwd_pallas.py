@@ -68,6 +68,36 @@ def pick_tiles(ts: int, s: int, vmem_budget: int = 12 << 20) -> tuple[int, int]:
     raise ValueError(f"no VMEM tiling for Ts={ts}, S={s}")  # S >~ 2800
 
 
+def _fwd_step(bexp, rowz, colmask, emit_t, alive, alpha, bf16):
+    """One forward recursion step: alpha' = lse_s(alpha[s] + trans[s,s']) +
+    emit, as an MXU matmul on max-rescaled exponentials."""
+    a2 = alpha - rowz
+    m = jnp.max(a2, axis=0)  # [BN]
+    m_safe = jnp.where(m > NEG_INF / 2, m, 0.0)
+    e = jnp.exp(a2 - m_safe[None, :])  # ≤ 1
+    if bf16:
+        e = e.astype(jnp.bfloat16)
+    # p[s', n] = Σ_s bexp[s, s'] · e[s, n]   (MXU)
+    p = jax.lax.dot_general(
+        bexp, e, (((0,), (0,)), ((), ())),
+        precision=None if bf16 else _HI,
+        preferred_element_type=jnp.float32,
+    )
+    upd = jnp.where(
+        p > 0.0, jnp.log(jnp.maximum(p, 1e-38)) + m_safe[None, :], NEG_INF
+    )
+    upd = upd + emit_t + colmask
+    return jnp.where(alive[None, :], upd, alpha)
+
+
+def _logz_from_alpha(alpha_last, lens):
+    m = jnp.max(alpha_last, axis=0)
+    m_safe = jnp.where(m > NEG_INF / 2, m, 0.0)
+    z = jnp.log(jnp.sum(jnp.exp(alpha_last - m_safe[None, :]), axis=0) + 1e-38)
+    z = jnp.where(m > NEG_INF / 2, z + m_safe, NEG_INF)
+    return jnp.where(lens > 0, z, 0.0)
+
+
 def _fwd_kernel(
     base_ref,     # [S, S]   base0 = base - max(base)  (shared)
     init_ref,     # [S, BN]
@@ -99,24 +129,9 @@ def _fwd_kernel(
 
     def body(i, alpha):
         t = j * tc + i
-        a2 = alpha - rowz
-        m = jnp.max(a2, axis=0)  # [BN]
-        m_safe = jnp.where(m > NEG_INF / 2, m, 0.0)
-        e = jnp.exp(a2 - m_safe[None, :])  # ≤ 1
-        if bf16:
-            e = e.astype(jnp.bfloat16)
-        # p[s', n] = Σ_s bexp[s, s'] · e[s, n]   (MXU)
-        p = jax.lax.dot_general(
-            bexp, e, (((0,), (0,)), ((), ())),
-            precision=None if bf16 else _HI,
-            preferred_element_type=jnp.float32,
+        alpha_new = _fwd_step(
+            bexp, rowz, colmask, emit_ref[i], t < lens, alpha, bf16
         )
-        upd = jnp.where(
-            p > 0.0, jnp.log(jnp.maximum(p, 1e-38)) + m_safe[None, :], NEG_INF
-        )
-        upd = upd + emit_ref[i] + colmask
-        alive = (t < lens)[None, :]
-        alpha_new = jnp.where(alive, upd, alpha)
         alphas_ref[i] = alpha_new
         return alpha_new
 
@@ -126,11 +141,56 @@ def _fwd_kernel(
 
     @pl.when(j == n_chunks - 1)
     def _():
-        m = jnp.max(alpha_last, axis=0)
-        m_safe = jnp.where(m > NEG_INF / 2, m, 0.0)
-        z = jnp.log(jnp.sum(jnp.exp(alpha_last - m_safe[None, :]), axis=0) + 1e-38)
-        z = jnp.where(m > NEG_INF / 2, z + m_safe, NEG_INF)
-        logz_ref[0] = jnp.where(lens > 0, z, 0.0)
+        logz_ref[0] = _logz_from_alpha(alpha_last, lens)
+
+
+def _fwd_ckpt_kernel(
+    base_ref,     # [S, S]
+    init_ref,     # [S, BN]
+    rowz_ref,     # [S, BN]
+    colmask_ref,  # [S, BN]
+    emit_ref,     # [Tc, S, BN]
+    len_ref,      # [1, BN]
+    ckpt_ref,     # out [1, S, BN]: alpha ENTERING this chunk (garbage at j=0)
+    logz_ref,     # out [1, BN]
+    carry,        # scratch [S, BN]
+    *,
+    tc: int,
+    n_chunks: int,
+    bf16: bool,
+):
+    """Forward pass that stores only chunk-boundary alphas (rematerialized
+    E-step: the backward kernel recomputes in-chunk alphas, eliminating the
+    full [Ts,S,N] alpha HBM round-trip — the dominant traffic term at
+    HBM-bound state sizes)."""
+    j = pl.program_id(1)
+    lens = len_ref[0]
+    bexp = jnp.exp(base_ref[:])
+    rowz = rowz_ref[:]
+    colmask = colmask_ref[:]
+    if bf16:
+        bexp = bexp.astype(jnp.bfloat16)
+
+    @pl.when(j == 0)
+    def _():
+        carry[:] = init_ref[:] + emit_ref[0]
+        ckpt_ref[0] = carry[:]  # unused by bwd (chunk 0 restarts from init)
+
+    @pl.when(j > 0)
+    def _():
+        ckpt_ref[0] = carry[:]
+
+    def body(i, alpha):
+        t = j * tc + i
+        return _fwd_step(bexp, rowz, colmask, emit_ref[i], t < lens, alpha, bf16)
+
+    start = jnp.where(j == 0, 1, 0)
+    alpha_last = jax.lax.fori_loop(start, tc, body, carry[:], unroll=False)
+    carry[:] = alpha_last
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        logz_ref[0] = _logz_from_alpha(alpha_last, lens)
 
 
 def _bwd_kernel(
@@ -216,8 +276,109 @@ def _bwd_kernel(
         xi_ref[0] = xi_acc[:]
 
 
+def _bwd_remat_kernel(
+    base_ref,     # [S, S]  base0
+    init_ref,     # [S, BN]
+    rowz_ref,     # [S, BN] rowz0
+    colmask_ref,  # [S, BN]
+    emit_ref,     # [Tc, S, BN]   (chunk n_chunks-1-j)
+    ckpt_ref,     # [1, S, BN]    alpha entering chunk n_chunks-1-j
+    len_ref,      # [1, BN]
+    logz_ref,     # [1, BN]
+    gamma_ref,    # out [Tc, S, BN]
+    xi_ref,       # out [1, S, S]
+    alphas,       # scratch [Tc, S, BN]: rematerialized in-chunk alphas
+    ebc,          # scratch [S, BN]
+    xi_acc,       # scratch [S, S]
+    *,
+    tc: int,
+    n_chunks: int,
+    bf16: bool,
+):
+    """Backward pass with alpha REMATERIALIZATION: recompute the chunk's
+    alphas from the boundary checkpoint (one extra matmul per step), then
+    sweep beta/gamma/xi.  Trades ~33% more MXU work for eliminating the
+    [Ts,S,N] alpha write+read — a win wherever the streaming kernel is
+    HBM-bound (measured: see docs/PERFORMANCE.md)."""
+    j = pl.program_id(1)
+    c0 = (n_chunks - 1 - j) * tc
+    lens = len_ref[0]
+    logz = logz_ref[0]
+    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
+    bexp32 = jnp.exp(base_ref[:])
+    bexp = bexp32.astype(jnp.bfloat16) if bf16 else bexp32
+    rowz = rowz_ref[:]
+    colmask = colmask_ref[:]
+
+    @pl.when(j == 0)
+    def _():
+        ebc[:] = jnp.full_like(ebc, NEG_INF)
+        xi_acc[:] = jnp.zeros_like(xi_acc)
+
+    # --- rematerialize this chunk's alphas from the boundary checkpoint ---
+    first = init_ref[:] + emit_ref[0]  # only meaningful when c0 == 0
+
+    def fwd_body(i, alpha):
+        t = c0 + i
+        stepped = _fwd_step(
+            bexp, rowz, colmask, emit_ref[i], t < lens, alpha, bf16
+        )
+        alpha_new = jnp.where(t == 0, first, stepped)
+        alphas[i] = alpha_new
+        return alpha_new
+
+    jax.lax.fori_loop(0, tc, fwd_body, ckpt_ref[0], unroll=False)
+
+    # --- beta sweep + gamma + pooled xi (identical to the streaming bwd) ---
+    def body(k, eb):
+        i = tc - 1 - k
+        t = c0 + i
+        ebm = eb + colmask
+        m2 = jnp.max(ebm, axis=0)
+        m2_safe = jnp.where(m2 > NEG_INF / 2, m2, 0.0)
+        f = jnp.exp(ebm - m2_safe[None, :])
+        fd = f.astype(jnp.bfloat16) if bf16 else f
+        q = jax.lax.dot_general(
+            bexp, fd, (((1,), (0,)), ((), ())),
+            precision=None if bf16 else _HI,
+            preferred_element_type=jnp.float32,
+        )
+        upd = jnp.where(
+            q > 0.0, jnp.log(jnp.maximum(q, 1e-38)) + m2_safe[None, :], NEG_INF
+        )
+        upd = upd - rowz
+        ended = ((t + 1) >= lens)[None, :]
+        beta_t = jnp.where(ended, 0.0, upd)
+
+        alpha_t = alphas[i]
+        lg = alpha_t + beta_t - logz_safe[None, :]
+        alive = (t < lens)[None, :]
+        gamma_ref[i] = jnp.where(alive, jnp.exp(jnp.minimum(lg, 0.0)), 0.0)
+
+        tr_alive = ((t + 1) < lens)[None, :]
+        a2 = alpha_t - rowz - logz_safe[None, :]
+        ea = jnp.exp(jnp.minimum(a2 + m2_safe[None, :], 80.0))
+        ea = jnp.where(tr_alive, ea, 0.0)
+        ead = ea.astype(jnp.bfloat16) if bf16 else ea
+        xc = jax.lax.dot_general(
+            ead, fd, (((1,), (1,)), ((), ())),
+            precision=None if bf16 else _HI,
+            preferred_element_type=jnp.float32,
+        )
+        xi_acc[:] = xi_acc[:] + bexp32 * xc
+        return emit_ref[i] + beta_t
+
+    eb_fin = jax.lax.fori_loop(0, tc, body, ebc[:], unroll=False)
+    ebc[:] = eb_fin
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        xi_ref[0] = xi_acc[:]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("block_n", "chunk_t", "dot_dtype", "interpret")
+    jax.jit,
+    static_argnames=("block_n", "chunk_t", "dot_dtype", "remat", "interpret"),
 )
 def hmm_estep_pallas(
     log_init: jax.Array,  # [N, S]
@@ -229,6 +390,7 @@ def hmm_estep_pallas(
     block_n: int | None = None,
     chunk_t: int | None = None,
     dot_dtype: str = "float32",
+    remat: bool | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused E-step.  Returns (gamma [N, Ts, S], xi_pooled [S, S], logz [N]).
@@ -238,12 +400,21 @@ def hmm_estep_pallas(
     outside the valid (time, state) region; xi_pooled is the transition
     posterior summed over all t and n (per-jump-width projection is the
     caller's).  Any (Ts, S) fits VMEM via time chunking — no fallback path.
+
+    remat=True stores only chunk-boundary alphas and recomputes in-chunk
+    alphas in the backward sweep (+1 matmul/step for -8 bytes/step/state/lane
+    of HBM traffic) — the right trade at HBM-bound state sizes.  Default
+    (None) auto-selects by S (bench/results.jsonl).
     """
     n, ts, s = log_emit.shape
     auto_bn, auto_tc = pick_tiles(ts, s)
     bn = block_n or auto_bn
     tc = chunk_t or auto_tc
     bf16 = dot_dtype == "bfloat16"
+    if remat is None:
+        # HBM-bound below ~S=96 (arithmetic intensity 3S/8 flops/byte vs the
+        # ~60 flops/byte fp32-HIGHEST MXU ridge) -> recompute wins there
+        remat = s <= 96
 
     s_pad = _round_up(s, 8)
     n_pad = _round_up(n, bn)
@@ -288,40 +459,83 @@ def hmm_estep_pallas(
         memory_space=pltpu.VMEM,
     )
 
-    alphas, logz = pl.pallas_call(
-        functools.partial(_fwd_kernel, **kw),
-        out_shape=(
-            jax.ShapeDtypeStruct((ts_pad, s_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-        ),
-        grid=grid,
-        in_specs=[spec_base, spec_sn, spec_sn, spec_sn, spec_chunk, spec_1n],
-        out_specs=(spec_chunk, spec_1n),
-        scratch_shapes=[pltpu.VMEM((s_pad, bn), jnp.float32)],
-        interpret=interpret,
-    )(base_p, init_t, rowz_t, colmask_t, emit_t, len_t)
+    spec_xi = pl.BlockSpec(
+        (1, s_pad, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_ckpt = pl.BlockSpec(
+        (1, s_pad, bn), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+    )
+    spec_ckpt_rev = pl.BlockSpec(
+        (1, s_pad, bn),
+        lambda i, j: (n_chunks - 1 - j, 0, i),
+        memory_space=pltpu.VMEM,
+    )
 
-    gamma, xi = pl.pallas_call(
-        functools.partial(_bwd_kernel, **kw),
-        out_shape=(
-            jax.ShapeDtypeStruct((ts_pad, s_pad, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], s_pad, s_pad), jnp.float32),
-        ),
-        grid=grid,
-        in_specs=[
-            spec_base, spec_sn, spec_sn, spec_chunk_rev, spec_chunk_rev,
-            spec_1n, spec_1n,
-        ],
-        out_specs=(
-            spec_chunk_rev,
-            pl.BlockSpec((1, s_pad, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((s_pad, bn), jnp.float32),
-            pltpu.VMEM((s_pad, s_pad), jnp.float32),
-        ],
-        interpret=interpret,
-    )(base_p, rowz_t, colmask_t, emit_t, alphas, len_t, logz)
+    if remat:
+        ckpt, logz = pl.pallas_call(
+            functools.partial(_fwd_ckpt_kernel, **kw),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_chunks, s_pad, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=[spec_base, spec_sn, spec_sn, spec_sn, spec_chunk, spec_1n],
+            out_specs=(spec_ckpt, spec_1n),
+            scratch_shapes=[pltpu.VMEM((s_pad, bn), jnp.float32)],
+            interpret=interpret,
+        )(base_p, init_t, rowz_t, colmask_t, emit_t, len_t)
+
+        gamma, xi = pl.pallas_call(
+            functools.partial(_bwd_remat_kernel, **kw),
+            out_shape=(
+                jax.ShapeDtypeStruct((ts_pad, s_pad, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((grid[0], s_pad, s_pad), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=[
+                spec_base, spec_sn, spec_sn, spec_sn, spec_chunk_rev,
+                spec_ckpt_rev, spec_1n, spec_1n,
+            ],
+            out_specs=(spec_chunk_rev, spec_xi),
+            scratch_shapes=[
+                pltpu.VMEM((tc, s_pad, bn), jnp.float32),
+                pltpu.VMEM((s_pad, bn), jnp.float32),
+                pltpu.VMEM((s_pad, s_pad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(base_p, init_t, rowz_t, colmask_t, emit_t, ckpt, len_t, logz)
+    else:
+        alphas, logz = pl.pallas_call(
+            functools.partial(_fwd_kernel, **kw),
+            out_shape=(
+                jax.ShapeDtypeStruct((ts_pad, s_pad, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=[spec_base, spec_sn, spec_sn, spec_sn, spec_chunk, spec_1n],
+            out_specs=(spec_chunk, spec_1n),
+            scratch_shapes=[pltpu.VMEM((s_pad, bn), jnp.float32)],
+            interpret=interpret,
+        )(base_p, init_t, rowz_t, colmask_t, emit_t, len_t)
+
+        gamma, xi = pl.pallas_call(
+            functools.partial(_bwd_kernel, **kw),
+            out_shape=(
+                jax.ShapeDtypeStruct((ts_pad, s_pad, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((grid[0], s_pad, s_pad), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=[
+                spec_base, spec_sn, spec_sn, spec_chunk_rev, spec_chunk_rev,
+                spec_1n, spec_1n,
+            ],
+            out_specs=(spec_chunk_rev, spec_xi),
+            scratch_shapes=[
+                pltpu.VMEM((s_pad, bn), jnp.float32),
+                pltpu.VMEM((s_pad, s_pad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(base_p, rowz_t, colmask_t, emit_t, alphas, len_t, logz)
 
     gamma = jnp.moveaxis(gamma, -1, 0)[:n, :ts, :s]  # [N, Ts, S]
     xi_pooled = jnp.sum(xi, axis=0)[:s, :s]

@@ -105,7 +105,7 @@ def bench_em(out):
         q, lls = train(p)
         jax.block_until_ready(q)
         t = time.perf_counter()
-        q, lls = train(p)
+        q2, lls = train(q)  # replay-proof: input differs from warmup
         _ = float(lls[-1])
         dt = (time.perf_counter() - t) / 20
         _record(out, kernel=name, ms_per_iter=round(dt * 1e3, 3),
@@ -153,7 +153,8 @@ def bench_hmm_estep(out):
             p1, lls = train(p0)
             jax.block_until_ready(p1)
             t = time.perf_counter()
-            p1, lls = train(p0)
+            # timed input = warmup OUTPUT: replay-proof (fresh request+values)
+            p2, lls = train(p1)
             last = float(lls[-1])
             dt = (time.perf_counter() - t) / iters
             rec = dict(kernel=name, shape=label, S=s, Ts=ts, N=n,

@@ -118,3 +118,27 @@ def test_em_step_with_pallas_estep_matches(setup):
     np.testing.assert_allclose(
         np.asarray(p_ref.log_jump), np.asarray(p_pal.log_jump), rtol=2e-3, atol=2e-3
     )
+
+
+def test_estep_kernel_remat_matches_streaming(setup):
+    """Rematerialized backward (boundary checkpoints + in-chunk alpha
+    recompute) must match the streaming variant and the scan oracle."""
+    corpus, params, log_init, log_trans, log_emit, (base, rowz, colmask) = setup
+    args = (log_init, base, rowz, colmask, log_emit, corpus.src_len)
+    g_s, x_s, z_s = hmm_estep_pallas(*args, remat=False, interpret=True)
+    g_r, x_r, z_r = hmm_estep_pallas(*args, remat=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(z_r), np.asarray(z_s), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_r), np.asarray(g_s), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_r), np.asarray(x_s), rtol=1e-4, atol=1e-4
+    )
+    # chunking-boundary coverage: chunk_t that does NOT divide Ts
+    g_r2, x_r2, z_r2 = hmm_estep_pallas(
+        *args, remat=True, block_n=16, chunk_t=5, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(z_r2), np.asarray(z_s), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_r2), np.asarray(g_s), rtol=1e-4, atol=1e-5
+    )
