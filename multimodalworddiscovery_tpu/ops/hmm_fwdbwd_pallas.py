@@ -412,9 +412,12 @@ def hmm_estep_pallas(
     tc = chunk_t or auto_tc
     bf16 = dot_dtype == "bfloat16"
     if remat is None:
-        # HBM-bound below ~S=96 (arithmetic intensity 3S/8 flops/byte vs the
-        # ~60 flops/byte fp32-HIGHEST MXU ridge) -> recompute wins there
-        remat = s <= 96
+        # Measured (bench/results.jsonl): within a full EM step the DMA
+        # pipeline already hides the alpha stream behind the MXU work, so
+        # recompute's extra matmul doesn't pay for the saved traffic at any
+        # benched S — streaming stays the default.  remat remains available
+        # for HBM-starved settings (e.g. sharing the chip with other work).
+        remat = False
 
     s_pad = _round_up(s, 8)
     n_pad = _round_up(n, bn)
