@@ -276,6 +276,35 @@ def cmd_train(args) -> None:
         )
         return
 
+    chunks = int(cfg.train.get("corpus_chunks", 1))
+    if chunks > 1:
+        if cfg.model.name not in ("model1", "hmm", "hmm_gaussian"):
+            raise SystemExit(
+                "train.corpus_chunks requires a closed-form EM aligner "
+                "(model1/hmm/hmm_gaussian); hmm_dnn's neural M-step needs "
+                "the per-chunk posteriors — use train.bucket_edges instead"
+            )
+        # exact chunk-scanned E-step: activation memory / chunks
+        from multimodalworddiscovery_tpu.models.bucketed import (
+            chunked_expected_counts,
+        )
+
+        use_pallas = (
+            _resolve_use_pallas(cfg, corpus) if cfg.model.name != "model1"
+            else False
+        )
+        smoothing = (
+            cfg.model.smoothing if cfg.model.name in ("model1", "hmm") else 1e-6
+        )
+
+        def step(p, c, _mod=mod):
+            counts, ll = chunked_expected_counts(
+                _mod, p, c, chunks, use_pallas=use_pallas
+            )
+            return _mod.m_step(p, counts, smoothing), {"loglik": ll}
+
+        print(f"E-step scans {chunks} corpus chunks per iteration")
+
     mesh = None
     if batch_size:
         # --- minibatch SGD for the gradient models (device-resident corpus,

@@ -68,6 +68,11 @@ def base_config() -> ConfigDict:
     # minibatch size for the gradient models (attention/grounding);
     # 0 = full-batch.  With data_parallel, must divide by the device count.
     cfg.train.batch_size = 0
+    # EM models: scan the E-step over this many corpus chunks inside one jit
+    # (additive counts) — activation memory / num_chunks, exact results.
+    # 1 = whole corpus at once; raise for corpora whose activations exceed
+    # HBM (600k utterances fits at 8 on one v5e chip).
+    cfg.train.corpus_chunks = 1
 
     cfg.eval = ConfigDict()
     cfg.eval.boundary_tolerance = 1

@@ -118,6 +118,72 @@ def train_bucketed(
     return params, logliks
 
 
+def chunked_expected_counts(
+    mod: ModuleType,
+    params,
+    corpus: Corpus,
+    num_chunks: int,
+    use_pallas: bool = False,
+):
+    """E-step over ``num_chunks`` corpus slices inside ONE jitted scan,
+    accumulating the additive counts — activation memory drops by
+    ``num_chunks`` (the [N,Ts,S] posteriors / one-hot count intermediates are
+    per-chunk), so EM runs on corpora whose activations exceed HBM
+    (measured: 600k utterances OOMed 15.85/15.75 GB unchunked; fits chunked).
+
+    Returns (counts, loglik) exactly equal to the unchunked E-step (padding
+    chunks contribute zero: zero-length utterances have loglik 0 and zero
+    posteriors).  jit-compatible; corpus size need not divide num_chunks.
+    """
+    import jax.numpy as jnp
+
+    n = corpus.n
+    per = -(-n // num_chunks)  # ceil
+    padded = corpus.pad_to(per * num_chunks)
+
+    def reshape(x):
+        return x.reshape((num_chunks, per) + x.shape[1:])
+
+    chunks = Corpus(
+        src=reshape(padded.src),
+        src_len=reshape(padded.src_len),
+        trg=reshape(padded.trg),
+        trg_len=reshape(padded.trg_len),
+        src_vocab=corpus.src_vocab,
+        trg_vocab=corpus.trg_vocab,
+    )
+
+    def estep(c):
+        if _supports_pallas(mod):
+            return mod.expected_counts(params, c, use_pallas=use_pallas)
+        return mod.expected_counts(params, c)
+
+    def body(acc, leaves):
+        c = Corpus(
+            src=leaves[0], src_len=leaves[1], trg=leaves[2], trg_len=leaves[3],
+            src_vocab=corpus.src_vocab, trg_vocab=corpus.trg_vocab,
+        )
+        out = estep(c)
+        return jax.tree.map(jnp.add, acc, out), None
+
+    zero = jax.tree.map(
+        lambda t: jnp.zeros(t.shape, t.dtype),
+        jax.eval_shape(
+            lambda: estep(
+                Corpus(
+                    src=chunks.src[0], src_len=chunks.src_len[0],
+                    trg=chunks.trg[0], trg_len=chunks.trg_len[0],
+                    src_vocab=corpus.src_vocab, trg_vocab=corpus.trg_vocab,
+                )
+            )
+        ),
+    )
+    (counts, ll), _ = jax.lax.scan(
+        body, zero, (chunks.src, chunks.src_len, chunks.trg, chunks.trg_len)
+    )
+    return counts, ll
+
+
 def align_bucketed(
     mod: ModuleType, params, corpus: Corpus, bucket_edges: list[int]
 ) -> np.ndarray:

@@ -135,9 +135,19 @@ def em_step(
 
 
 def align(params: HMMParams, corpus: Corpus) -> jax.Array:
-    """Viterbi decode -> [N, Ts] alignment (0 = NULL, else 1-based trg pos)."""
-    log_init, log_trans, log_emit = _machinery(params, corpus)
-    path = hmm_core.viterbi(log_init, log_trans, log_emit, corpus.src_len)
+    """Viterbi decode -> [N, Ts] alignment (0 = NULL, else 1-based trg pos).
+
+    Uses the factored-transition decoder (hmm_core.viterbi_factored): no
+    [N, S, S] transition tensor, int8 backpointers — decode stays
+    memory-light at corpus scale."""
+    base, rowz, colmask = hmm_core.factor_log_trans(
+        params.log_jump, params.log_p0, corpus, params.max_jump
+    )
+    log_init = hmm_core.build_log_init(params.log_p0, corpus)
+    log_emit = _log_emissions(params, corpus)
+    path = hmm_core.viterbi_factored(
+        log_init, base, rowz, colmask, log_emit, corpus.src_len
+    )
     return hmm_core.path_to_alignment(path, corpus)
 
 

@@ -375,6 +375,57 @@ def viterbi(
     return jnp.moveaxis(path, 0, 1)
 
 
+def viterbi_factored(
+    log_init: jax.Array,  # [N, S]
+    base: jax.Array,      # [S, S]
+    rowz: jax.Array,      # [N, S]
+    colmask: jax.Array,   # [N, S]
+    log_emit: jax.Array,  # [N, Ts, S]
+    src_len: jax.Array,   # [N]
+) -> jax.Array:
+    """Viterbi decode from FACTORED transitions — never materializes the
+    [N, S, S] transition tensor (2.6 GB at N=40k, S=128; the per-step
+    [N, S, S] broadcast lives only inside the fused scan step).  Backpointers
+    are stored int8 when S < 128 (4x smaller than int32: the [Ts, N, S]
+    backtrace is the dominant decode buffer at corpus scale).
+
+    Equivalent to ``viterbi(log_init, build_log_trans(...), ...)``; that
+    dense form is the test oracle.
+    """
+    n, ts, s = log_emit.shape
+    bp_dtype = jnp.int8 if s < 128 else jnp.int32
+    delta0 = log_init + log_emit[:, 0]
+    shifted = lambda d: (d - rowz)[:, :, None] + base[None, :, :]  # [N,S,S]
+
+    def fwd(delta, inputs):
+        t, emit_t = inputs
+        x = shifted(delta)
+        best = jnp.max(x, axis=1) + colmask + emit_t
+        bp = jnp.argmax(x, axis=1).astype(bp_dtype)  # [N, S]
+        alive = (t < src_len)[:, None]
+        delta_new = jnp.where(alive, best, delta)
+        ident = jnp.broadcast_to(jnp.arange(s, dtype=bp_dtype)[None, :], (n, s))
+        bp = jnp.where(alive, bp, ident)
+        return delta_new, bp
+
+    ts_idx = jnp.arange(1, ts)
+    delta_final, bps = jax.lax.scan(
+        fwd, delta0, (ts_idx, jnp.moveaxis(log_emit, 1, 0)[1:])
+    )  # bps: [Ts-1, N, S]
+
+    last = jnp.argmax(delta_final, axis=-1).astype(jnp.int32)  # [N]
+
+    def back(state, bp_t):
+        prev = jnp.take_along_axis(
+            bp_t.astype(jnp.int32), state[:, None], axis=1
+        )[:, 0]
+        return prev, state
+
+    first_state, states_rev = jax.lax.scan(back, last, bps[::-1])
+    path = jnp.concatenate([first_state[None], states_rev[::-1]], axis=0)
+    return jnp.moveaxis(path, 0, 1)
+
+
 def path_to_alignment(path: jax.Array, corpus: Corpus) -> jax.Array:
     """State path [N, Ts] -> alignment [N, Ts] (0 = NULL, else 1-based pos)."""
     tt_max = corpus.max_trg_len

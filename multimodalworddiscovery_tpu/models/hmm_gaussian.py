@@ -230,8 +230,14 @@ def em_step(
 
 
 def align(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
-    log_init, log_trans, log_emit = _machinery(params, corpus)
-    path = hmm_core.viterbi(log_init, log_trans, log_emit, corpus.src_len)
+    base, rowz, colmask = hmm_core.factor_log_trans(
+        params.log_jump, params.log_p0, corpus, params.max_jump
+    )
+    log_init = hmm_core.build_log_init(params.log_p0, corpus)
+    path = hmm_core.viterbi_factored(
+        log_init, base, rowz, colmask, _log_emissions(params, corpus),
+        corpus.src_len,
+    )
     return hmm_core.path_to_alignment(path, corpus)
 
 

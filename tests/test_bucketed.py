@@ -146,3 +146,26 @@ def test_min_bucket_size_never_drops_utterances():
     buckets = bucket_corpus(corpus, [5, 10, 15], min_bucket_size=100)
     all_idx = np.concatenate([idx for _, idx in buckets])
     assert sorted(all_idx.tolist()) == list(range(30))
+
+
+def test_chunked_expected_counts_matches_unchunked():
+    corpus, _, _ = make_flickr8k_mini(n_utterances=37, seed=19)  # not divisible
+    params = hmm.init(corpus)
+    params, _ = hmm.em_step(params, corpus)
+    want, ll_want = jax.jit(hmm.expected_counts)(params, corpus)
+    got, ll_got = jax.jit(
+        lambda p, c: bucketed.chunked_expected_counts(hmm, p, c, num_chunks=5)
+    )(params, corpus)
+    np.testing.assert_allclose(float(ll_got), float(ll_want), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    # model1 (no use_pallas kwarg) goes through the same helper
+    p1 = model1.init(corpus)
+    w1, lw = jax.jit(model1.expected_counts)(p1, corpus)
+    g1, lg = jax.jit(
+        lambda p, c: bucketed.chunked_expected_counts(model1, p, c, num_chunks=4)
+    )(p1, corpus)
+    np.testing.assert_allclose(float(lg), float(lw), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(w1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)

@@ -375,3 +375,27 @@ def test_use_pallas_config_modes(tmp_path):
     cfg.model.use_pallas = "bogus"
     with pytest.raises(ValueError, match="use_pallas"):
         cli._resolve_use_pallas(cfg, corpus)
+
+
+def test_train_corpus_chunks_cli(tmp_path, capsys):
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="hmm", retrieval=False, continuous=False)
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(
+        _ns(config=cfg_path, workdir=str(wd), fresh=False,
+            override=["train.corpus_chunks=4", "train.num_iterations=6"])
+    )
+    out = capsys.readouterr().out
+    assert "scans 4 corpus chunks" in out
+    cli.cmd_evaluate(_ns(workdir=str(wd), output=None))
+    metrics = json.loads((wd / "metrics.json").read_text())
+    assert metrics["alignment"]["f1"] > 0.5
+    with pytest.raises(SystemExit, match="corpus_chunks"):
+        cli.cmd_train(
+            _ns(config=_write_config(
+                tmp_path,
+                CFG_TMPL.format(model="hmm_dnn", retrieval=False, continuous=True)),
+                workdir=str(tmp_path / "r2"), fresh=False,
+                override=["train.corpus_chunks=2"])
+        )

@@ -182,3 +182,32 @@ def test_forward_associative_matches_sequential(mini):
                 a1[t, i][smask[i]], a2[t, i][smask[i]], rtol=1e-3, atol=1e-3,
                 err_msg=f"utt {i} t {t}",
             )
+
+
+def test_viterbi_factored_matches_dense():
+    """Factored-transition Viterbi (no [N,S,S] tensor, int8 backpointers)
+    must reproduce the dense decoder's paths."""
+    import jax.numpy as jnp
+
+    from multimodalworddiscovery_tpu.models import hmm_core
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=40, seed=17)
+    params = hmm.init(corpus)
+    for _ in range(5):
+        params, _ = hmm.em_step(params, corpus)
+    log_init, log_trans, log_emit = hmm._machinery(params, corpus)
+    base, rowz, colmask = hmm_core.factor_log_trans(
+        params.log_jump, params.log_p0, corpus, params.max_jump
+    )
+    dense = np.asarray(
+        hmm_core.viterbi(log_init, log_trans, log_emit, corpus.src_len)
+    )
+    fact = np.asarray(
+        hmm_core.viterbi_factored(
+            log_init, base, rowz, colmask, log_emit, corpus.src_len
+        )
+    )
+    mask = np.asarray(corpus.src_mask())
+    # identical up to fp-tie argmax flips (should be none on this corpus)
+    agree = (dense == fact)[mask].mean()
+    assert agree > 0.999, agree
