@@ -423,7 +423,12 @@ def _retrieval_metrics(cfg, mod, params, corpus) -> dict:
         sample_candidate_pools,
     )
 
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        retrieval_scores_hmm_family,
+    )
+
     name = cfg.model.name
+    hmm_family = ("hmm", "hmm_gaussian", "hmm_dnn", "hmm_crf")
     pool = int(cfg.eval.get("retrieval_pool", 0))
     if pool:
         cand = sample_candidate_pools(
@@ -438,8 +443,8 @@ def _retrieval_metrics(cfg, mod, params, corpus) -> dict:
         return recall_at_k_pooled(scores)
     if name == "model1":
         scores = retrieval_scores_model1(params, corpus)
-    elif name == "hmm":
-        scores = retrieval_scores_hmm(params, corpus)
+    elif name in hmm_family:
+        scores = retrieval_scores_hmm_family(mod, params, corpus)
     else:
         scores = mod.retrieval_scores(params, corpus)
     return recall_at_k(scores)
@@ -498,7 +503,9 @@ def cmd_evaluate(args) -> None:
             coh, to_gold=dtw_to_gold(feats, ps, pm, gs, gm, max_len)
         )
 
-    if cfg.eval.retrieval and cfg.model.name in ("model1", "hmm", "grounding"):
+    if cfg.eval.retrieval and cfg.model.name in (
+        "model1", "hmm", "hmm_gaussian", "hmm_dnn", "hmm_crf", "grounding",
+    ):
         results["retrieval"] = _retrieval_metrics(cfg, mod, params, corpus)
 
     results = _to_jsonable(jax.tree.map(lambda x: float(x), results))

@@ -43,36 +43,46 @@ def retrieval_scores_model1(params: Model1Params, corpus: Corpus) -> jax.Array:
     )
 
 
-def retrieval_scores_hmm(params, corpus: Corpus, batch_size: int = 8) -> jax.Array:
-    """HMM forward log-likelihood of every (caption i, image j) pair -> [N, N].
+def retrieval_scores_hmm_family(
+    mod, params, corpus: Corpus, batch_size: int = 8
+) -> jax.Array:
+    """Forward log-likelihood of every (caption i, image j) pair -> [N, N]
+    for ANY Vogel-HMM aligner module (hmm / hmm_gaussian / hmm_dnn / hmm_crf
+    — anything exposing ``_machinery``).
 
     Each lax.map step re-pairs one block of captions against ALL images and
     runs the batched forward pass (hmm_core.forward) on the cross product.
     O(N^2) total — intended for evaluation-sized corpora, mirroring the
     reference's retrieval scripts (SURVEY.md §3.5).
     """
-    from multimodalworddiscovery_tpu.models import hmm as hmm_mod
     from multimodalworddiscovery_tpu.models import hmm_core
 
     n = corpus.n
 
     def one_caption(args):
-        src_row, src_len_row = args  # [Ts], []
+        src_row, src_len_row = args  # [Ts] or [Ts, D], []
         paired = Corpus(
-            src=jnp.broadcast_to(src_row[None], (n, src_row.shape[0])),
+            src=jnp.broadcast_to(src_row[None], (n,) + src_row.shape),
             src_len=jnp.broadcast_to(src_len_row[None], (n,)),
             trg=corpus.trg,
             trg_len=corpus.trg_len,
             src_vocab=corpus.src_vocab,
             trg_vocab=corpus.trg_vocab,
         )
-        log_init, log_trans, log_emit = hmm_mod._machinery(params, paired)
+        log_init, log_trans, log_emit = mod._machinery(params, paired)
         _, logz = hmm_core.forward(log_init, log_trans, log_emit, paired.src_len)
         return logz  # [N_img]
 
     return jax.lax.map(
         one_caption, (corpus.src, corpus.src_len), batch_size=batch_size
     )
+
+
+def retrieval_scores_hmm(params, corpus: Corpus, batch_size: int = 8) -> jax.Array:
+    """Discrete-HMM pair logliks (see retrieval_scores_hmm_family)."""
+    from multimodalworddiscovery_tpu.models import hmm as hmm_mod
+
+    return retrieval_scores_hmm_family(hmm_mod, params, corpus, batch_size)
 
 
 def sample_candidate_pools(

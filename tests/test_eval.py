@@ -275,3 +275,24 @@ def test_pooled_retrieval_grounding():
         np.asarray(dense)[np.arange(16)[:, None], np.asarray(cand)],
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_retrieval_hmm_family_gaussian():
+    """Continuous-emission aligners score retrieval through the same
+    re-pairing forward (reference scored retrieval from alignment probs)."""
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        recall_at_k,
+        retrieval_scores_hmm_family,
+    )
+    from multimodalworddiscovery_tpu.models import hmm_gaussian
+
+    corpus, gold, _ = make_flickr8k_mini(n_utterances=20, seed=6)
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=6)
+    params = hmm_gaussian.init(fc, n_components=2, key=jax.random.PRNGKey(0))
+    params, _ = jax.jit(lambda p: hmm_gaussian.train(p, fc, 8))(params)
+    scores = retrieval_scores_hmm_family(hmm_gaussian, params, fc, batch_size=4)
+    assert scores.shape == (20, 20)
+    out = recall_at_k(scores, ks=(5,))
+    # trained model ranks the true image well above chance (5/20 = 0.25)
+    assert float(out["recall@5_c2i"]) > 0.5, out
