@@ -169,6 +169,44 @@ def bench_hmm_estep(out):
             _record(out, **rec)
 
 
+def bench_viterbi(out):
+    """Decode throughput: factored (no [N,S,S], int8 backtrace) vs dense."""
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.models import hmm, hmm_core
+
+    for label, gen in (
+        ("S12", dict(n_utterances=8000, n_concepts=60, n_phones=48,
+                     min_concepts=3, max_concepts=6, seed=0)),
+        ("S128", dict(n_utterances=512, n_concepts=400, n_phones=48,
+                      min_concepts=48, max_concepts=64, min_word_len=2,
+                      max_word_len=3, seed=2)),
+    ):
+        corpus, _, _ = make_flickr8k_mini(**gen)
+        s = 2 * corpus.max_trg_len
+        params = hmm.init(corpus)
+        params, _ = jax.jit(hmm.em_step)(params, corpus)
+
+        def dense(p):
+            li, lt, le = hmm._machinery(p, corpus)
+            return hmm_core.viterbi(li, lt, le, corpus.src_len)
+
+        def factored(p):
+            return hmm.align(p, corpus)
+
+        for name, fn in (("viterbi_dense", dense), ("viterbi_factored", factored)):
+            run = jax.jit(fn)
+            a = run(params)
+            jax.block_until_ready(a)
+            # perturb params so the timed request differs from the warmup
+            p2 = params.replace(log_emit=params.log_emit + 1e-6)
+            t = time.perf_counter()
+            a = run(p2)
+            _ = int(jnp.sum(a % 7))  # fresh host scalar
+            dt = time.perf_counter() - t
+            _record(out, kernel=name, shape=label, S=s, N=corpus.n,
+                    ms=round(dt * 1e3, 3), utt_per_sec=round(corpus.n / dt))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bench/results.jsonl")
@@ -189,6 +227,7 @@ def main():
     bench_log_matmul(out)
     bench_em(out)
     bench_hmm_estep(out)
+    bench_viterbi(out)
 
 
 if __name__ == "__main__":
