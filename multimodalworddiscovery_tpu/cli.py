@@ -416,8 +416,6 @@ def _retrieval_metrics(cfg, mod, params, corpus) -> dict:
     from multimodalworddiscovery_tpu.eval.retrieval import (
         recall_at_k,
         recall_at_k_pooled,
-        retrieval_scores_hmm,
-        retrieval_scores_hmm_pooled,
         retrieval_scores_model1,
         retrieval_scores_model1_pooled,
         sample_candidate_pools,
@@ -425,6 +423,7 @@ def _retrieval_metrics(cfg, mod, params, corpus) -> dict:
 
     from multimodalworddiscovery_tpu.eval.retrieval import (
         retrieval_scores_hmm_family,
+        retrieval_scores_hmm_family_pooled,
     )
 
     name = cfg.model.name
@@ -436,8 +435,8 @@ def _retrieval_metrics(cfg, mod, params, corpus) -> dict:
         )
         if name == "model1":
             scores = retrieval_scores_model1_pooled(params, corpus, cand)
-        elif name == "hmm":
-            scores = retrieval_scores_hmm_pooled(params, corpus, cand)
+        elif name in hmm_family:
+            scores = retrieval_scores_hmm_family_pooled(mod, params, corpus, cand)
         else:
             scores = mod.retrieval_scores_pooled(params, corpus, cand)
         return recall_at_k_pooled(scores)
@@ -572,7 +571,7 @@ def cmd_retrieve(args) -> None:
     (reference retrieval scripts, SURVEY.md §3.5)."""
     from multimodalworddiscovery_tpu.eval.retrieval import (
         recall_at_k,
-        retrieval_scores_hmm,
+        retrieval_scores_hmm_family,
         retrieval_scores_model1,
     )
 
@@ -593,8 +592,8 @@ def cmd_retrieve(args) -> None:
         return
     if cfg.model.name == "model1":
         scores = retrieval_scores_model1(params, corpus)
-    elif cfg.model.name == "hmm":
-        scores = retrieval_scores_hmm(params, corpus)
+    elif cfg.model.name in ("hmm", "hmm_gaussian", "hmm_dnn", "hmm_crf"):
+        scores = retrieval_scores_hmm_family(mod, params, corpus)
     elif cfg.model.name == "grounding":
         scores = mod.retrieval_scores(params, corpus)
     else:

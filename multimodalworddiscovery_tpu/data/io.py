@@ -42,12 +42,15 @@ def _read_token_lines(path: Path) -> tuple[list[np.ndarray], dict[str, int]]:
 def _load_int_tokens_fast(path: Path):
     """Native single-pass parse for all-integer token files; None if the file
     contains symbolic tokens (those go through the vocab-building path)."""
+    import re
+
     text = path.read_text()
     # symbolic tokens need the vocab-building path; negative ints would be
     # mis-parsed by the native scanner (it treats '-' as a separator).  Scan
-    # the FULL file: a '-'/alpha after an all-digit head must not silently
-    # route through the native parser (it would strip signs / drop tokens).
-    if "-" in text or any(ch.isalpha() for ch in text):
+    # the FULL file at C speed (re, not a Python char loop): a '-'/alpha
+    # after an all-digit head must not silently route through the native
+    # parser (it would strip signs / drop tokens).
+    if "-" in text or re.search(r"[^0-9\s]", text) is not None:
         return None
     from multimodalworddiscovery_tpu.native import pack_token_file
 

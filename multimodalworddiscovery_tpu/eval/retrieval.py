@@ -85,6 +85,35 @@ def retrieval_scores_hmm(params, corpus: Corpus, batch_size: int = 8) -> jax.Arr
     return retrieval_scores_hmm_family(hmm_mod, params, corpus, batch_size)
 
 
+def retrieval_scores_hmm_family_pooled(
+    mod, params, corpus: Corpus, candidates: jax.Array, batch_size: int = 8
+) -> jax.Array:
+    """Pooled variant for any Vogel-HMM module: caption i scored only
+    against its [C] candidate images -> [N, C]."""
+    from multimodalworddiscovery_tpu.models import hmm_core
+
+    c = candidates.shape[1]
+
+    def one_caption(args):
+        src_row, src_len_row, cand = args
+        paired = Corpus(
+            src=jnp.broadcast_to(src_row[None], (c,) + src_row.shape),
+            src_len=jnp.broadcast_to(src_len_row[None], (c,)),
+            trg=corpus.trg[cand],
+            trg_len=corpus.trg_len[cand],
+            src_vocab=corpus.src_vocab,
+            trg_vocab=corpus.trg_vocab,
+        )
+        log_init, log_trans, log_emit = mod._machinery(params, paired)
+        _, logz = hmm_core.forward(log_init, log_trans, log_emit, paired.src_len)
+        return logz
+
+    return jax.lax.map(
+        one_caption, (corpus.src, corpus.src_len, candidates),
+        batch_size=batch_size,
+    )
+
+
 def sample_candidate_pools(
     n: int, pool_size: int, key: jax.Array
 ) -> jax.Array:
@@ -97,9 +126,18 @@ def sample_candidate_pools(
     """
     if pool_size > n:
         raise ValueError(f"pool_size {pool_size} > corpus size {n}")
-    # distractors sampled iid (excluding the true image by shifting collisions)
-    draws = jax.random.randint(key, (n, pool_size - 1), 0, n - 1)
     true = jnp.arange(n)[:, None]
+    if n <= 16384:
+        # exact protocol: DISTINCT distractors per caption (duplicates would
+        # double-count a high-scoring distractor in the rank statistic)
+        draws = jax.vmap(
+            lambda k: jax.random.choice(k, n - 1, (pool_size - 1,), replace=False)
+        )(jax.random.split(key, n))
+    else:
+        # corpora too large for per-row no-replacement sampling: iid draws
+        # (expected duplicates per pool ~ pool^2 / 2n — negligible when
+        # pool << n, the only regime pools are used at this scale)
+        draws = jax.random.randint(key, (n, pool_size - 1), 0, n - 1)
     draws = jnp.where(draws >= true, draws + 1, draws)  # never the true image
     return jnp.concatenate([true, draws], axis=1)
 

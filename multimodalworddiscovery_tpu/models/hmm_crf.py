@@ -42,6 +42,7 @@ init = hmm_dnn.init
 align = hmm_dnn.align
 posteriors = hmm_dnn.posteriors
 loglik = hmm_dnn.loglik
+_machinery = hmm_dnn._machinery  # retrieval re-pairing path
 
 
 def _zero_cotangent(x):

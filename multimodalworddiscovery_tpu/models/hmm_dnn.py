@@ -14,6 +14,7 @@ Training is generalized EM, all on device:
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -187,6 +188,15 @@ def _ce_num(mlp, mod, src, r, w):
     return -jnp.sum(r * logq * w)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _ce_grad(mlp, src, r, w, n_concepts, hidden):
+    """Stable-identity jitted grad of the unnormalized CE — compiled once per
+    bucket SHAPE and cached across EM iterations (a fresh closure per call
+    would retrace every iteration and bake r in as a constant)."""
+    mod = EmissionMLP(n_concepts=n_concepts, hidden=hidden)
+    return jax.value_and_grad(_ce_num)(mlp, mod, src, r, w)
+
+
 def neural_m_step(
     params: DnnHMMParams, batches: list[tuple[Corpus, jax.Array]]
 ) -> tuple[DnnHMMParams, jax.Array]:
@@ -195,23 +205,18 @@ def neural_m_step(
     M-step; with length buckets, gradients of the UNnormalized CE are summed
     and scaled by the total frame weight, which is identical to the unbucketed
     update (gradients are additive)."""
-    mod = _module(batches[0][0], params.hidden)
+    n_concepts = batches[0][0].trg_vocab
     opt = _optimizer(params.learning_rate)
     ws = [c.src_mask().astype(jnp.float32)[..., None] for c, _ in batches]
     total_w = jnp.maximum(sum(jnp.sum(w) for w in ws), 1.0)
-
-    grad_fns = [
-        jax.jit(jax.value_and_grad(lambda mlp, src=c.src, r=r, w=w: _ce_num(mlp, mod, src, r, w)))
-        for (c, r), w in zip(batches, ws)
-    ]
 
     mlp, opt_state = params.mlp, params.opt_state
     ce = jnp.zeros(())
     for _ in range(params.n_sgd):
         num = jnp.zeros(())
         grads = None
-        for f in grad_fns:
-            n_b, g_b = f(mlp)
+        for (c, r), w in zip(batches, ws):
+            n_b, g_b = _ce_grad(mlp, c.src, r, w, n_concepts, params.hidden)
             num = num + n_b
             grads = g_b if grads is None else jax.tree.map(jnp.add, grads, g_b)
         grads = jax.tree.map(lambda g: g / total_w, grads)

@@ -111,6 +111,7 @@ def train_minibatch(
         key = jax.random.PRNGKey(0)
     one = make_minibatch_step(step_fn, corpus, batch_size, mesh=mesh)
 
+    logliks = []
     if steps_per_call > 1:
 
         def body(s, k):
@@ -118,16 +119,14 @@ def train_minibatch(
             return s2, stats["loglik"]
 
         scan = jax.jit(lambda s, ks: jax.lax.scan(body, s, ks))
-        logliks = []
         for _ in range(num_steps // steps_per_call):
             key, sub = jax.random.split(key)
             ks = jax.random.split(sub, steps_per_call)
             state, lls = scan(state, ks)
             logliks.extend(jnp.asarray(lls).tolist())
-        return state, logliks
 
-    logliks = []
-    for _ in range(num_steps):
+    # remainder steps (and the whole run when steps_per_call == 1)
+    for _ in range(num_steps - len(logliks)):
         key, sub = jax.random.split(key)
         state, stats = one(state, sub)
         logliks.append(float(stats["loglik"]))

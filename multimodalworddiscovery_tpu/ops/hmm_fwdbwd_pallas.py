@@ -64,7 +64,9 @@ def pick_tiles(ts: int, s: int, vmem_budget: int = 12 << 20) -> tuple[int, int]:
         fixed = 2 * s_pad * s_pad * 4 + 10 * s_pad * block_n * 4
         for tc in (128, 64, 32, 16, 8, 4, 2, 1):
             if 6 * tc * s_pad * block_n * 4 + fixed <= vmem_budget:
-                return block_n, tc
+                # never chunk wider than the (rounded) time axis: a Ts=16
+                # corpus with tc=128 would pad/loop 8x pure-padding steps
+                return block_n, min(tc, max(_round_up(ts, 8), 1))
     raise ValueError(f"no VMEM tiling for Ts={ts}, S={s}")  # S >~ 2800
 
 

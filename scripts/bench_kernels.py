@@ -78,7 +78,7 @@ def bench_log_matmul(out):
             o, ms = run(a, b)
             jax.block_until_ready(o)
             t = time.perf_counter()
-            o, ms = run(a, b)
+            o2, ms = run(o, b)  # replay-proof: timed input = warmup output
             _ = float(ms[-1])
             dt = (time.perf_counter() - t) / 10
             rec = dict(kernel=name, size=size, ms=round(dt * 1e3, 3),

@@ -69,7 +69,9 @@ def read_alignment_dump(path: Path) -> list[list[int]]:
         # ours / reference record style: {"index": i, "alignment": [...]}
         by_index: dict[int, list[int]] = {}
         for i, rec in enumerate(data):
-            al = rec.get("alignment") or rec.get("align") or rec.get("a")
+            al = next(
+                (rec[k] for k in ("alignment", "align", "a") if k in rec), None
+            )
             if al is None:
                 raise ValueError(f"{path}: record without alignment: {rec.keys()}")
             by_index[int(rec.get("index", i))] = [int(x) for x in al]

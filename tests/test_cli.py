@@ -34,13 +34,17 @@ def get_config():
 
 
 @pytest.mark.parametrize(
-    "model", ["model1", "hmm", "hmm_gaussian", "attention", "hmm_dnn"]
+    "model", ["model1", "hmm", "hmm_gaussian", "attention", "hmm_dnn", "hmm_crf"]
 )
 def test_full_cli_pipeline(tmp_path, model, capsys):
-    continuous = model in ("hmm_gaussian", "hmm_dnn")
+    continuous = model in ("hmm_gaussian", "hmm_dnn", "hmm_crf")
     cfg_path = _write_config(
         tmp_path,
-        CFG_TMPL.format(model=model, retrieval=model == "model1", continuous=continuous),
+        CFG_TMPL.format(
+            model=model,
+            retrieval=model in ("model1", "hmm_crf"),  # hmm_crf: hmm-family
+            continuous=continuous,
+        ),
     )
     wd = tmp_path / "run"
     cli.cmd_train(_ns(config=cfg_path, workdir=str(wd), fresh=False, override=[]))

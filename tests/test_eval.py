@@ -296,3 +296,34 @@ def test_retrieval_hmm_family_gaussian():
     out = recall_at_k(scores, ks=(5,))
     # trained model ranks the true image well above chance (5/20 = 0.25)
     assert float(out["recall@5_c2i"]) > 0.5, out
+
+
+def test_candidate_pools_are_distinct():
+    from multimodalworddiscovery_tpu.eval.retrieval import sample_candidate_pools
+
+    cand = np.asarray(sample_candidate_pools(50, 20, jax.random.PRNGKey(3)))
+    for row in cand:
+        assert len(set(row.tolist())) == 20, row  # no duplicate distractors
+    assert np.all(cand[:, 0] == np.arange(50))
+
+
+def test_pooled_retrieval_hmm_family():
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        retrieval_scores_hmm_family,
+        retrieval_scores_hmm_family_pooled,
+        sample_candidate_pools,
+    )
+    from multimodalworddiscovery_tpu.models import hmm_gaussian
+
+    corpus, gold, _ = make_flickr8k_mini(n_utterances=16, seed=6)
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=6)
+    params = hmm_gaussian.init(fc, n_components=1, key=jax.random.PRNGKey(0))
+    cand = sample_candidate_pools(16, 5, jax.random.PRNGKey(1))
+    pooled = retrieval_scores_hmm_family_pooled(hmm_gaussian, params, fc, cand, batch_size=4)
+    dense = retrieval_scores_hmm_family(hmm_gaussian, params, fc, batch_size=4)
+    np.testing.assert_allclose(
+        np.asarray(pooled),
+        np.asarray(dense)[np.arange(16)[:, None], np.asarray(cand)],
+        rtol=1e-4, atol=1e-4,
+    )

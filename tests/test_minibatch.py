@@ -107,3 +107,13 @@ def test_minibatch_size_validation():
     corpus, _, _ = make_flickr8k_mini(n_utterances=10, seed=7)
     with pytest.raises(ValueError, match="batch_size"):
         make_minibatch_step(attention.em_step, corpus, batch_size=11)
+
+
+def test_train_minibatch_runs_remainder_steps():
+    corpus, _, _ = make_flickr8k_mini(n_utterances=20, seed=8)
+    state = attention.init(corpus, dim=32, key=jax.random.PRNGKey(0))
+    state, lls = train_minibatch(
+        attention.em_step, state, corpus, batch_size=5, num_steps=10,
+        steps_per_call=4,
+    )
+    assert len(lls) == 10  # 2 fused calls of 4 + 2 remainder steps
