@@ -195,6 +195,15 @@ def init(
     )
 
 
+def _subsampled_mask(src_mask: jax.Array, ts_sub: int) -> jax.Array:
+    """Frame mask -> subsampled-position mask (any covered frame valid),
+    matching the conv front end's convention."""
+    n, ts = src_mask.shape
+    ss = -(-ts // ts_sub)
+    m = jnp.pad(src_mask, ((0, 0), (0, ts_sub * ss - ts)))
+    return jnp.any(m.reshape(n, ts_sub, ss), axis=-1)
+
+
 def _loss_fn(params, mod, src, src_mask, trg_in, trg_mask, trg, entropy_weight=0.0,
              guide=None, guide_weight: float = 1.0):
     logits, attn = mod.apply(params, src, src_mask, trg_in, trg_mask)
@@ -205,8 +214,14 @@ def _loss_fn(params, mod, src, src_mask, trg_in, trg_mask, trg, entropy_weight=0
     if guide is not None:
         # guided attention (DNN-HMM-DNN hybrid spirit): cross-entropy between
         # the decoder's attention rows and a teacher alignment distribution
-        # (e.g. a trained HMM's posteriors mapped to target positions)
-        valid = trg_mask[:, :, None] & src_mask[:, None, :]
+        # (e.g. a trained HMM's posteriors mapped to target positions).
+        # guide arrives at the ATTENTION resolution (em_step pools it when
+        # the encoder subsamples).
+        sm = (
+            src_mask if attn.shape[-1] == src_mask.shape[-1]
+            else _subsampled_mask(src_mask, attn.shape[-1])
+        )
+        valid = trg_mask[:, :, None] & sm[:, None, :]
         ce = -jnp.where(valid, guide * jnp.log(attn + 1e-9), 0.0)
         loss = loss + guide_weight * jnp.sum(ce) / jnp.maximum(jnp.sum(trg_mask), 1)
     if entropy_weight:
@@ -230,13 +245,18 @@ def em_step(
     corpus argument may be the full corpus or a gathered minibatch
     (models/minibatch.py).
 
-    guide: optional [N, Tt, Ts] teacher attention (see hmm_guide_matrix).
+    guide: optional [N, Tt, Ts] frame-resolution teacher attention (see
+    hmm_guide_matrix).  With a conv-subsampled encoder the guide is pooled
+    (mass-summed + row-renormalized) onto the subsampled positions, so the
+    teacher recipe composes with the ASR-style stride front end.
     """
     if guide is not None and state.subsample != 1:
-        raise ValueError(
-            "guided attention expects frame-resolution attention; train with "
-            "subsample=1 (the guide CE is computed against raw attention rows)"
-        )
+        ss = state.subsample
+        n, tt, ts = guide.shape
+        ts_sub = -(-ts // ss)
+        g = jnp.pad(guide, ((0, 0), (0, 0), (0, ts_sub * ss - ts)))
+        g = jnp.sum(g.reshape(n, tt, ts_sub, ss), axis=-1)
+        guide = g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), 1e-9)
     mod = _module(corpus, state.dim, state.subsample)
     src, src_mask, trg_in, trg_mask = _inputs(corpus)
     loss, grads = jax.value_and_grad(_loss_fn)(

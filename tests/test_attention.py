@@ -108,3 +108,28 @@ def test_subsampled_attention_on_frames():
     assert a.shape == (fc.n, fc.max_src_len)
     sm = np.asarray(fc.src_mask())
     assert (a[~sm] == 0).all()
+
+
+def test_guided_attention_with_subsample():
+    """The teacher guide pools onto subsampled positions — guided training
+    composes with the conv stride front end (round-1 raised an error here)."""
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.models import hmm_gaussian
+
+    corpus, gold, _ = make_flickr8k_mini(n_utterances=60, seed=23)
+    fc, fg, _ = phones_to_frames(corpus, gold, feat_dim=12, noise=0.1, seed=23)
+    hp = hmm_gaussian.init(fc, n_components=2, key=jax.random.PRNGKey(0))
+    hp, _ = jax.jit(lambda p: hmm_gaussian.train(p, fc, 10))(hp)
+    guide = attention.hmm_guide_matrix(hp, fc, posteriors_fn=hmm_gaussian.posteriors)
+
+    state = attention.init(fc, dim=64, subsample=2, key=jax.random.PRNGKey(1))
+    state, lls = jax.jit(lambda s: attention.train(s, fc, 150, guide))(state)
+    lls = np.asarray(lls)
+    assert np.isfinite(lls).all()
+
+    pred = np.asarray(attention.align(state, fc))
+    wm = np.asarray(fc.src_mask()) & (fg.alignment > 0)
+    acc = (pred == fg.alignment)[wm].mean()
+    # guided + subsampled must clearly beat unguided subsampled (~0.6) and
+    # approach the teacher's ballpark
+    assert acc > 0.68, acc
