@@ -18,6 +18,12 @@ def get_config():
     cfg.data.n_utterances = 4000
     cfg.data.continuous = True
     cfg.data.feat_dim = 64  # stand-in for (PCA'd) HuBERT features
+    # dense-region images: up to 32 concepts/image -> S = 64 alignment
+    # states, the regime where model.use_pallas=auto engages the fused
+    # MXU E-step kernel (6.8x the XLA scan at S=128; PERFORMANCE.md)
+    cfg.data.n_concepts = 200
+    cfg.data.min_concepts = 16
+    cfg.data.max_concepts = 32
     cfg.train.num_iterations = 10
     cfg.train.data_parallel = True
     return cfg

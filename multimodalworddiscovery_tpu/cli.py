@@ -46,6 +46,8 @@ def _load_data(cfg) -> tuple[Corpus, GoldAnnotations | None]:
             n_utterances=cfg.data.n_utterances,
             n_concepts=cfg.data.n_concepts,
             n_phones=cfg.data.n_phones,
+            min_concepts=cfg.data.get("min_concepts", 2),
+            max_concepts=cfg.data.get("max_concepts", 4),
             seed=cfg.seed,
         )
         if cfg.data.continuous:
@@ -376,8 +378,11 @@ def cmd_train(args) -> None:
     print(f"trained {cfg.train.num_iterations - start} iterations in {t_total:.2f}s")
 
 
-def _restore(workdir: Path):
+def _restore(workdir: Path, overrides: list[str] | None = None):
     cfg = _load_workdir_config(workdir)
+    if overrides:
+        # eval-time knobs (retrieval_pool, dtw sampling, null_threshold, ...)
+        apply_overrides(cfg, overrides)
     corpus, gold = _load_data(cfg)
     mod, params, _ = _make_model(cfg, corpus, init_only=True)
     ckpt = CheckpointManager(workdir / "ckpt")
@@ -388,7 +393,7 @@ def _restore(workdir: Path):
 
 def cmd_align(args) -> None:
     workdir = Path(args.workdir)
-    cfg, corpus, _, mod, params = _restore(workdir)
+    cfg, corpus, _, mod, params = _restore(workdir, getattr(args, "override", None))
     alignment = np.asarray(_align_call(cfg, mod, params, corpus))
     out = Path(args.output or workdir / "alignment.json")
     save_alignment_json(alignment, np.asarray(corpus.src_len), out)
@@ -397,7 +402,7 @@ def cmd_align(args) -> None:
 
 def cmd_segment(args) -> None:
     workdir = Path(args.workdir)
-    cfg, corpus, _, mod, params = _restore(workdir)
+    cfg, corpus, _, mod, params = _restore(workdir, getattr(args, "override", None))
     alignment = _align_call(cfg, mod, params, corpus)
     segs, mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
     out = Path(args.output or workdir / "segments.json")
@@ -458,7 +463,7 @@ def cmd_evaluate(args) -> None:
     )
 
     workdir = Path(args.workdir)
-    cfg, corpus, gold, mod, params = _restore(workdir)
+    cfg, corpus, gold, mod, params = _restore(workdir, getattr(args, "override", None))
     if gold is None:
         raise SystemExit("no gold annotations available for this dataset")
 
@@ -798,6 +803,8 @@ def main() -> None:
         p = sub.add_parser(name, help=f"{name} with a trained model")
         p.add_argument("--workdir", required=True)
         p.add_argument("--output", default=None)
+        p.add_argument("--override", nargs="*", default=[],
+                       help="eval-time key.path=value overrides")
         p.set_defaults(fn=fn)
 
     args = parser.parse_args()

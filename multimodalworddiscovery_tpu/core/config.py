@@ -26,6 +26,8 @@ def base_config() -> ConfigDict:
     cfg.data.n_utterances = 200
     cfg.data.n_concepts = 40
     cfg.data.n_phones = 48
+    cfg.data.min_concepts = 2  # concepts per image (synthetic generator);
+    cfg.data.max_concepts = 4  # state space S = 2 * max concepts per image
     cfg.data.continuous = False  # expand phones to acoustic frames
     cfg.data.feat_dim = 16  # frame dim for the continuous variant
     cfg.data.shard_pad_multiple = 1  # pad N to multiple (devices) for sharding
