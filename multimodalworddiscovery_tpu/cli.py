@@ -228,7 +228,10 @@ def cmd_train(args) -> None:
     mod, params, step = _make_model(cfg, corpus)
 
     em_models = ("model1", "hmm", "hmm_gaussian", "hmm_dnn")
-    grad_models = ("attention", "grounding")
+    # hmm_crf is gradient-trained too (n_sgd Adam steps through the marginal
+    # per call + closed-form transition M-step from the batch's counts), so it
+    # minibatches the same way as the neural models
+    grad_models = ("attention", "grounding", "hmm_crf")
     edges = [int(e) for e in str(cfg.train.get("bucket_edges", "")).split(",") if e.strip()]
     batch_size = int(cfg.train.get("batch_size", 0))
     if edges and cfg.model.name not in em_models:

@@ -56,11 +56,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pick_tiles(ts: int, s: int, vmem_budget: int = 12 << 20) -> tuple[int, int]:
+def pick_tiles(
+    ts: int, s: int, n: int | None = None, vmem_budget: int = 12 << 20
+) -> tuple[int, int]:
     """(block_n, chunk_t) such that the backward pass (the VMEM-heaviest:
-    emit + alphas in, gamma out, all double-buffered) fits the budget."""
+    emit + alphas in, gamma out, all double-buffered) fits the budget.
+
+    Prefer the WIDEST lane block that fits: the recursion is strictly
+    sequential per utterance, so wall time ~ grid-steps x per-step latency,
+    and per-step cost grows sub-linearly in block_n (measured on TPU v5e at
+    S=64: bn=128 -> 4.5 ms/E-step, bn=256 -> 2.6, bn=512 -> 2.0; identical
+    logz).  block_n is capped by the padded corpus size so tiny corpora
+    don't burn pure-padding lanes."""
     s_pad = _round_up(s, 8)
-    for block_n in (128, 64, 32, 16, 8):
+    n_cap = max(_round_up(n, 128), 128) if n is not None else 1 << 30
+    for block_n in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if block_n > n_cap:
+            continue
         fixed = 2 * s_pad * s_pad * 4 + 10 * s_pad * block_n * 4
         for tc in (128, 64, 32, 16, 8, 4, 2, 1):
             if 6 * tc * s_pad * block_n * 4 + fixed <= vmem_budget:
@@ -409,7 +421,7 @@ def hmm_estep_pallas(
     (None) auto-selects by S (bench/results.jsonl).
     """
     n, ts, s = log_emit.shape
-    auto_bn, auto_tc = pick_tiles(ts, s)
+    auto_bn, auto_tc = pick_tiles(ts, s, n)
     bn = block_n or auto_bn
     tc = chunk_t or auto_tc
     bf16 = dot_dtype == "bfloat16"
