@@ -58,7 +58,9 @@ def main() -> None:
     # relay, block_until_ready on stepwise loops has been observed to return
     # on enqueue-ack, and the relay's speculator can replay previously seen
     # request sequences — a scalar transfer of a fresh value can't be faked.
-    train = jax.jit(lambda p: hmm.train(p, corpus, N_ITERS_TPU))
+    # use_pallas mirrors the production auto-select (cli._resolve_use_pallas):
+    # at N=8000 the wide-block fused E-step beats the XLA scan even at S=12
+    train = jax.jit(lambda p: hmm.train(p, corpus, N_ITERS_TPU, use_pallas=True))
     params = hmm.init(corpus)
     p1, lls_warm = train(params)  # warm-up / compile; also the EM trajectory
     jax.block_until_ready(p1)

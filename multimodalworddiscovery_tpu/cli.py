@@ -76,7 +76,11 @@ def _resolve_use_pallas(cfg, corpus) -> bool:
     if mode != "auto":
         raise ValueError(f"model.use_pallas must be auto|on|off, got {mode!r}")
     on_tpu = jax.devices()[0].platform != "cpu"
-    return on_tpu and 2 * corpus.max_trg_len >= 32
+    # with wide lane blocks (pick_tiles) the fused kernel beats the XLA scan
+    # even at S=12 once the corpus fills a block (measured: 3.56 vs 4.43
+    # ms/iter at N=8000); keep the scan for small-S + small-N, where the
+    # regime is unmeasured and padding waste is worst
+    return on_tpu and (2 * corpus.max_trg_len >= 32 or corpus.n >= 1024)
 
 
 def _make_teacher(cfg, corpus):
@@ -136,16 +140,24 @@ def _make_model(cfg, corpus, init_only: bool = False):
                 mod.em_step, use_pallas=use_pallas, dot_dtype=dot_dtype
             )
         else:
-            params = mod.init(
+            learn_trans = bool(cfg.model.get("learn_transitions", False))
+            if learn_trans and name != "hmm_crf":
+                raise SystemExit(
+                    "model.learn_transitions requires model.name=hmm_crf "
+                    "(the end-to-end differentiable aligner)"
+                )
+            init_fn = mod.init_e2e if learn_trans else mod.init
+            params = init_fn(
                 corpus, max_jump=cfg.model.max_jump,
                 hidden=cfg.model.get("hidden", 256),
                 learning_rate=cfg.model.get("learning_rate", 1e-3),
                 n_sgd=cfg.model.get("n_sgd", 4),
                 key=key,
             )
-            step = functools.partial(
-                mod.em_step, use_pallas=use_pallas, dot_dtype=dot_dtype
-            )
+            step_kw = dict(use_pallas=use_pallas, dot_dtype=dot_dtype)
+            if name == "hmm_crf":
+                step_kw["learn_transitions"] = learn_trans
+            step = functools.partial(mod.em_step, **step_kw)
         if use_pallas and not init_only:
             print("E-step: fused Pallas kernel (model.use_pallas)")
     elif name == "attention":

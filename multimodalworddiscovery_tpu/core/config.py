@@ -57,6 +57,10 @@ def base_config() -> ConfigDict:
     cfg.model.null_threshold = 0.0  # attention alignment NULL cutoff
     cfg.model.hidden = 256  # hmm_dnn emission MLP width
     cfg.model.n_sgd = 4  # hmm_dnn Adam steps per generalized-EM M-step
+    # hmm_crf only: learn log_jump/log_p0 by Adam through the marginal
+    # (exact CRF moment gradients, models/hmm_crf.py:logmarginal_e2e)
+    # instead of the closed-form count M-step
+    cfg.model.learn_transitions = False
     cfg.model.margin = 1.0  # grounding ranking-loss margin
     cfg.model.feat_dim = 0
 

@@ -134,7 +134,9 @@ def bench_hmm_estep(out):
                       min_concepts=48, max_concepts=64, min_word_len=2,
                       max_word_len=3, seed=2)),
     ]
-    iters = 10
+    # 50 chained iterations: at 10 the ~30 ms fixed dispatch+host-read cost
+    # of the axon relay still inflates ms/iter by ~3 ms (measured)
+    iters = 50
     for label, gen in shapes:
         corpus, _, _ = make_flickr8k_mini(**gen)
         s = 2 * corpus.max_trg_len
