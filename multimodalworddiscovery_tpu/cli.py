@@ -203,9 +203,13 @@ def _align_call(cfg, mod, params, corpus):
     import inspect
 
     kw = {}
+    sig = inspect.signature(mod.align).parameters
     nt = float(cfg.model.get("null_threshold", 0.0) or 0.0)
-    if nt and "null_threshold" in inspect.signature(mod.align).parameters:
+    if nt and "null_threshold" in sig:
         kw["null_threshold"] = nt
+    if "use_pallas" in sig:
+        # fused Viterbi decode kernel in the same regime as the fused E-step
+        kw["use_pallas"] = _resolve_use_pallas(cfg, corpus)
     return jax.jit(functools.partial(mod.align, **kw))(params, corpus)
 
 

@@ -134,19 +134,23 @@ def em_step(
     return m_step(params, counts, smoothing), {"loglik": ll}
 
 
-def align(params: HMMParams, corpus: Corpus) -> jax.Array:
+def align(
+    params: HMMParams, corpus: Corpus, use_pallas: bool = False
+) -> jax.Array:
     """Viterbi decode -> [N, Ts] alignment (0 = NULL, else 1-based trg pos).
 
     Uses the factored-transition decoder (hmm_core.viterbi_factored): no
     [N, S, S] transition tensor, int8 backpointers — decode stays
-    memory-light at corpus scale."""
+    memory-light at corpus scale.  use_pallas routes through the fused
+    decode kernel (ops/viterbi_pallas.py)."""
     base, rowz, colmask = hmm_core.factor_log_trans(
         params.log_jump, params.log_p0, corpus, params.max_jump
     )
     log_init = hmm_core.build_log_init(params.log_p0, corpus)
     log_emit = _log_emissions(params, corpus)
     path = hmm_core.viterbi_factored(
-        log_init, base, rowz, colmask, log_emit, corpus.src_len
+        log_init, base, rowz, colmask, log_emit, corpus.src_len,
+        use_pallas=use_pallas,
     )
     return hmm_core.path_to_alignment(path, corpus)
 

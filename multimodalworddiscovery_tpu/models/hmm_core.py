@@ -382,6 +382,8 @@ def viterbi_factored(
     colmask: jax.Array,   # [N, S]
     log_emit: jax.Array,  # [N, Ts, S]
     src_len: jax.Array,   # [N]
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """Viterbi decode from FACTORED transitions — never materializes the
     [N, S, S] transition tensor (2.6 GB at N=40k, S=128; the per-step
@@ -390,8 +392,20 @@ def viterbi_factored(
     backtrace is the dominant decode buffer at corpus scale).
 
     Equivalent to ``viterbi(log_init, build_log_trans(...), ...)``; that
-    dense form is the test oracle.
+    dense form is the test oracle.  ``use_pallas=True`` routes through the
+    fused kernel (ops/viterbi_pallas.py: delta chunks streamed, backtrace
+    recomputed — no backpointer tensor at all); ties between equally-optimal
+    paths may resolve differently.
     """
+    if use_pallas:
+        from multimodalworddiscovery_tpu.ops.viterbi_pallas import (
+            viterbi_pallas,
+        )
+
+        return viterbi_pallas(
+            log_init, base, rowz, colmask, log_emit, src_len,
+            interpret=interpret,
+        )
     n, ts, s = log_emit.shape
     bp_dtype = jnp.int8 if s < 128 else jnp.int32
     delta0 = log_init + log_emit[:, 0]

@@ -275,14 +275,17 @@ def em_step(
     return new_params, {"loglik": jnp.sum(logz), "ce": ce[-1]}
 
 
-def align(params: DnnHMMParams, corpus: Corpus) -> jax.Array:
+def align(
+    params: DnnHMMParams, corpus: Corpus, use_pallas: bool = False
+) -> jax.Array:
     base, rowz, colmask = hmm_core.factor_log_trans(
         params.log_jump, params.log_p0, corpus, params.max_jump
     )
     log_init = hmm_core.build_log_init(params.log_p0, corpus)
     _, _, log_emit = _machinery(params, corpus)
     path = hmm_core.viterbi_factored(
-        log_init, base, rowz, colmask, log_emit, corpus.src_len
+        log_init, base, rowz, colmask, log_emit, corpus.src_len,
+        use_pallas=use_pallas,
     )
     return hmm_core.path_to_alignment(path, corpus)
 

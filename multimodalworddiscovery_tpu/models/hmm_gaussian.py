@@ -229,14 +229,16 @@ def em_step(
     return new_params, {"loglik": ll}
 
 
-def align(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
+def align(
+    params: GaussianHMMParams, corpus: Corpus, use_pallas: bool = False
+) -> jax.Array:
     base, rowz, colmask = hmm_core.factor_log_trans(
         params.log_jump, params.log_p0, corpus, params.max_jump
     )
     log_init = hmm_core.build_log_init(params.log_p0, corpus)
     path = hmm_core.viterbi_factored(
         log_init, base, rowz, colmask, _log_emissions(params, corpus),
-        corpus.src_len,
+        corpus.src_len, use_pallas=use_pallas,
     )
     return hmm_core.path_to_alignment(path, corpus)
 

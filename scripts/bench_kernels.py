@@ -176,6 +176,14 @@ def bench_viterbi(out):
     from multimodalworddiscovery_tpu.data import make_flickr8k_mini
     from multimodalworddiscovery_tpu.models import hmm, hmm_core
 
+    def _factored_args(p, corpus):
+        base, rowz, colmask = hmm_core.factor_log_trans(
+            p.log_jump, p.log_p0, corpus, p.max_jump
+        )
+        log_init = hmm_core.build_log_init(p.log_p0, corpus)
+        log_emit = hmm._log_emissions(p, corpus)
+        return log_init, base, rowz, colmask, log_emit, corpus.src_len
+
     for label, gen in (
         ("S12", dict(n_utterances=8000, n_concepts=60, n_phones=48,
                      min_concepts=3, max_concepts=6, seed=0)),
@@ -195,7 +203,27 @@ def bench_viterbi(out):
         def factored(p):
             return hmm.align(p, corpus)
 
-        for name, fn in (("viterbi_dense", dense), ("viterbi_factored", factored)):
+        def fused(p):
+            from multimodalworddiscovery_tpu.ops.viterbi_pallas import (
+                viterbi_pallas,
+            )
+
+            base, rowz, colmask = hmm_core.factor_log_trans(
+                p.log_jump, p.log_p0, corpus, p.max_jump
+            )
+            log_init = hmm_core.build_log_init(p.log_p0, corpus)
+            log_emit = hmm._log_emissions(p, corpus)
+            path = viterbi_pallas(
+                log_init, base, rowz, colmask, log_emit, corpus.src_len
+            )
+            return hmm_core.path_to_alignment(path, corpus)
+
+        ref_align = None
+        for name, fn in (
+            ("viterbi_dense", dense),
+            ("viterbi_factored", factored),
+            ("viterbi_pallas", fused),
+        ):
             run = jax.jit(fn)
             a = run(params)
             jax.block_until_ready(a)
@@ -205,13 +233,30 @@ def bench_viterbi(out):
             a = run(p2)
             _ = int(jnp.sum(a % 7))  # fresh host scalar
             dt = time.perf_counter() - t
-            _record(out, kernel=name, shape=label, S=s, N=corpus.n,
-                    ms=round(dt * 1e3, 3), utt_per_sec=round(corpus.n / dt))
+            rec = dict(kernel=name, shape=label, S=s, N=corpus.n,
+                       ms=round(dt * 1e3, 3), utt_per_sec=round(corpus.n / dt))
+            if name == "viterbi_factored":
+                ref_align = np.asarray(hmm_core.path_to_alignment(
+                    hmm_core.viterbi_factored(*_factored_args(params, corpus)),
+                    corpus,
+                ))
+            if name == "viterbi_pallas" and ref_align is not None:
+                rec["agree_vs_factored"] = round(
+                    float((np.asarray(fused(params)) == ref_align).mean()), 5
+                )
+            _record(out, **rec)
+
+
+BENCHES = ("mfcc", "log_matmul", "em", "hmm_estep", "viterbi")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bench/results.jsonl")
+    ap.add_argument(
+        "--only", nargs="*", choices=BENCHES,
+        help="run a subset of the benchmarks (default: all)",
+    )
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/mwd_jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -225,11 +270,11 @@ def main():
         x = x @ x * 1e-3
     _ = float(x[0, 0])
 
-    bench_mfcc(out)
-    bench_log_matmul(out)
-    bench_em(out)
-    bench_hmm_estep(out)
-    bench_viterbi(out)
+    selected = args.only or BENCHES
+    fns = dict(mfcc=bench_mfcc, log_matmul=bench_log_matmul, em=bench_em,
+               hmm_estep=bench_hmm_estep, viterbi=bench_viterbi)
+    for name in selected:
+        fns[name](out)
 
 
 if __name__ == "__main__":

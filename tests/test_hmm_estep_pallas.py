@@ -81,6 +81,31 @@ def test_estep_kernel_matches_scan_oracle(setup):
     )
 
 
+def test_pick_tiles_budget_and_caps():
+    """Auto tiles prefer the widest lane block that fits the VMEM budget,
+    capped by the (padded) corpus size."""
+    from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
+        _round_up, pick_tiles,
+    )
+
+    budget = 12 << 20
+    for ts, s, n in ((31, 12, 8000), (147, 64, 1024), (181, 128, 512),
+                     (512, 256, 64), (16, 8, 8)):
+        bn, tc = pick_tiles(ts, s, n)
+        s_pad = _round_up(s, 8)
+        fixed = 2 * s_pad * s_pad * 4 + 10 * s_pad * bn * 4
+        assert 6 * tc * s_pad * bn * 4 + fixed <= budget, (ts, s, n, bn, tc)
+        assert bn <= max(_round_up(n, 128), 128)
+        assert tc <= max(_round_up(ts, 8), 1)
+
+    # wide preference: a corpus-filling block at small S
+    assert pick_tiles(31, 12, 8000)[0] == 1024
+    # tiny corpora never pad past one minimal block
+    assert pick_tiles(31, 12, 16)[0] == 128
+    # without n, width is bounded only by VMEM
+    assert pick_tiles(31, 12)[0] == 1024
+
+
 def test_estep_kernel_tile_sizes_irrelevant(setup):
     corpus, params, log_init, log_trans, log_emit, (base, rowz, colmask) = setup
     args = (log_init, base, rowz, colmask, log_emit, corpus.src_len)
