@@ -34,9 +34,10 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 class VGG16(nn.Module):
-    """VGG16-D.  __call__ returns (logits [N, num_classes], fc2 [N, 4096])."""
+    """VGG16-D.  __call__ returns (logits [N, num_classes], fc2 [N, fc_dim])."""
 
     num_classes: int = 1000
+    fc_dim: int = 4096
 
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -52,8 +53,8 @@ class VGG16(nn.Module):
         # fc weights line up
         n = x.shape[0]
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
-        x = nn.relu(nn.Dense(4096, name="fc1")(x))
-        fc2 = nn.relu(nn.Dense(4096, name="fc2")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, name="fc1")(x))
+        fc2 = nn.relu(nn.Dense(self.fc_dim, name="fc2")(x))
         logits = nn.Dense(self.num_classes, name="fc3")(fc2)
         return logits, fc2
 
@@ -67,11 +68,14 @@ def init_vgg16(key: jax.Array | None = None, num_classes: int = 1000):
     return mod, params
 
 
-def load_torch_weights(path: str | Path, num_classes: int = 1000):
+def load_torch_weights(path: str | Path):
     """Convert a torchvision VGG16 state_dict (.pt/.pth) to flax params.
 
     torch conv weight [out, in, kh, kw] -> flax [kh, kw, in, out];
-    torch linear weight [out, in] -> flax [in, out].
+    torch linear weight [out, in] -> flax [in, out].  num_classes and the
+    fc width are read off the state dict (torchvision: 1000 / 4096).
+    Parity with torch's own forward is pinned by
+    tests/test_image_frontend.py::test_load_torch_weights_matches_torch.
     """
     import torch
 
@@ -97,7 +101,10 @@ def load_torch_weights(path: str | Path, num_classes: int = 1000):
             "kernel": jnp.asarray(w.T),
             "bias": jnp.asarray(b),
         }
-    mod = VGG16(num_classes=num_classes)
+    mod = VGG16(
+        num_classes=sd["classifier.6.weight"].shape[0],
+        fc_dim=sd["classifier.0.weight"].shape[0],
+    )
     return mod, {"params": params}
 
 

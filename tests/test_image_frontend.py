@@ -120,6 +120,60 @@ def test_torch_weight_conversion_roundtrip(tmp_path):
     np.testing.assert_allclose(j_feat, t_feat, rtol=1e-3, atol=1e-4)
 
 
+def test_load_torch_weights_matches_torch(tmp_path):
+    """Full-forward parity vs torch: conv stack + CHW flatten + fc head.
+
+    Uses the real VGG16-D conv layout with a narrow fc head (fc sizes are
+    read off the state dict) so the end-to-end check — including the
+    flatten-order contract between torch's ``flatten(x, 1)`` over
+    [N, 512, h, w] and the flax model's (0, 3, 1, 2) transpose — stays
+    cheap.  96x96 input -> [512, 3, 3] features, so a wrong flatten order
+    cannot cancel out."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512,
+           "M", 512, 512, 512, "M"]
+    layers = []
+    in_c = 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers.append(tnn.Conv2d(in_c, v, 3, padding=1))
+            layers.append(tnn.ReLU())
+            in_c = v
+    features = tnn.Sequential(*layers)
+    fc_dim, n_cls = 32, 7
+    classifier = tnn.Sequential(
+        tnn.Linear(512 * 3 * 3, fc_dim), tnn.ReLU(), tnn.Dropout(),
+        tnn.Linear(fc_dim, fc_dim), tnn.ReLU(), tnn.Dropout(),
+        tnn.Linear(fc_dim, n_cls),
+    )
+    sd = {}
+    for prefix, seq in (("features", features), ("classifier", classifier)):
+        for i, m in enumerate(seq):
+            if hasattr(m, "weight"):
+                sd[f"{prefix}.{i}.weight"] = m.weight.data
+                sd[f"{prefix}.{i}.bias"] = m.bias.data
+    path = tmp_path / "vgg16_narrow.pt"
+    torch.save(sd, path)
+
+    mod, params = load_torch_weights(path)
+    assert mod.fc_dim == fc_dim and mod.num_classes == n_cls
+
+    x = np.random.default_rng(5).normal(size=(2, 96, 96, 3)).astype(np.float32) * 0.1
+    features.eval()
+    classifier.eval()  # dropout must be a no-op for parity
+    with torch.no_grad():
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        t_fc2 = classifier[:5](torch.flatten(features(tx), 1))
+        t_logits = classifier[5:](t_fc2)
+    j_logits, j_fc2 = mod.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(j_fc2), t_fc2.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(), rtol=1e-3, atol=1e-4)
+
+
 def test_pretrained_gating(tmp_path):
     from multimodalworddiscovery_tpu.frontend.pretrained import checkpoint_available
 
