@@ -85,11 +85,25 @@ def expected_counts(
 
     Counts are additive across corpus shards/buckets (exact bucketed EM).
     use_pallas=True routes the E-step through the fused time-chunked Pallas
-    kernel (hmm_core.estep -> ops/hmm_fwdbwd_pallas.py): forward, backward,
-    posteriors, and pooled transition counts in one kernel pass instead of
-    three XLA scans.
+    kernel (hmm_core.estep -> ops/hmm_fwdbwd_pallas.py); when the state
+    space and vocabularies also fit the count kernels' regime, the WHOLE
+    step — emission lookup, forward-backward, pair counts — runs lane-major
+    through three chained Pallas kernels with no [*, S, N]-sized XLA
+    round-trips (``_expected_counts_fused``; measured 1.9 -> ~1.2 ms/EM
+    iteration at the bench shape).
     """
     v_src, v_trg = params.log_emit.shape
+    concepts = hmm_core.state_concepts(corpus)  # [N, S]
+    s = concepts.shape[1]
+    if (
+        use_pallas
+        and s <= 32
+        and max(v_src, v_trg) <= 128
+    ):
+        return _expected_counts_fused(
+            params, corpus, concepts, interpret=interpret,
+            dot_dtype=dot_dtype,
+        )
     log_emit = _log_emissions(params, corpus)
     gamma_nts, width_counts, logz = hmm_core.estep(
         params.log_jump, params.log_p0, params.max_jump, log_emit, corpus,
@@ -97,8 +111,73 @@ def expected_counts(
     )
     # --- emission counts as MXU one-hot matmuls (a flat segment_sum scatter
     # here measured 28 ms on TPU vs 1.6 ms for the matmul form) ---
-    concepts = hmm_core.state_concepts(corpus)  # [N, S]
     emit_counts = pair_counts(gamma_nts, corpus.src, concepts, v_src, v_trg)
+    return (emit_counts, width_counts), jnp.sum(logz)
+
+
+def _expected_counts_fused(
+    params: HMMParams,
+    corpus: Corpus,
+    concepts: jax.Array,  # [N, S]
+    interpret: bool = False,
+    dot_dtype: str = "float32",
+) -> tuple[tuple[jax.Array, jax.Array], jax.Array]:
+    """Fully-fused Pallas E-step: lookup -> fwd-bwd -> counts, lane-major.
+
+    The three kernels share one padded [T, S, N] layout, so the emission
+    table values and gamma never exist in [N, T, S] form on HBM; the only
+    XLA work left is the small [N, S]-sized factored-transition terms and
+    the time-major int paddings (loop-invariant: XLA hoists them out of a
+    training scan).
+    """
+    from multimodalworddiscovery_tpu.ops.counts_pallas import (
+        pad_time_major,
+        pair_counts_pallas,
+        table_lookup_pallas,
+    )
+    from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
+        _round_up,
+        hmm_estep_pallas,
+        pick_tiles,
+    )
+
+    v_src, v_trg = params.log_emit.shape
+    n, ts = corpus.src.shape
+    s = concepts.shape[1]
+    bn, tc = pick_tiles(ts, s, n)
+    bt = min(tc, 8)  # ts_pad is a multiple of tc, hence of bt
+    s_pad = _round_up(s, 8)
+    n_pad = _round_up(n, bn)
+    ts_pad = _round_up(ts, tc)
+
+    src_t = pad_time_major(corpus.src, ts_pad, n_pad)
+    conc_t = pad_time_major(concepts, s_pad, n_pad)
+    # static NULL-state flags (hmm_core.state_positions: s >= Tt_max is
+    # null, concept id 0 on every lane) — halves the kernels' per-k
+    # masked-select work; padded rows ride the same cheap path (gamma 0)
+    null_rows = tuple(k >= corpus.max_trg_len for k in range(s_pad))
+    emit_t = table_lookup_pallas(
+        params.log_emit, src_t, conc_t, k_real=s,
+        block_n=bn, block_t=bt, null_rows=null_rows, interpret=interpret,
+    )
+    base, rowz, colmask = hmm_core.factor_log_trans(
+        params.log_jump, params.log_p0, corpus, params.max_jump
+    )
+    log_init = hmm_core.build_log_init(params.log_p0, corpus)
+    gamma_t, xi_pooled, logz = hmm_estep_pallas(
+        log_init, base, rowz, colmask, emit_t, corpus.src_len,
+        block_n=bn, chunk_t=tc, dot_dtype=dot_dtype, interpret=interpret,
+        emit_tn=True, out_tn=True, dims=(n, ts, s),
+    )
+    emit_counts = pair_counts_pallas(
+        gamma_t, src_t, conc_t, v_src, v_trg,
+        block_n=bn, block_t=bt, null_rows=null_rows, interpret=interpret,
+    )
+    width_ids = hmm_core.jump_width_ids(corpus.max_trg_len, params.max_jump)
+    width_counts = jax.ops.segment_sum(
+        xi_pooled.reshape(-1), width_ids.reshape(-1),
+        num_segments=2 * params.max_jump + 3,
+    )
     return (emit_counts, width_counts), jnp.sum(logz)
 
 

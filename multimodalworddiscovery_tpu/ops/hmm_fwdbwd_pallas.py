@@ -392,20 +392,24 @@ def _bwd_remat_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_n", "chunk_t", "dot_dtype", "remat", "interpret"),
+    static_argnames=("block_n", "chunk_t", "dot_dtype", "remat", "interpret",
+                     "emit_tn", "out_tn", "dims"),
 )
 def hmm_estep_pallas(
     log_init: jax.Array,  # [N, S]
     base: jax.Array,      # [S, S]   shared jump-weight matrix
     rowz: jax.Array,      # [N, S]   per-row log normalizer
     colmask: jax.Array,   # [N, S]   0 valid / NEG_INF invalid states
-    log_emit: jax.Array,  # [N, Ts, S]
+    log_emit: jax.Array,  # [N, Ts, S] (or [Tp, Sp, Np] when emit_tn=True)
     src_len: jax.Array,   # [N]
     block_n: int | None = None,
     chunk_t: int | None = None,
     dot_dtype: str = "float32",
     remat: bool | None = None,
     interpret: bool = False,
+    emit_tn: bool = False,
+    out_tn: bool = False,
+    dims: tuple[int, int, int] | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused E-step.  Returns (gamma [N, Ts, S], xi_pooled [S, S], logz [N]).
 
@@ -419,8 +423,20 @@ def hmm_estep_pallas(
     alphas in the backward sweep (+1 matmul/step for -8 bytes/step/state/lane
     of HBM traffic) — the right trade at HBM-bound state sizes.  Default
     (None) auto-selects by S (bench/results.jsonl).
+
+    emit_tn=True: log_emit is already in padded kernel layout [Tp, Sp, Np]
+    (e.g. straight from ops/counts_pallas.table_lookup_pallas) — no pad or
+    transpose happens here; block_n/chunk_t must match the padding and
+    `dims` must carry the real (n, ts, s).  out_tn=True returns gamma in
+    the same padded layout (zero at all padding), skipping the moveaxis —
+    together these keep the whole EM pipeline lane-major with no XLA-side
+    round-trips of the [*, S, N]-sized tensors.
     """
-    n, ts, s = log_emit.shape
+    if emit_tn:
+        assert dims is not None, "emit_tn=True requires dims=(n, ts, s)"
+        n, ts, s = dims
+    else:
+        n, ts, s = log_emit.shape
     auto_bn, auto_tc = pick_tiles(ts, s, n)
     bn = block_n or auto_bn
     tc = chunk_t or auto_tc
@@ -449,14 +465,19 @@ def hmm_estep_pallas(
     init_p = pad(log_init, (n_pad, s_pad))
     rowz_p = pad(rowz - maxbase, (n_pad, s_pad), fill=0.0)
     colmask_p = pad(colmask, (n_pad, s_pad))
-    emit_p = pad(log_emit, (n_pad, ts_pad, s_pad))
     len_p = jnp.zeros((n_pad,), jnp.int32).at[:n].set(src_len)
 
     # lane-major layouts: batch on lanes, states on sublanes, time leading
     init_t = jnp.moveaxis(init_p, 0, -1)      # [S, N]
     rowz_t = jnp.moveaxis(rowz_p, 0, -1)      # [S, N]
     colmask_t = jnp.moveaxis(colmask_p, 0, -1)
-    emit_t = jnp.moveaxis(emit_p, 0, -1)      # [Ts, S, N]
+    if emit_tn:
+        assert log_emit.shape == (ts_pad, s_pad, n_pad), (
+            log_emit.shape, (ts_pad, s_pad, n_pad))
+        emit_t = log_emit
+    else:
+        emit_p = pad(log_emit, (n_pad, ts_pad, s_pad))
+        emit_t = jnp.moveaxis(emit_p, 0, -1)  # [Ts, S, N]
     len_t = len_p[None, :]                    # [1, N]
 
     grid = (n_pad // bn, n_chunks)
@@ -554,6 +575,7 @@ def hmm_estep_pallas(
             interpret=interpret,
         )(base_p, rowz_t, colmask_t, emit_t, alphas, len_t, logz)
 
-    gamma = jnp.moveaxis(gamma, -1, 0)[:n, :ts, :s]  # [N, Ts, S]
     xi_pooled = jnp.sum(xi, axis=0)[:s, :s]
+    if not out_tn:
+        gamma = jnp.moveaxis(gamma, -1, 0)[:n, :ts, :s]  # [N, Ts, S]
     return gamma, xi_pooled, logz[0, :n]

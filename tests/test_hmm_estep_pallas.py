@@ -81,6 +81,39 @@ def test_estep_kernel_matches_scan_oracle(setup):
     )
 
 
+def test_fused_expected_counts_matches_plain(setup):
+    """The fully-fused pipeline (lookup -> fwd-bwd -> pair-counts kernels,
+    hmm._expected_counts_fused) matches the plain XLA expected_counts."""
+    corpus, params, *_ = setup
+    (ec_ref, wc_ref), ll_ref = hmm.expected_counts(params, corpus)
+    (ec_f, wc_f), ll_f = hmm.expected_counts(
+        params, corpus, use_pallas=True, interpret=True
+    )
+    scale = float(jnp.max(ec_ref))
+    np.testing.assert_allclose(
+        np.asarray(ec_f), np.asarray(ec_ref), atol=1e-4 * max(scale, 1.0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(wc_f), np.asarray(wc_ref), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(float(ll_f), float(ll_ref), rtol=1e-6)
+
+
+def test_fused_em_training_converges(setup):
+    """Full EM through the fused path reaches the same model quality."""
+    corpus, params, *_ = setup
+    p_ref, p_fused = params, params
+    for _ in range(5):
+        p_ref, _ = hmm.em_step(p_ref, corpus)
+        p_fused, aux = hmm.em_step(
+            p_fused, corpus, use_pallas=True, interpret=True
+        )
+    np.testing.assert_allclose(
+        np.asarray(p_fused.log_emit), np.asarray(p_ref.log_emit),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
 def test_pick_tiles_budget_and_caps():
     """Auto tiles prefer the widest lane block that fits the VMEM budget,
     capped by the (padded) corpus size."""
