@@ -99,17 +99,103 @@ def bench_em(out):
         n_utterances=8000, n_concepts=60, n_phones=48,
         min_concepts=3, max_concepts=6, seed=0,
     )
-    for name, mod in (("model1_em", model1), ("hmm_em", hmm)):
-        train = jax.jit(lambda p, m=mod: m.train(p, corpus, 20))
+    jobs = (
+        ("model1_em", model1, {}),
+        ("hmm_em", hmm, {}),
+        ("hmm_em_fused", hmm, dict(use_pallas=True)),  # 3-kernel pipeline
+    )
+    # 100 chained iterations + best-of-3: at ~1 ms/iter a 20-iter window
+    # lets the ~25 ms relay round-trip dominate (measured: model1 read 5.3
+    # ms/iter at 20 iters vs its true 0.53 at 100)
+    iters = 100
+    for name, mod, kw in jobs:
+        train = jax.jit(lambda p, m=mod, kw=kw: m.train(p, corpus, iters, **kw))
         p = mod.init(corpus)
         q, lls = train(p)
         jax.block_until_ready(q)
-        t = time.perf_counter()
-        q2, lls = train(q)  # replay-proof: input differs from warmup
-        _ = float(lls[-1])
-        dt = (time.perf_counter() - t) / 20
+        dt = 1e9
+        for _ in range(3):
+            t = time.perf_counter()
+            q2, lls = train(q)  # replay-proof: input differs from warmup
+            _ = float(lls[-1])
+            dt = min(dt, (time.perf_counter() - t) / iters)
         _record(out, kernel=name, ms_per_iter=round(dt * 1e3, 3),
                 utt_iter_per_sec=round(8000 / dt))
+
+
+def bench_counts(out):
+    """One-hot contraction kernels (ops/counts_pallas.py) vs the XLA
+    broadcast-k formulations (core/counts.py) on the headline shape.
+
+    Chained via a carry perturbation (PERFORMANCE.md rule 6: an invariant
+    scan body gets hoisted and every config reads the same number)."""
+    from multimodalworddiscovery_tpu.core.counts import pair_counts, table_lookup
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.models import hmm, hmm_core
+    from multimodalworddiscovery_tpu.ops.counts_pallas import (
+        pad_time_major, pair_counts_pallas, table_lookup_pallas,
+    )
+    from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
+        _round_up, hmm_estep_pallas, pick_tiles,
+    )
+
+    corpus, _, _ = make_flickr8k_mini(
+        n_utterances=8000, n_concepts=60, n_phones=48,
+        min_concepts=3, max_concepts=6, seed=0,
+    )
+    params = hmm.init(corpus)
+    concepts = hmm_core.state_concepts(corpus)
+    n, ts = corpus.src.shape
+    s = concepts.shape[1]
+    f, e = params.log_emit.shape
+    bn, tc = pick_tiles(ts, s, n)
+    bt = min(tc, 8)
+    s_pad = _round_up(s, 8)
+    src_t = pad_time_major(corpus.src, _round_up(ts, tc), _round_up(n, bn))
+    conc_t = pad_time_major(concepts, s_pad, _round_up(n, bn))
+    null_rows = tuple(k >= corpus.max_trg_len for k in range(s_pad))
+    log_emit = hmm._log_emissions(params, corpus)
+    base, rowz, colmask = hmm_core.factor_log_trans(
+        params.log_jump, params.log_p0, corpus, params.max_jump)
+    log_init = hmm_core.build_log_init(params.log_p0, corpus)
+    gamma = jax.jit(lambda le: hmm_core.estep(
+        params.log_jump, params.log_p0, params.max_jump, le, corpus,
+        use_pallas=True))(log_emit)[0]
+    emit_t = table_lookup_pallas(
+        params.log_emit, src_t, conc_t, k_real=s, block_n=bn, block_t=bt,
+        null_rows=null_rows)
+    gamma_t = jax.jit(lambda et: hmm_estep_pallas(
+        log_init, base, rowz, colmask, et, corpus.src_len, block_n=bn,
+        chunk_t=tc, emit_tn=True, out_tn=True, dims=(n, ts, s)))(emit_t)[0]
+    reps = 50
+
+    def chained(name, fn, carry0):
+        run = jax.jit(lambda c0: jax.lax.scan(
+            lambda c, _: (fn(c), None), c0, None, length=reps)[0])
+        r = run(carry0)
+        jax.block_until_ready(r)
+        t = time.perf_counter()
+        r = run(carry0)
+        _ = float(jax.tree.leaves(r)[0].ravel()[0])
+        dt = (time.perf_counter() - t) / reps
+        _record(out, kernel=name, ms=round(dt * 1e3, 3), N=n, T=ts, S=s)
+
+    chained("table_lookup_xla",
+            lambda tab: tab + table_lookup(tab, corpus.src, concepts)[0, 0, 0] * 1e-30,
+            params.log_emit)
+    chained("table_lookup_pallas",
+            lambda tab: tab + table_lookup_pallas(
+                tab, src_t, conc_t, k_real=s, block_n=bn, block_t=bt,
+                null_rows=null_rows)[0, 0, 0] * 1e-30,
+            params.log_emit)
+    chained("pair_counts_xla",
+            lambda g: g + pair_counts(g, corpus.src, concepts, f, e)[0, 0] * 1e-30,
+            gamma)
+    chained("pair_counts_pallas",
+            lambda g: g + pair_counts_pallas(
+                g, src_t, conc_t, f, e, block_n=bn, block_t=bt,
+                null_rows=null_rows)[0, 0] * 1e-30,
+            gamma_t)
 
 
 def bench_hmm_estep(out):
@@ -247,7 +333,7 @@ def bench_viterbi(out):
             _record(out, **rec)
 
 
-BENCHES = ("mfcc", "log_matmul", "em", "hmm_estep", "viterbi")
+BENCHES = ("mfcc", "log_matmul", "em", "counts", "hmm_estep", "viterbi")
 
 
 def main():
@@ -272,7 +358,8 @@ def main():
 
     selected = args.only or BENCHES
     fns = dict(mfcc=bench_mfcc, log_matmul=bench_log_matmul, em=bench_em,
-               hmm_estep=bench_hmm_estep, viterbi=bench_viterbi)
+               counts=bench_counts, hmm_estep=bench_hmm_estep,
+               viterbi=bench_viterbi)
     for name in selected:
         fns[name](out)
 

@@ -98,3 +98,29 @@ def test_time_sharded_forward_matches_sequential():
                 a_seq[t, i][smask[i]], a_par[t, i][smask[i]],
                 rtol=2e-3, atol=2e-3, err_msg=f"utt {i} t {t}",
             )
+
+
+def test_data_parallel_fused_pallas_matches_plain():
+    """The fully-fused Pallas EM pipeline composes with the data-parallel
+    sharded step (GSPMD partitions around the pallas_calls; semantics must
+    match the plain path exactly)."""
+    import functools
+
+    from multimodalworddiscovery_tpu.core.mesh import make_mesh
+    from multimodalworddiscovery_tpu.parallel import (
+        make_data_parallel_step,
+        shard_corpus,
+    )
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=32, seed=5)
+    mesh = make_mesh(8)
+    sharded = shard_corpus(corpus, mesh)
+    params = hmm.init(sharded)
+    p1, s1 = make_data_parallel_step(hmm.em_step, mesh)(params, sharded)
+    p2, s2 = make_data_parallel_step(
+        functools.partial(hmm.em_step, use_pallas=True, interpret=True), mesh
+    )(params, sharded)
+    np.testing.assert_allclose(
+        float(s1["loglik"]), float(s2["loglik"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p1.log_emit), np.asarray(p2.log_emit), atol=1e-4)
