@@ -49,13 +49,17 @@ def init(corpus: Corpus, max_jump: int = 3, dtype=jnp.float32) -> HMMParams:
     )
 
 
-def _log_emissions(params: HMMParams, corpus: Corpus) -> jax.Array:
+def _log_emissions(
+    params: HMMParams, corpus: Corpus, concepts: jax.Array | None = None
+) -> jax.Array:
     """[N, Ts, S]: log p(phone at t | state s).
 
     MXU table lookup instead of a double gather — the gather formulation was
     profiled at 23 of 26 ms per EM iteration on TPU (core/counts.py).
+    Pass ``concepts`` (hmm_core.state_concepts) to reuse a precomputed map.
     """
-    concepts = hmm_core.state_concepts(corpus)  # [N, S]
+    if concepts is None:
+        concepts = hmm_core.state_concepts(corpus)  # [N, S]
     return table_lookup(params.log_emit, corpus.src, concepts)
 
 
@@ -104,7 +108,7 @@ def expected_counts(
             params, corpus, concepts, interpret=interpret,
             dot_dtype=dot_dtype,
         )
-    log_emit = _log_emissions(params, corpus)
+    log_emit = _log_emissions(params, corpus, concepts)
     gamma_nts, width_counts, logz = hmm_core.estep(
         params.log_jump, params.log_p0, params.max_jump, log_emit, corpus,
         use_pallas=use_pallas, interpret=interpret, dot_dtype=dot_dtype,
@@ -173,10 +177,8 @@ def _expected_counts_fused(
         gamma_t, src_t, conc_t, v_src, v_trg,
         block_n=bn, block_t=bt, null_rows=null_rows, interpret=interpret,
     )
-    width_ids = hmm_core.jump_width_ids(corpus.max_trg_len, params.max_jump)
-    width_counts = jax.ops.segment_sum(
-        xi_pooled.reshape(-1), width_ids.reshape(-1),
-        num_segments=2 * params.max_jump + 3,
+    width_counts = hmm_core.project_widths(
+        xi_pooled, corpus.max_trg_len, params.max_jump
     )
     return (emit_counts, width_counts), jnp.sum(logz)
 

@@ -262,8 +262,6 @@ def estep(
     """
     tt_max = corpus.max_trg_len
     log_init = build_log_init(log_p0, corpus)
-    width_ids = jump_width_ids(tt_max, max_jump)  # [S, S]
-    w_total = 2 * max_jump + 3
 
     if use_pallas:
         from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
@@ -310,10 +308,20 @@ def estep(
         )
 
     # project pooled xi onto jump widths ONCE (not one scatter per scan step)
-    width_counts = jax.ops.segment_sum(
-        xi_pooled.reshape(-1), width_ids.reshape(-1), num_segments=w_total
+    return gamma_nts, project_widths(xi_pooled, tt_max, max_jump), logz
+
+
+def project_widths(
+    xi_pooled: jax.Array, tt_max: int, max_jump: int
+) -> jax.Array:
+    """Pooled transition posteriors [S, S] -> expected jump-width counts
+    [2*max_jump+3] (..., p0 slot, impossible slot).  Shared by estep and the
+    fused Pallas pipeline (models/hmm.py:_expected_counts_fused)."""
+    width_ids = jump_width_ids(tt_max, max_jump)
+    return jax.ops.segment_sum(
+        xi_pooled.reshape(-1), width_ids.reshape(-1),
+        num_segments=2 * max_jump + 3,
     )
-    return gamma_nts, width_counts, logz
 
 
 def posteriors_from(

@@ -56,12 +56,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pick_tiles(
-    ts: int, s: int, n: int | None = None, vmem_budget: int = 12 << 20
+def pick_tiles_costed(
+    ts: int,
+    s: int,
+    n: int | None,
+    vmem_budget: int,
+    chunk_coeff: int,
+    fixed_coeff: tuple[int, int],
 ) -> tuple[int, int]:
-    """(block_n, chunk_t) such that the backward pass (the VMEM-heaviest:
-    emit + alphas in, gamma out, all double-buffered) fits the budget.
+    """Shared VMEM tiling search for the lane-major sequential kernels.
 
+    Cost model (bytes): ``chunk_coeff * tc * s_pad * block_n * 4  +
+    fixed_coeff[0] * s_pad^2 * 4 + fixed_coeff[1] * s_pad * block_n * 4``.
     Prefer the WIDEST lane block that fits: the recursion is strictly
     sequential per utterance, so wall time ~ grid-steps x per-step latency,
     and per-step cost grows sub-linearly in block_n (measured on TPU v5e at
@@ -73,13 +79,22 @@ def pick_tiles(
     for block_n in (1024, 512, 256, 128, 64, 32, 16, 8):
         if block_n > n_cap:
             continue
-        fixed = 2 * s_pad * s_pad * 4 + 10 * s_pad * block_n * 4
+        fixed = (fixed_coeff[0] * s_pad * s_pad * 4
+                 + fixed_coeff[1] * s_pad * block_n * 4)
         for tc in (128, 64, 32, 16, 8, 4, 2, 1):
-            if 6 * tc * s_pad * block_n * 4 + fixed <= vmem_budget:
+            if chunk_coeff * tc * s_pad * block_n * 4 + fixed <= vmem_budget:
                 # never chunk wider than the (rounded) time axis: a Ts=16
                 # corpus with tc=128 would pad/loop 8x pure-padding steps
                 return block_n, min(tc, max(_round_up(ts, 8), 1))
     raise ValueError(f"no VMEM tiling for Ts={ts}, S={s}")  # S >~ 2800
+
+
+def pick_tiles(
+    ts: int, s: int, n: int | None = None, vmem_budget: int = 12 << 20
+) -> tuple[int, int]:
+    """(block_n, chunk_t) such that the backward pass (the VMEM-heaviest:
+    emit + alphas in, gamma out, all double-buffered) fits the budget."""
+    return pick_tiles_costed(ts, s, n, vmem_budget, 6, (2, 10))
 
 
 def _fwd_step(bexp, rowz, colmask, emit_t, alive, alpha, bf16):
@@ -437,7 +452,8 @@ def hmm_estep_pallas(
         n, ts, s = dims
     else:
         n, ts, s = log_emit.shape
-    auto_bn, auto_tc = pick_tiles(ts, s, n)
+    if block_n is None or chunk_t is None:
+        auto_bn, auto_tc = pick_tiles(ts, s, n)
     bn = block_n or auto_bn
     tc = chunk_t or auto_tc
     bf16 = dot_dtype == "bfloat16"

@@ -44,7 +44,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF
-from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import _round_up
+from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
+    _round_up,
+    pick_tiles_costed,
+)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -54,17 +57,8 @@ def pick_tiles_viterbi(
 ) -> tuple[int, int]:
     """(block_n, chunk_t) for the Viterbi kernels.  The forward pass is the
     VMEM-heaviest: emit + delta chunks double-buffered, plus the [8, S, BN]
-    max-plus broadcast temporary."""
-    s_pad = _round_up(s, 8)
-    n_cap = max(_round_up(n, 128), 128) if n is not None else 1 << 30
-    for block_n in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if block_n > n_cap:
-            continue
-        fixed = s_pad * s_pad * 4 + 14 * s_pad * block_n * 4
-        for tc in (128, 64, 32, 16, 8, 4, 2, 1):
-            if 4 * tc * s_pad * block_n * 4 + fixed <= vmem_budget:
-                return block_n, min(tc, max(_round_up(ts, 8), 1))
-    raise ValueError(f"no VMEM tiling for Ts={ts}, S={s}")
+    max-plus broadcast temporary (shared search: pick_tiles_costed)."""
+    return pick_tiles_costed(ts, s, n, vmem_budget, 4, (1, 14))
 
 
 def _maxplus_step(base, rowz, colmask, emit_t, alive, delta, s_pad):
@@ -183,7 +177,8 @@ def viterbi_pallas(
     ``path_to_alignment`` exactly as for the scan decoder.
     """
     n, ts, s = log_emit.shape
-    auto_bn, auto_tc = pick_tiles_viterbi(ts, s, n)
+    if block_n is None or chunk_t is None:
+        auto_bn, auto_tc = pick_tiles_viterbi(ts, s, n)
     bn = block_n or auto_bn
     tc = chunk_t or auto_tc
 

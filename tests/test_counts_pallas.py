@@ -89,6 +89,39 @@ def test_pair_counts_tile_sizes_irrelevant(setup):
     np.testing.assert_allclose(outs[0], outs[2], rtol=1e-6)
 
 
+def test_null_rows_fast_path_matches_generic(setup):
+    """The static NULL-state fast path (concept id 0 on every lane, plain
+    add / rows[0] copy) matches the generic masked-select path bit-for-bit
+    for the lookup and to fp tolerance for the counts."""
+    src, concepts, table, gamma, _ = setup
+    f, e = table.shape
+    n, k = concepts.shape
+    # make rows 1, 3, 5 all-zero concepts, mirroring state_concepts' NULLs
+    concepts = concepts.copy()
+    concepts[:, 1::2][:, :3] = 0
+    null_rows_short = tuple(
+        bool(np.all(concepts[:, j] == 0)) for j in range(k))
+    src_t, conc_t, gamma_t, tp, np_, k_pad = _padded_inputs(
+        src, concepts, gamma)
+    null_rows = null_rows_short + (True,) * (k_pad - k)  # pads ride it too
+
+    e_gen = np.asarray(table_lookup_pallas(
+        jnp.asarray(table), src_t, conc_t, k_real=k,
+        block_n=128, block_t=8, interpret=True))
+    e_null = np.asarray(table_lookup_pallas(
+        jnp.asarray(table), src_t, conc_t, k_real=k,
+        block_n=128, block_t=8, null_rows=null_rows, interpret=True))
+    np.testing.assert_array_equal(e_gen, e_null)
+
+    c_gen = np.asarray(pair_counts_pallas(
+        gamma_t, src_t, conc_t, n_rows=f, n_cols=e,
+        block_n=128, block_t=8, interpret=True))
+    c_null = np.asarray(pair_counts_pallas(
+        gamma_t, src_t, conc_t, n_rows=f, n_cols=e,
+        block_n=128, block_t=8, null_rows=null_rows, interpret=True))
+    np.testing.assert_allclose(c_null, c_gen, rtol=1e-6, atol=1e-5)
+
+
 def test_lookup_total_mass_ignores_padding(setup):
     """Padded lanes/times of pair_counts contribute exactly nothing: total
     count mass equals the sum of gamma over real entries."""
