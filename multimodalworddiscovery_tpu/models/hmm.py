@@ -136,12 +136,11 @@ def _expected_counts_fused(
     """
     from multimodalworddiscovery_tpu.ops.counts_pallas import (
         pad_time_major,
-        pair_counts_pallas,
         table_lookup_pallas,
     )
     from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
         _round_up,
-        hmm_estep_pallas,
+        hmm_estep_counts_pallas,
         pick_tiles,
     )
 
@@ -168,14 +167,13 @@ def _expected_counts_fused(
         params.log_jump, params.log_p0, corpus, params.max_jump
     )
     log_init = hmm_core.build_log_init(params.log_p0, corpus)
-    gamma_t, xi_pooled, logz = hmm_estep_pallas(
-        log_init, base, rowz, colmask, emit_t, corpus.src_len,
-        block_n=bn, chunk_t=tc, dot_dtype=dot_dtype, interpret=interpret,
-        emit_tn=True, out_tn=True, dims=(n, ts, s),
-    )
-    emit_counts = pair_counts_pallas(
-        gamma_t, src_t, conc_t, v_src, v_trg,
-        block_n=bn, block_t=bt, null_rows=null_rows, interpret=interpret,
+    # backward kernel consumes each step's posteriors in VMEM and emits the
+    # pooled (phone, concept) counts directly — gamma never exists on HBM
+    emit_counts, xi_pooled, logz = hmm_estep_counts_pallas(
+        log_init, base, rowz, colmask, emit_t, src_t, conc_t,
+        corpus.src_len, n_rows=v_src, n_cols=v_trg,
+        block_n=bn, chunk_t=tc, dot_dtype=dot_dtype, null_rows=null_rows,
+        interpret=interpret, dims=(n, ts, s),
     )
     width_counts = hmm_core.project_widths(
         xi_pooled, corpus.max_trg_len, params.max_jump

@@ -305,6 +305,157 @@ def _bwd_kernel(
         xi_ref[0] = xi_acc[:]
 
 
+def _bwd_counts_kernel(
+    base_ref,     # [S, S]  base0
+    rowz_ref,     # [S, BN] rowz0
+    colmask_ref,  # [S, BN]
+    emit_ref,     # [Tc, S, BN]   (chunk n_chunks-1-j)
+    alphas_ref,   # [Tc, S, BN]   (chunk n_chunks-1-j)
+    src_ref,      # [Tc, BN] int32 (chunk n_chunks-1-j)
+    conc_ref,     # [S, BN] int32
+    len_ref,      # [1, BN]
+    logz_ref,     # [1, BN]
+    counts_ref,   # out [1, F, E]  (per-batch-block partial sums)
+    xi_ref,       # out [1, S, S]
+    ebc,          # scratch [S, BN]
+    xi_acc,       # scratch [S, S]
+    cnt_acc,      # scratch [F, E]
+    ak_acc,       # scratch [n_real+1, F, BN] per-state phone histograms
+    *,
+    tc: int,
+    n_chunks: int,
+    bf16: bool,
+    f_pad: int,
+    e_pad: int,
+    null_rows: tuple[bool, ...] | None,
+):
+    """Backward sweep with the (phone, concept) expected-count accumulation
+    FUSED in: gamma is consumed in VMEM the step it is produced and never
+    exists in HBM (the discrete HMM's M-step needs only the pooled counts).
+    Identical beta/gamma/xi math to ``_bwd_kernel``.
+
+    Count accumulation (null_rows given): the per-step work is one phone
+    one-hot [F, BN] and n_real+1 fused multiply-adds into per-state phone
+    HISTOGRAMS ``ak_acc[k][f, n] = sum_t 1[src=f] gamma[t,k,n]`` — the
+    concept projection (per-lane concept ids) is DEFERRED to n_real+1 MXU
+    dots once per batch block, so no [E, BN] masked selects and no per-step
+    dot run inside the sequential loop.  Without null_rows it falls back to
+    the per-step ge construction (ops/counts_pallas.py:_counts_kernel)."""
+    j = pl.program_id(1)
+    c0 = (n_chunks - 1 - j) * tc
+    lens = len_ref[0]
+    logz = logz_ref[0]
+    logz_safe = jnp.where(logz > NEG_INF / 2, logz, 0.0)
+    bexp32 = jnp.exp(base_ref[:])
+    bexp = bexp32.astype(jnp.bfloat16) if bf16 else bexp32
+    rowz = rowz_ref[:]
+    colmask = colmask_ref[:]
+    s_pad = base_ref.shape[0]
+    bn = rowz_ref.shape[1]
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (f_pad, 1), 0)
+    iota_e = jax.lax.broadcasted_iota(jnp.int32, (e_pad, 1), 0)
+    real_ks = tuple(
+        k for k in range(s_pad) if null_rows is None or not null_rows[k]
+    )
+    deferred = null_rows is not None
+    n_real = len(real_ks)
+
+    @pl.when(j == 0)
+    def _():
+        ebc[:] = jnp.full_like(ebc, NEG_INF)
+        xi_acc[:] = jnp.zeros_like(xi_acc)
+        cnt_acc[:] = jnp.zeros_like(cnt_acc)
+        ak_acc[:] = jnp.zeros_like(ak_acc)
+
+    def body(k, eb):
+        i = tc - 1 - k
+        t = c0 + i
+        ebm = eb + colmask
+        m2 = jnp.max(ebm, axis=0)  # [BN]
+        m2_safe = jnp.where(m2 > NEG_INF / 2, m2, 0.0)
+        f = jnp.exp(ebm - m2_safe[None, :])  # ≤ 1
+        fd = f.astype(jnp.bfloat16) if bf16 else f
+        q = jax.lax.dot_general(
+            bexp, fd, (((1,), (0,)), ((), ())),
+            precision=None if bf16 else _HI,
+            preferred_element_type=jnp.float32,
+        )
+        upd = jnp.where(
+            q > 0.0, jnp.log(jnp.maximum(q, 1e-38)) + m2_safe[None, :], NEG_INF
+        )
+        upd = upd - rowz
+        ended = ((t + 1) >= lens)[None, :]
+        beta_t = jnp.where(ended, 0.0, upd)
+
+        alpha_t = alphas_ref[i]
+        lg = alpha_t + beta_t - logz_safe[None, :]
+        alive = (t < lens)[None, :]
+        gm = jnp.where(alive, jnp.exp(jnp.minimum(lg, 0.0)), 0.0)  # [S, BN]
+
+        # --- fused (phone, concept) count accumulation (VMEM-resident) ---
+        oh_src = (iota_f == src_ref[i][None, :]).astype(jnp.float32)
+        if deferred:
+            # per-state phone histograms; concept projection deferred
+            null_sum = None
+            for kk in range(s_pad):
+                if null_rows[kk]:
+                    g_row = gm[kk]
+                    null_sum = g_row if null_sum is None else null_sum + g_row
+            for idx, kk in enumerate(real_ks):
+                ak_acc[idx] = ak_acc[idx] + oh_src * gm[kk][None, :]
+            if null_sum is not None:
+                ak_acc[n_real] = ak_acc[n_real] + oh_src * null_sum[None, :]
+        else:
+            ge = jnp.zeros((e_pad, bn), jnp.float32)
+            for kk in range(s_pad):
+                mask = (iota_e == conc_ref[kk][None, :]).astype(jnp.float32)
+                ge = ge + mask * gm[kk][None, :]
+            cnt_acc[:] = cnt_acc[:] + jax.lax.dot_general(
+                oh_src, ge, (((1,), (1,)), ((), ())),
+                precision=_HI, preferred_element_type=jnp.float32,
+            )
+
+        tr_alive = ((t + 1) < lens)[None, :]
+        a2 = alpha_t - rowz - logz_safe[None, :]
+        ea = jnp.exp(jnp.minimum(a2 + m2_safe[None, :], 80.0))
+        ea = jnp.where(tr_alive, ea, 0.0)
+        ead = ea.astype(jnp.bfloat16) if bf16 else ea
+        xc = jax.lax.dot_general(
+            ead, fd, (((1,), (1,)), ((), ())),
+            precision=None if bf16 else _HI,
+            preferred_element_type=jnp.float32,
+        )
+        xi_acc[:] = xi_acc[:] + bexp32 * xc
+        return emit_ref[i] + beta_t
+
+    eb_fin = jax.lax.fori_loop(0, tc, body, ebc[:], unroll=False)
+    ebc[:] = eb_fin
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        xi_ref[0] = xi_acc[:]
+        if deferred:
+            # project each state's phone histogram onto its concept column
+            # (n_real+1 MXU dots, once per batch block)
+            total = cnt_acc[:]  # zeros
+            for idx, kk in enumerate(real_ks):
+                ohc = (iota_e == conc_ref[kk][None, :]).astype(jnp.float32)
+                total = total + jax.lax.dot_general(
+                    ak_acc[idx], ohc, (((1,), (1,)), ((), ())),
+                    precision=_HI, preferred_element_type=jnp.float32,
+                )
+            ohc0 = jnp.broadcast_to(
+                (iota_e == 0).astype(jnp.float32), (e_pad, bn)
+            )
+            total = total + jax.lax.dot_general(
+                ak_acc[n_real], ohc0, (((1,), (1,)), ((), ())),
+                precision=_HI, preferred_element_type=jnp.float32,
+            )
+            counts_ref[0] = total
+        else:
+            counts_ref[0] = cnt_acc[:]
+
+
 def _bwd_remat_kernel(
     base_ref,     # [S, S]  base0
     init_ref,     # [S, BN]
@@ -405,6 +556,24 @@ def _bwd_remat_kernel(
         xi_ref[0] = xi_acc[:]
 
 
+def _prep_lane_major(log_init, base, rowz, colmask, src_len, n, s_pad, n_pad):
+    """Shared small-tensor padding/transposes for the lane-major kernels:
+    (base0 [S,S], init/rowz0/colmask [S,N], lens [1,N])."""
+    maxbase = jnp.max(base)  # finite (NEG_INF slots never the max)
+    base0 = jnp.maximum(base - maxbase, NEG_INF)
+
+    def pad(x, shape, fill=NEG_INF):
+        out = jnp.full(shape, fill, jnp.float32)
+        return out.at[tuple(slice(0, d) for d in x.shape)].set(x)
+
+    base_p = pad(base0, (s_pad, s_pad))
+    init_t = jnp.moveaxis(pad(log_init, (n_pad, s_pad)), 0, -1)
+    rowz_t = jnp.moveaxis(pad(rowz - maxbase, (n_pad, s_pad), fill=0.0), 0, -1)
+    colmask_t = jnp.moveaxis(pad(colmask, (n_pad, s_pad)), 0, -1)
+    len_t = jnp.zeros((n_pad,), jnp.int32).at[:n].set(src_len)[None, :]
+    return base_p, init_t, rowz_t, colmask_t, len_t
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "chunk_t", "dot_dtype", "remat", "interpret",
@@ -470,31 +639,17 @@ def hmm_estep_pallas(
     ts_pad = _round_up(ts, tc)
     n_chunks = ts_pad // tc
 
-    maxbase = jnp.max(base)  # finite (NEG_INF slots never the max)
-    base0 = jnp.maximum(base - maxbase, NEG_INF)
-
-    def pad(x, shape, fill=NEG_INF):
-        out = jnp.full(shape, fill, jnp.float32)
-        return out.at[tuple(slice(0, d) for d in x.shape)].set(x)
-
-    base_p = pad(base0, (s_pad, s_pad))
-    init_p = pad(log_init, (n_pad, s_pad))
-    rowz_p = pad(rowz - maxbase, (n_pad, s_pad), fill=0.0)
-    colmask_p = pad(colmask, (n_pad, s_pad))
-    len_p = jnp.zeros((n_pad,), jnp.int32).at[:n].set(src_len)
-
-    # lane-major layouts: batch on lanes, states on sublanes, time leading
-    init_t = jnp.moveaxis(init_p, 0, -1)      # [S, N]
-    rowz_t = jnp.moveaxis(rowz_p, 0, -1)      # [S, N]
-    colmask_t = jnp.moveaxis(colmask_p, 0, -1)
+    base_p, init_t, rowz_t, colmask_t, len_t = _prep_lane_major(
+        log_init, base, rowz, colmask, src_len, n, s_pad, n_pad
+    )
     if emit_tn:
         assert log_emit.shape == (ts_pad, s_pad, n_pad), (
             log_emit.shape, (ts_pad, s_pad, n_pad))
         emit_t = log_emit
     else:
-        emit_p = pad(log_emit, (n_pad, ts_pad, s_pad))
+        emit_p = jnp.full((n_pad, ts_pad, s_pad), NEG_INF, jnp.float32)
+        emit_p = emit_p.at[:n, :ts, :s].set(log_emit)
         emit_t = jnp.moveaxis(emit_p, 0, -1)  # [Ts, S, N]
-    len_t = len_p[None, :]                    # [1, N]
 
     grid = (n_pad // bn, n_chunks)
     kw = dict(tc=tc, n_chunks=n_chunks, bf16=bf16)
@@ -595,3 +750,123 @@ def hmm_estep_pallas(
     if not out_tn:
         gamma = jnp.moveaxis(gamma, -1, 0)[:n, :ts, :s]  # [N, Ts, S]
     return gamma, xi_pooled, logz[0, :n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "n_cols", "block_n", "chunk_t", "dot_dtype",
+                     "null_rows", "interpret", "dims"),
+)
+def hmm_estep_counts_pallas(
+    log_init: jax.Array,   # [N, S]
+    base: jax.Array,       # [S, S]
+    rowz: jax.Array,       # [N, S]
+    colmask: jax.Array,    # [N, S]
+    emit_t: jax.Array,     # [Tp, Sp, Np] padded lane-major emissions
+    src_t: jax.Array,      # [Tp, Np] int32 time-major source ids
+    conc_t: jax.Array,     # [Sp, Np] int32 state->concept ids
+    src_len: jax.Array,    # [N]
+    n_rows: int,
+    n_cols: int,
+    block_n: int,
+    chunk_t: int,
+    dot_dtype: str = "float32",
+    null_rows: tuple[bool, ...] | None = None,
+    interpret: bool = False,
+    dims: tuple[int, int, int] | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """E-step with the (phone, concept) count accumulation fused into the
+    backward kernel: returns (emit_counts [n_rows, n_cols], xi_pooled
+    [S, S], logz [N]) and NEVER materializes gamma — the backward sweep
+    consumes each step's posteriors in VMEM (``_bwd_counts_kernel``).
+
+    Inputs come pre-padded in the lane-major layout (the
+    ``_expected_counts_fused`` pipeline, models/hmm.py); dims = (n, ts, s).
+    """
+    assert dims is not None
+    n, ts, s = dims
+    bn, tc = block_n, chunk_t
+    bf16 = dot_dtype == "bfloat16"
+    s_pad = _round_up(s, 8)
+    n_pad = _round_up(n, bn)
+    ts_pad = _round_up(ts, tc)
+    n_chunks = ts_pad // tc
+    assert emit_t.shape == (ts_pad, s_pad, n_pad), emit_t.shape
+    f_pad, e_pad = _round_up(n_rows, 8), _round_up(n_cols, 8)
+
+    base_p, init_t, rowz_t, colmask_t, len_t = _prep_lane_major(
+        log_init, base, rowz, colmask, src_len, n, s_pad, n_pad
+    )
+
+    grid = (n_pad // bn, n_chunks)
+    kw = dict(tc=tc, n_chunks=n_chunks, bf16=bf16)
+
+    spec_sn = pl.BlockSpec((s_pad, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    spec_1n = pl.BlockSpec((1, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    spec_base = pl.BlockSpec(
+        (s_pad, s_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    spec_chunk = pl.BlockSpec(
+        (tc, s_pad, bn), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+    )
+    spec_chunk_rev = pl.BlockSpec(
+        (tc, s_pad, bn),
+        lambda i, j: (n_chunks - 1 - j, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    spec_src_rev = pl.BlockSpec(
+        (tc, bn), lambda i, j: (n_chunks - 1 - j, i), memory_space=pltpu.VMEM
+    )
+    spec_xi = pl.BlockSpec(
+        (1, s_pad, s_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_counts = pl.BlockSpec(
+        (1, f_pad, e_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    alphas, logz = pl.pallas_call(
+        functools.partial(_fwd_kernel, **kw),
+        out_shape=(
+            jax.ShapeDtypeStruct((ts_pad, s_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[spec_base, spec_sn, spec_sn, spec_sn, spec_chunk, spec_1n],
+        out_specs=(spec_chunk, spec_1n),
+        scratch_shapes=[pltpu.VMEM((s_pad, bn), jnp.float32)],
+        interpret=interpret,
+    )(base_p, init_t, rowz_t, colmask_t, emit_t, len_t)
+
+    n_real = (
+        sum(1 for r in null_rows if not r) if null_rows is not None else s_pad
+    )
+    counts, xi = pl.pallas_call(
+        functools.partial(
+            _bwd_counts_kernel, **kw, f_pad=f_pad, e_pad=e_pad,
+            null_rows=null_rows,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid[0], f_pad, e_pad), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], s_pad, s_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            spec_base, spec_sn, spec_sn, spec_chunk_rev, spec_chunk_rev,
+            spec_src_rev,
+            pl.BlockSpec((s_pad, bn), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            spec_1n, spec_1n,
+        ],
+        out_specs=(spec_counts, spec_xi),
+        scratch_shapes=[
+            pltpu.VMEM((s_pad, bn), jnp.float32),
+            pltpu.VMEM((s_pad, s_pad), jnp.float32),
+            pltpu.VMEM((f_pad, e_pad), jnp.float32),
+            pltpu.VMEM((n_real + 1, f_pad, bn), jnp.float32),
+        ],
+        interpret=interpret,
+    )(base_p, rowz_t, colmask_t, emit_t, alphas, src_t, conc_t, len_t, logz)
+
+    emit_counts = jnp.sum(counts, axis=0)[:n_rows, :n_cols]
+    xi_pooled = jnp.sum(xi, axis=0)[:s, :s]
+    return emit_counts, xi_pooled, logz[0, :n]
