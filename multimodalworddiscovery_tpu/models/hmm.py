@@ -141,13 +141,16 @@ def _expected_counts_fused(
     from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
         _round_up,
         hmm_estep_counts_pallas,
-        pick_tiles,
+        pick_tiles_fused,
     )
 
     v_src, v_trg = params.log_emit.shape
     n, ts = corpus.src.shape
     s = concepts.shape[1]
-    bn, tc = pick_tiles(ts, s, n)
+    bn, tc = pick_tiles_fused(
+        ts, s, n, _round_up(v_src, 8), _round_up(v_trg, 8),
+        n_real=corpus.max_trg_len,
+    )
     bt = min(tc, 8)  # ts_pad is a multiple of tc, hence of bt
     s_pad = _round_up(s, 8)
     n_pad = _round_up(n, bn)

@@ -114,6 +114,8 @@ def table_lookup_pallas(
     tp, np_ = src_t.shape
     k_pad = concepts_t.shape[0]
     assert tp % block_t == 0 and np_ % block_n == 0, (tp, np_)
+    # Mosaic: 2-D [block_t, block_n] blocks need block_t % 8 == 0 (or full)
+    assert block_t % 8 == 0 or block_t == tp, block_t
 
     table_p = jnp.zeros((f_pad, e_pad), jnp.float32)
     table_p = table_p.at[:f, :e].set(table)
@@ -216,6 +218,7 @@ def pair_counts_pallas(
     """
     tp, k_pad, np_ = gamma_t.shape
     assert tp % block_t == 0 and np_ % block_n == 0, (tp, np_)
+    assert block_t % 8 == 0 or block_t == tp, block_t
     f_pad, e_pad = _round_up(n_rows, 8), _round_up(n_cols, 8)
 
     grid = (np_ // block_n, tp // block_t)

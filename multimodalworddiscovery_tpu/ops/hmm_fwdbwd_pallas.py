@@ -97,6 +97,37 @@ def pick_tiles(
     return pick_tiles_costed(ts, s, n, vmem_budget, 6, (2, 10))
 
 
+def pick_tiles_fused(
+    ts: int,
+    s: int,
+    n: int | None,
+    f_pad: int,
+    e_pad: int,
+    n_real: int,
+    vmem_budget: int = 12 << 20,
+) -> tuple[int, int]:
+    """(block_n, chunk_t) for the counts-fused backward kernel
+    (``_bwd_counts_kernel``): on top of the E-step's chunk buffers it holds
+    the [n_real+1, F, BN] phone-histogram scratch plus the one-hot/ge
+    temporaries, all scaling with block_n — so the lane block shrinks when
+    (n_real * f_pad) is large (e.g. S=32 with 128-phone vocab)."""
+    s_pad = _round_up(s, 8)
+    n_cap = max(_round_up(n, 128), 128) if n is not None else 1 << 30
+    for block_n in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if block_n > n_cap:
+            continue
+        fixed = (2 * s_pad * s_pad * 4 + f_pad * e_pad * 4
+                 + (10 * s_pad + (n_real + 1 + 2) * f_pad + e_pad)
+                 * block_n * 4)
+        # tc >= 8: the fused kernels carry 2-D [tc, BN] source-id blocks,
+        # and Mosaic requires the second-to-last block dim divisible by 8
+        # (a tc=1 block at the VMEM edge fails to lower — caught compiled)
+        for tc in (128, 64, 32, 16, 8):
+            if 4 * tc * s_pad * block_n * 4 + fixed <= vmem_budget:
+                return block_n, min(tc, max(_round_up(ts, 8), 8))
+    raise ValueError(f"no VMEM tiling for fused counts Ts={ts}, S={s}")
+
+
 def _fwd_step(bexp, rowz, colmask, emit_t, alive, alpha, bf16):
     """One forward recursion step: alpha' = lse_s(alpha[s] + trans[s,s']) +
     emit, as an MXU matmul on max-rescaled exponentials."""
@@ -792,6 +823,8 @@ def hmm_estep_counts_pallas(
     ts_pad = _round_up(ts, tc)
     n_chunks = ts_pad // tc
     assert emit_t.shape == (ts_pad, s_pad, n_pad), emit_t.shape
+    # 2-D [tc, BN] source-id blocks: Mosaic needs tc % 8 == 0 (or full)
+    assert tc % 8 == 0 or tc == ts_pad, tc
     f_pad, e_pad = _round_up(n_rows, 8), _round_up(n_cols, 8)
 
     base_p, init_t, rowz_t, colmask_t, len_t = _prep_lane_major(
