@@ -29,10 +29,17 @@ OOMed VMEM at Ts=124, S=64):
    writing gamma chunks out.  VMEM residency is O(Tc·S·BN), so any (Ts, S)
    fits by shrinking Tc — there is no silent XLA fallback anymore.
 
-Layout: batch on lanes (BN=128 utterances per block), states on sublanes.
+Layout: batch on lanes (wide blocks, `pick_tiles`), states on sublanes.
 
-Outputs: gamma [N, Ts, S] (feeds the emission-count matmul, which stays in
-XLA), xi_pooled [S, S] (projected onto jump widths by the caller), logZ [N].
+Entry points:
+- ``hmm_estep_pallas``: (gamma [N, Ts, S], xi_pooled [S, S], logZ [N]) —
+  the general E-step (Gaussian/DNN/CRF emissions consume gamma).
+- ``hmm_estep_counts_pallas``: (emit_counts [F, E], xi_pooled, logZ) for
+  the discrete HMM — the (phone, concept) count accumulation runs INSIDE
+  the backward sweep (``_bwd_counts_kernel``), so gamma never exists on
+  HBM; emissions arrive pre-looked-up in lane-major layout from
+  ops/counts_pallas.table_lookup_pallas (models/hmm.py chains the three
+  kernels; measured ladder in docs/PERFORMANCE.md).
 
 The jnp scans in models/hmm_core.py are the test oracle
 (tests/test_hmm_estep_pallas.py, interpret mode on CPU).

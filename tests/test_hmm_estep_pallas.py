@@ -139,6 +139,35 @@ def test_pick_tiles_budget_and_caps():
     assert pick_tiles(31, 12)[0] == 1024
 
 
+def test_pick_tiles_fused_budget_and_lowering_constraints():
+    """The counts-fused tile search accounts for the phone-histogram
+    scratch and never returns a chunk_t below Mosaic's 8-sublane block
+    minimum (the VMEM-edge lowering failure found compiled on hardware)."""
+    from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
+        _round_up, pick_tiles_fused,
+    )
+
+    budget = 12 << 20
+    cases = (
+        # (ts, s, n, f_pad, e_pad, n_real) — incl. the boundary shape that
+        # used to pick (1024, 1): S=32 with 128-entry vocabularies
+        (70, 32, 1024, 128, 128, 16),
+        (31, 12, 8000, 56, 64, 6),
+        (128, 32, 2048, 128, 128, 16),
+        (16, 8, 64, 32, 32, 4),
+    )
+    for ts, s, n, f_pad, e_pad, n_real in cases:
+        bn, tc = pick_tiles_fused(ts, s, n, f_pad, e_pad, n_real)
+        s_pad = _round_up(s, 8)
+        assert tc % 8 == 0, (tc, (ts, s, n))
+        fixed = (2 * s_pad * s_pad * 4 + f_pad * e_pad * 4
+                 + (10 * s_pad + (n_real + 3) * f_pad + e_pad) * bn * 4)
+        assert 4 * tc * s_pad * bn * 4 + fixed <= budget, (bn, tc)
+    # the boundary shape must shrink the lane block, not the chunk
+    bn, tc = pick_tiles_fused(70, 32, 1024, 128, 128, 16)
+    assert bn <= 512 and tc >= 8, (bn, tc)
+
+
 def test_estep_kernel_tile_sizes_irrelevant(setup):
     corpus, params, log_init, log_trans, log_emit, (base, rowz, colmask) = setup
     args = (log_init, base, rowz, colmask, log_emit, corpus.src_len)
