@@ -101,8 +101,9 @@ def expected_counts(
     s = concepts.shape[1]
     if (
         use_pallas
-        and s <= 32
-        and max(v_src, v_trg) <= 128
+        and s <= 64
+        and v_src <= 128
+        and v_trg <= 256
     ):
         return _expected_counts_fused(
             params, corpus, concepts, interpret=interpret,
