@@ -114,6 +114,30 @@ def test_fused_em_training_converges(setup):
     )
 
 
+def test_fused_expected_counts_large_state_gate():
+    """The fused pipeline covers the raised gate (32 < S <= 64, concept
+    vocab up to 256): parity vs the plain path at a many-concept shape."""
+    corpus, _, _ = make_flickr8k_mini(
+        n_utterances=12, n_concepts=200, min_concepts=24, max_concepts=32,
+        min_word_len=2, max_word_len=3, seed=21,
+    )
+    assert 2 * corpus.max_trg_len > 32  # actually exercises the raised gate
+    params = hmm.init(corpus)
+    params, _ = hmm.em_step(params, corpus)
+    (ec_ref, wc_ref), ll_ref = hmm.expected_counts(params, corpus)
+    (ec_f, wc_f), ll_f = hmm.expected_counts(
+        params, corpus, use_pallas=True, interpret=True
+    )
+    scale = float(jnp.max(ec_ref))
+    np.testing.assert_allclose(
+        np.asarray(ec_f), np.asarray(ec_ref), atol=1e-4 * max(scale, 1.0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(wc_f), np.asarray(wc_ref), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(float(ll_f), float(ll_ref), rtol=1e-6)
+
+
 def test_pick_tiles_budget_and_caps():
     """Auto tiles prefer the widest lane block that fits the VMEM budget,
     capped by the (padded) corpus size."""
