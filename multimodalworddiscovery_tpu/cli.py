@@ -130,7 +130,13 @@ def _make_model(cfg, corpus, init_only: bool = False):
                 use_pallas=use_pallas, dot_dtype=dot_dtype,
             )
         elif name == "hmm_gaussian":
-            params = mod.init(
+            init_mode = str(cfg.model.get("init", "global"))
+            if init_mode not in ("global", "diagonal"):
+                raise SystemExit(
+                    f"model.init must be global|diagonal, got {init_mode!r}"
+                )
+            init_fn = mod.init_diagonal if init_mode == "diagonal" else mod.init
+            params = init_fn(
                 corpus,
                 max_jump=cfg.model.max_jump,
                 n_components=cfg.model.get("n_components", 2),

@@ -40,6 +40,7 @@ def base_config() -> ConfigDict:
     cfg.model.self_loop_prob = 0.0
     cfg.model.emission = "discrete"  # discrete | gaussian
     cfg.model.n_components = 2  # GMM components per concept (hmm_gaussian)
+    cfg.model.init = "global"  # hmm_gaussian seeding: global | diagonal (flat-start)
     # fused Pallas E-step for the HMM family: auto = on TPU when the state
     # space is large enough to beat the XLA scan (models/hmm_core.py:estep)
     cfg.model.use_pallas = "auto"  # auto | on | off

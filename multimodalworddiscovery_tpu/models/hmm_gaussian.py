@@ -83,6 +83,58 @@ def init(
     )
 
 
+def init_diagonal(
+    corpus: Corpus,
+    max_jump: int = 3,
+    n_components: int = 1,
+    key: jax.Array | None = None,
+    dtype=jnp.float32,
+) -> GaussianHMMParams:
+    """Flat-start from the uniform DIAGONAL alignment (speech-style).
+
+    The global-mean-plus-jitter ``init`` is symmetric across concepts; EM
+    breaks the symmetry fine at ~6 concepts/utterance but collapses at
+    dense-region scale (measured: 200 concepts, 16-32/image — frame acc
+    plateaus at ~0.10).  Seeding each concept's mean from the frames the
+    uniform diagonal segmentation assigns to it (slot j = floor(t·Tt/Ts),
+    the classic HMM flat-start) breaks the symmetry with corpus evidence:
+    same shapes, one one-hot MXU contraction, no alignment model needed.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    base = init(corpus, max_jump=max_jump, n_components=n_components,
+                key=key, dtype=dtype)
+    x = corpus.src  # [N, Ts, D]
+    n, ts, d = x.shape
+    v_trg = corpus.trg_vocab
+    hi = jax.lax.Precision.HIGHEST
+
+    t_idx = jnp.arange(ts)[None, :]
+    slen = jnp.maximum(corpus.src_len[:, None], 1)
+    slot = (t_idx * corpus.trg_len[:, None]) // slen
+    slot = jnp.clip(slot, 0, jnp.maximum(corpus.trg_len[:, None] - 1, 0))
+    concept = jnp.take_along_axis(corpus.trg, slot, axis=1)  # [N, Ts]
+    oh = jax.nn.one_hot(concept, v_trg, dtype=dtype)
+    oh = oh * corpus.src_mask().astype(dtype)[:, :, None]  # [N, Ts, E]
+    csum = jnp.einsum("nte,ntd->ed", oh, x.astype(dtype), precision=hi)
+    ccnt = jnp.sum(oh, axis=(0, 1))  # [E]
+    seen = ccnt > 0
+    cmean = csum / jnp.maximum(ccnt, 1.0)[:, None]  # [E, D]
+    # unseen concepts keep the global-mean fallback from `init`
+    means = jnp.where(
+        seen[:, None, None], cmean[:, None, :], base.means
+    )
+    if n_components > 1:
+        # spread components around the seeded mean with the same jitter
+        # scale `init` uses
+        gvar = jnp.exp(base.log_vars[0, 0])
+        k2 = jax.random.fold_in(key, 1)
+        means = means + 0.3 * jnp.sqrt(gvar) * jax.random.normal(
+            k2, (v_trg, n_components, d), dtype
+        )
+    return base.replace(means=means.astype(dtype))
+
+
 def _component_logdensity(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:
     """[N, Ts, C, K] per-component log-densities via two MXU matmuls."""
     x = corpus.src  # [N, Ts, D]

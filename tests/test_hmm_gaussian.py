@@ -136,3 +136,33 @@ def test_em_matches_numpy_oracle(frames):
             np.asarray(params.log_jump, np.float64), oracle.log_jump, rtol=5e-3, atol=5e-3,
             err_msg=f"jump iter {it}",
         )
+
+
+def test_init_diagonal_seeds_concept_means():
+    """Flat-start means come from diagonally-assigned frames: the seeded
+    means separate concepts with corpus evidence, and EM from the seed
+    still converges to a good model.  (The knob is regime-dependent and
+    opt-in: measured, it lifts the dense-region stretch config 0.10->0.15
+    frame acc but trails the symmetric init on easy sparse corpora —
+    0.66 vs 0.76 here — so `model.init` defaults to "global".)"""
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
+    pc, pg, _ = make_flickr8k_mini(n_utterances=60, seed=23)
+    fc, fg, _ = phones_to_frames(pc, pg, feat_dim=12, noise=0.1, seed=23)
+
+    p_diag = hmm_gaussian.init_diagonal(fc, key=jax.random.PRNGKey(0))
+    p_glob = hmm_gaussian.init(fc, key=jax.random.PRNGKey(0))
+    assert p_diag.means.shape == p_glob.means.shape
+    # seeded means must differ across concepts far more than the jittered
+    # global init does (symmetry actually broken by corpus evidence)
+    spread = lambda p: float(jnp.std(jnp.asarray(p.means)[:, 0, :], axis=0).mean())
+    assert spread(p_diag) > 2 * spread(p_glob)
+
+    mask = np.asarray(fc.src_mask()) & (np.asarray(fg.alignment) > 0)
+    p = p_diag
+    for _ in range(6):
+        p, _ = jax.jit(hmm_gaussian.em_step)(p, fc)
+    a = np.asarray(jax.jit(hmm_gaussian.align)(p, fc))
+    acc = (a == np.asarray(fg.alignment))[mask].mean()
+    assert acc > 0.5, acc
