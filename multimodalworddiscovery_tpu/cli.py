@@ -135,7 +135,14 @@ def _make_model(cfg, corpus, init_only: bool = False):
                 raise SystemExit(
                     f"model.init must be global|diagonal, got {init_mode!r}"
                 )
-            init_fn = mod.init_diagonal if init_mode == "diagonal" else mod.init
+            # restore paths (init_only) need only the parameter TEMPLATE —
+            # skip the diagonal seeding's corpus-scale one-hot contraction
+            # (init and init_diagonal return identical pytree shapes)
+            init_fn = (
+                mod.init_diagonal
+                if init_mode == "diagonal" and not init_only
+                else mod.init
+            )
             params = init_fn(
                 corpus,
                 max_jump=cfg.model.max_jump,

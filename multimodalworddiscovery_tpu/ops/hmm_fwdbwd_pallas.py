@@ -70,29 +70,37 @@ def pick_tiles_costed(
     vmem_budget: int,
     chunk_coeff: int,
     fixed_coeff: tuple[int, int],
+    lane_bytes_extra: int = 0,
+    const_bytes: int = 0,
+    min_tc: int = 1,
 ) -> tuple[int, int]:
     """Shared VMEM tiling search for the lane-major sequential kernels.
 
     Cost model (bytes): ``chunk_coeff * tc * s_pad * block_n * 4  +
-    fixed_coeff[0] * s_pad^2 * 4 + fixed_coeff[1] * s_pad * block_n * 4``.
+    fixed_coeff[0] * s_pad^2 * 4 + fixed_coeff[1] * s_pad * block_n * 4 +
+    lane_bytes_extra * block_n + const_bytes``.
     Prefer the WIDEST lane block that fits: the recursion is strictly
     sequential per utterance, so wall time ~ grid-steps x per-step latency,
     and per-step cost grows sub-linearly in block_n (measured on TPU v5e at
     S=64: bn=128 -> 4.5 ms/E-step, bn=256 -> 2.6, bn=512 -> 2.0; identical
     logz).  block_n is capped by the padded corpus size so tiny corpora
-    don't burn pure-padding lanes."""
+    don't burn pure-padding lanes.  min_tc: kernels carrying 2-D [tc, BN]
+    blocks need tc % 8 == 0 for Mosaic's sublane block divisibility."""
     s_pad = _round_up(s, 8)
     n_cap = max(_round_up(n, 128), 128) if n is not None else 1 << 30
     for block_n in (1024, 512, 256, 128, 64, 32, 16, 8):
         if block_n > n_cap:
             continue
         fixed = (fixed_coeff[0] * s_pad * s_pad * 4
-                 + fixed_coeff[1] * s_pad * block_n * 4)
+                 + fixed_coeff[1] * s_pad * block_n * 4
+                 + lane_bytes_extra * block_n + const_bytes)
         for tc in (128, 64, 32, 16, 8, 4, 2, 1):
+            if tc < min_tc:
+                break
             if chunk_coeff * tc * s_pad * block_n * 4 + fixed <= vmem_budget:
                 # never chunk wider than the (rounded) time axis: a Ts=16
                 # corpus with tc=128 would pad/loop 8x pure-padding steps
-                return block_n, min(tc, max(_round_up(ts, 8), 1))
+                return block_n, min(tc, max(_round_up(ts, 8), min_tc))
     raise ValueError(f"no VMEM tiling for Ts={ts}, S={s}")  # S >~ 2800
 
 
@@ -117,22 +125,16 @@ def pick_tiles_fused(
     (``_bwd_counts_kernel``): on top of the E-step's chunk buffers it holds
     the [n_real+1, F, BN] phone-histogram scratch plus the one-hot/ge
     temporaries, all scaling with block_n — so the lane block shrinks when
-    (n_real * f_pad) is large (e.g. S=32 with 128-phone vocab)."""
-    s_pad = _round_up(s, 8)
-    n_cap = max(_round_up(n, 128), 128) if n is not None else 1 << 30
-    for block_n in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if block_n > n_cap:
-            continue
-        fixed = (2 * s_pad * s_pad * 4 + f_pad * e_pad * 4
-                 + (10 * s_pad + (n_real + 1 + 2) * f_pad + e_pad)
-                 * block_n * 4)
-        # tc >= 8: the fused kernels carry 2-D [tc, BN] source-id blocks,
-        # and Mosaic requires the second-to-last block dim divisible by 8
-        # (a tc=1 block at the VMEM edge fails to lower — caught compiled)
-        for tc in (128, 64, 32, 16, 8):
-            if 4 * tc * s_pad * block_n * 4 + fixed <= vmem_budget:
-                return block_n, min(tc, max(_round_up(ts, 8), 8))
-    raise ValueError(f"no VMEM tiling for fused counts Ts={ts}, S={s}")
+    (n_real * f_pad) is large (e.g. S=32 with 128-phone vocab).  min_tc=8:
+    the fused kernels carry 2-D [tc, BN] source-id blocks, and Mosaic
+    requires the second-to-last block dim divisible by 8 (a tc=1 block at
+    the VMEM edge fails to lower — caught compiled)."""
+    return pick_tiles_costed(
+        ts, s, n, vmem_budget, 4, (2, 10),
+        lane_bytes_extra=((n_real + 3) * f_pad + e_pad) * 4,
+        const_bytes=f_pad * e_pad * 4,
+        min_tc=8,
+    )
 
 
 def _fwd_step(bexp, rowz, colmask, emit_t, alive, alpha, bf16):
@@ -155,6 +157,51 @@ def _fwd_step(bexp, rowz, colmask, emit_t, alive, alpha, bf16):
     )
     upd = upd + emit_t + colmask
     return jnp.where(alive[None, :], upd, alpha)
+
+
+def _bwd_math(bexp, bexp32, rowz, colmask, eb, alpha_t, t, lens, logz_safe,
+              bf16):
+    """Shared backward-step math for every backward kernel variant:
+    (beta_t, gamma_t, xi_update) from the eb = emit[t+1] + beta[t+1] carry.
+    ``_bwd_kernel`` / ``_bwd_counts_kernel`` / ``_bwd_remat_kernel`` differ
+    only in where alphas come from and what consumes gamma."""
+    ebm = eb + colmask
+    m2 = jnp.max(ebm, axis=0)  # [BN]
+    m2_safe = jnp.where(m2 > NEG_INF / 2, m2, 0.0)
+    f = jnp.exp(ebm - m2_safe[None, :])  # ≤ 1
+    fd = f.astype(jnp.bfloat16) if bf16 else f
+    # q[s, n] = Σ_s' bexp[s, s'] · f[s', n]   (MXU)
+    q = jax.lax.dot_general(
+        bexp, fd, (((1,), (0,)), ((), ())),
+        precision=None if bf16 else _HI,
+        preferred_element_type=jnp.float32,
+    )
+    upd = jnp.where(
+        q > 0.0, jnp.log(jnp.maximum(q, 1e-38)) + m2_safe[None, :], NEG_INF
+    )
+    upd = upd - rowz
+    ended = ((t + 1) >= lens)[None, :]
+    beta_t = jnp.where(ended, 0.0, upd)
+
+    lg = alpha_t + beta_t - logz_safe[None, :]
+    alive = (t < lens)[None, :]
+    gamma_t = jnp.where(alive, jnp.exp(jnp.minimum(lg, 0.0)), 0.0)
+
+    # xi(t -> t+1) pooled over (t, n):
+    #   xi[s,s'] = exp(a2[s,n] + base0[s,s'] + ebm[s',n])
+    #            = bexp[s,s'] · (Ea @ F^T)[s,s']
+    # Ea = exp(a2 + m2) ≤ exp(range of base) — clamped for fp32 safety.
+    tr_alive = ((t + 1) < lens)[None, :]
+    a2 = alpha_t - rowz - logz_safe[None, :]
+    ea = jnp.exp(jnp.minimum(a2 + m2_safe[None, :], 80.0))
+    ea = jnp.where(tr_alive, ea, 0.0)
+    ead = ea.astype(jnp.bfloat16) if bf16 else ea
+    xc = jax.lax.dot_general(
+        ead, fd, (((1,), (1,)), ((), ())),
+        precision=None if bf16 else _HI,
+        preferred_element_type=jnp.float32,
+    )  # [S, S']
+    return beta_t, gamma_t, bexp32 * xc
 
 
 def _logz_from_alpha(alpha_last, lens):
@@ -295,44 +342,12 @@ def _bwd_kernel(
     def body(k, eb):
         i = tc - 1 - k
         t = c0 + i
-        ebm = eb + colmask
-        m2 = jnp.max(ebm, axis=0)  # [BN]
-        m2_safe = jnp.where(m2 > NEG_INF / 2, m2, 0.0)
-        f = jnp.exp(ebm - m2_safe[None, :])  # ≤ 1
-        fd = f.astype(jnp.bfloat16) if bf16 else f
-        # q[s, n] = Σ_s' bexp[s, s'] · f[s', n]   (MXU)
-        q = jax.lax.dot_general(
-            bexp, fd, (((1,), (0,)), ((), ())),
-            precision=None if bf16 else _HI,
-            preferred_element_type=jnp.float32,
+        beta_t, gamma_t, xi_upd = _bwd_math(
+            bexp, bexp32, rowz, colmask, eb, alphas_ref[i], t, lens,
+            logz_safe, bf16,
         )
-        upd = jnp.where(
-            q > 0.0, jnp.log(jnp.maximum(q, 1e-38)) + m2_safe[None, :], NEG_INF
-        )
-        upd = upd - rowz
-        ended = ((t + 1) >= lens)[None, :]
-        beta_t = jnp.where(ended, 0.0, upd)
-
-        alpha_t = alphas_ref[i]
-        lg = alpha_t + beta_t - logz_safe[None, :]
-        alive = (t < lens)[None, :]
-        gamma_ref[i] = jnp.where(alive, jnp.exp(jnp.minimum(lg, 0.0)), 0.0)
-
-        # xi(t -> t+1) pooled over (t, n):
-        #   xi[s,s'] = exp(a2[s,n] + base0[s,s'] + ebm[s',n])
-        #            = bexp[s,s'] · (Ea @ F^T)[s,s']
-        # Ea = exp(a2 + m2) ≤ exp(range of base) — clamped for fp32 safety.
-        tr_alive = ((t + 1) < lens)[None, :]
-        a2 = alpha_t - rowz - logz_safe[None, :]
-        ea = jnp.exp(jnp.minimum(a2 + m2_safe[None, :], 80.0))
-        ea = jnp.where(tr_alive, ea, 0.0)
-        ead = ea.astype(jnp.bfloat16) if bf16 else ea
-        xc = jax.lax.dot_general(
-            ead, fd, (((1,), (1,)), ((), ())),
-            precision=None if bf16 else _HI,
-            preferred_element_type=jnp.float32,
-        )  # [S, S']
-        xi_acc[:] = xi_acc[:] + bexp32 * xc
+        gamma_ref[i] = gamma_t
+        xi_acc[:] = xi_acc[:] + xi_upd
         return emit_ref[i] + beta_t
 
     eb_fin = jax.lax.fori_loop(0, tc, body, ebc[:], unroll=False)
@@ -408,27 +423,10 @@ def _bwd_counts_kernel(
     def body(k, eb):
         i = tc - 1 - k
         t = c0 + i
-        ebm = eb + colmask
-        m2 = jnp.max(ebm, axis=0)  # [BN]
-        m2_safe = jnp.where(m2 > NEG_INF / 2, m2, 0.0)
-        f = jnp.exp(ebm - m2_safe[None, :])  # ≤ 1
-        fd = f.astype(jnp.bfloat16) if bf16 else f
-        q = jax.lax.dot_general(
-            bexp, fd, (((1,), (0,)), ((), ())),
-            precision=None if bf16 else _HI,
-            preferred_element_type=jnp.float32,
+        beta_t, gm, xi_upd = _bwd_math(
+            bexp, bexp32, rowz, colmask, eb, alphas_ref[i], t, lens,
+            logz_safe, bf16,
         )
-        upd = jnp.where(
-            q > 0.0, jnp.log(jnp.maximum(q, 1e-38)) + m2_safe[None, :], NEG_INF
-        )
-        upd = upd - rowz
-        ended = ((t + 1) >= lens)[None, :]
-        beta_t = jnp.where(ended, 0.0, upd)
-
-        alpha_t = alphas_ref[i]
-        lg = alpha_t + beta_t - logz_safe[None, :]
-        alive = (t < lens)[None, :]
-        gm = jnp.where(alive, jnp.exp(jnp.minimum(lg, 0.0)), 0.0)  # [S, BN]
 
         # --- fused (phone, concept) count accumulation (VMEM-resident) ---
         oh_src = (iota_f == src_ref[i][None, :]).astype(jnp.float32)
@@ -452,18 +450,7 @@ def _bwd_counts_kernel(
                 oh_src, ge, (((1,), (1,)), ((), ())),
                 precision=_HI, preferred_element_type=jnp.float32,
             )
-
-        tr_alive = ((t + 1) < lens)[None, :]
-        a2 = alpha_t - rowz - logz_safe[None, :]
-        ea = jnp.exp(jnp.minimum(a2 + m2_safe[None, :], 80.0))
-        ea = jnp.where(tr_alive, ea, 0.0)
-        ead = ea.astype(jnp.bfloat16) if bf16 else ea
-        xc = jax.lax.dot_general(
-            ead, fd, (((1,), (1,)), ((), ())),
-            precision=None if bf16 else _HI,
-            preferred_element_type=jnp.float32,
-        )
-        xi_acc[:] = xi_acc[:] + bexp32 * xc
+        xi_acc[:] = xi_acc[:] + xi_upd
         return emit_ref[i] + beta_t
 
     eb_fin = jax.lax.fori_loop(0, tc, body, ebc[:], unroll=False)
@@ -551,39 +538,12 @@ def _bwd_remat_kernel(
     def body(k, eb):
         i = tc - 1 - k
         t = c0 + i
-        ebm = eb + colmask
-        m2 = jnp.max(ebm, axis=0)
-        m2_safe = jnp.where(m2 > NEG_INF / 2, m2, 0.0)
-        f = jnp.exp(ebm - m2_safe[None, :])
-        fd = f.astype(jnp.bfloat16) if bf16 else f
-        q = jax.lax.dot_general(
-            bexp, fd, (((1,), (0,)), ((), ())),
-            precision=None if bf16 else _HI,
-            preferred_element_type=jnp.float32,
+        beta_t, gamma_t, xi_upd = _bwd_math(
+            bexp, bexp32, rowz, colmask, eb, alphas[i], t, lens,
+            logz_safe, bf16,
         )
-        upd = jnp.where(
-            q > 0.0, jnp.log(jnp.maximum(q, 1e-38)) + m2_safe[None, :], NEG_INF
-        )
-        upd = upd - rowz
-        ended = ((t + 1) >= lens)[None, :]
-        beta_t = jnp.where(ended, 0.0, upd)
-
-        alpha_t = alphas[i]
-        lg = alpha_t + beta_t - logz_safe[None, :]
-        alive = (t < lens)[None, :]
-        gamma_ref[i] = jnp.where(alive, jnp.exp(jnp.minimum(lg, 0.0)), 0.0)
-
-        tr_alive = ((t + 1) < lens)[None, :]
-        a2 = alpha_t - rowz - logz_safe[None, :]
-        ea = jnp.exp(jnp.minimum(a2 + m2_safe[None, :], 80.0))
-        ea = jnp.where(tr_alive, ea, 0.0)
-        ead = ea.astype(jnp.bfloat16) if bf16 else ea
-        xc = jax.lax.dot_general(
-            ead, fd, (((1,), (1,)), ((), ())),
-            precision=None if bf16 else _HI,
-            preferred_element_type=jnp.float32,
-        )
-        xi_acc[:] = xi_acc[:] + bexp32 * xc
+        gamma_ref[i] = gamma_t
+        xi_acc[:] = xi_acc[:] + xi_upd
         return emit_ref[i] + beta_t
 
     eb_fin = jax.lax.fori_loop(0, tc, body, ebc[:], unroll=False)
@@ -877,8 +837,11 @@ def hmm_estep_counts_pallas(
         interpret=interpret,
     )(base_p, init_t, rowz_t, colmask_t, emit_t, len_t)
 
+    # without null_rows the kernel uses the per-step ge construction and
+    # never touches ak_acc — keep its scratch at the 1-row minimum so the
+    # fallback cannot blow the VMEM budget pick_tiles_fused validated
     n_real = (
-        sum(1 for r in null_rows if not r) if null_rows is not None else s_pad
+        sum(1 for r in null_rows if not r) if null_rows is not None else 0
     )
     counts, xi = pl.pallas_call(
         functools.partial(

@@ -166,7 +166,14 @@ def test_pick_tiles_budget_and_caps():
 def test_pick_tiles_fused_budget_and_lowering_constraints():
     """The counts-fused tile search accounts for the phone-histogram
     scratch and never returns a chunk_t below Mosaic's 8-sublane block
-    minimum (the VMEM-edge lowering failure found compiled on hardware)."""
+    minimum (the VMEM-edge lowering failure found compiled on hardware).
+
+    The budget check below shares the search's own cost formula (it pins
+    the formula against accidental edits, not against reality); the
+    formula's fidelity to actual VMEM usage is validated by the compiled
+    boundary runs on hardware (S=32 and S=64 gate corners, see the
+    'VMEM edge' commit) — keep re-running those when the kernel's buffers
+    change."""
     from multimodalworddiscovery_tpu.ops.hmm_fwdbwd_pallas import (
         _round_up, pick_tiles_fused,
     )
