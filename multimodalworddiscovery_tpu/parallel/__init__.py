@@ -2,7 +2,8 @@
 
 from multimodalworddiscovery_tpu.parallel.data_parallel import (
     make_data_parallel_step,
+    make_shard_map_em_step,
     shard_corpus,
 )
 
-__all__ = ["make_data_parallel_step", "shard_corpus"]
+__all__ = ["make_data_parallel_step", "make_shard_map_em_step", "shard_corpus"]

@@ -124,3 +124,94 @@ def test_data_parallel_fused_pallas_matches_plain():
         float(s1["loglik"]), float(s2["loglik"]), rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(p1.log_emit), np.asarray(p2.log_emit), atol=1e-4)
+
+
+def test_shard_map_em_step_matches_single_and_pjit():
+    """VERDICT round-2 item 3: the explicit shard_map EM step (per-shard
+    expected counts, psum written in the step) must equal BOTH the
+    single-device em_step and the pjit/GSPMD-sharded step — for model1 and
+    for the HMM including its fused Pallas path (interpret mode)."""
+    import functools
+
+    from multimodalworddiscovery_tpu.parallel import make_shard_map_em_step
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=36, seed=6)
+    mesh = make_mesh()
+    sharded = shard_corpus(corpus, mesh)
+
+    for mod, get_main in (
+        (model1, lambda p: p.log_t),
+        (hmm, lambda p: p.log_emit),
+    ):
+        params = mod.init(sharded)
+        p_single, s_single = jax.jit(mod.em_step)(params, sharded)
+        p_pjit, s_pjit = make_data_parallel_step(mod.em_step, mesh)(
+            params, sharded
+        )
+        p_sm, s_sm = make_shard_map_em_step(mod, mesh)(params, sharded)
+        for s_other, p_other in ((s_pjit, p_pjit), (s_sm, p_sm)):
+            np.testing.assert_allclose(
+                float(s_single["loglik"]), float(s_other["loglik"]), rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(get_main(p_single)), np.asarray(get_main(p_other)),
+                rtol=1e-4, atol=1e-4,
+            )
+
+    # fused Pallas pipeline INSIDE the shard (per-device pallas_calls)
+    params = hmm.init(sharded)
+    p_ref, s_ref = jax.jit(hmm.em_step)(params, sharded)
+    step_p = make_shard_map_em_step(
+        hmm, mesh, count_kwargs=dict(use_pallas=True, interpret=True)
+    )
+    p_sm, s_sm = step_p(params, sharded)
+    np.testing.assert_allclose(
+        float(s_ref["loglik"]), float(s_sm["loglik"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_ref.log_emit), np.asarray(p_sm.log_emit),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_time_sharded_estep_matches_sequential():
+    """VERDICT round-2 item 4: the FULL time-sharded E-step (forward +
+    backward + gamma/xi over a 'seq' mesh) matches hmm_core.estep with the
+    time axis sharded 8 ways."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from multimodalworddiscovery_tpu.models import hmm_core
+    from multimodalworddiscovery_tpu.parallel.sequence import (
+        estep_time_sharded,
+    )
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=10, seed=7)
+    params = hmm.init(corpus)
+    ts = corpus.max_src_len
+    ts_pad = ((ts + 7) // 8) * 8
+    corpus_p = corpus.replace(
+        src=jnp.pad(corpus.src, ((0, 0), (0, ts_pad - ts)))
+    )
+    log_init, log_trans, log_emit = hmm._machinery(params, corpus_p)
+
+    gamma_ref, width_ref, logz_ref = hmm_core.estep(
+        params.log_jump, params.log_p0, params.max_jump, log_emit, corpus_p
+    )
+
+    mesh = Mesh(np.array(jax.devices()), ("seq",))
+    gamma, xi, logz = estep_time_sharded(
+        log_init, log_trans, log_emit, corpus_p.src_len,
+        hmm_core.state_mask(corpus_p), mesh,
+    )
+    width = hmm_core.project_widths(xi, corpus_p.max_trg_len, params.max_jump)
+
+    np.testing.assert_allclose(
+        np.asarray(logz_ref), np.asarray(logz), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gamma_ref), np.asarray(gamma), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(width_ref), np.asarray(width), rtol=2e-3, atol=2e-3
+    )
