@@ -83,6 +83,22 @@ def _resolve_use_pallas(cfg, corpus) -> bool:
     return on_tpu and (2 * corpus.max_trg_len >= 32 or corpus.n >= 1024)
 
 
+def _resolve_decode_pallas(cfg, corpus) -> bool:
+    """Resolve use_pallas for DECODE (Viterbi) separately from the E-step.
+
+    Explicit on/off is honored; ``auto`` keeps decode on the factored scan
+    decoder.  Rationale: the fused Viterbi kernel streams f32 delta chunks
+    [Ts, S, N] (~4x the scan decoder's int8 backpointers at large S — ~0.7 GB
+    at N=40k, S=128), is only ~1.10x faster at the measured shape, and its
+    tie-breaking between equally-optimal paths can differ — so auto-routing
+    decode through it would let decoded alignments silently change when
+    corpus size or platform flips the route (see viterbi_factored docstring)."""
+    mode = str(cfg.model.get("use_pallas", "auto")).lower()
+    if mode == "auto":
+        return False
+    return _resolve_use_pallas(cfg, corpus)
+
+
 def _make_teacher(cfg, corpus):
     """Train the guide teacher (discrete or Gaussian HMM) for guided
     attention; returns (teacher_params, posteriors_fn)."""
@@ -221,8 +237,9 @@ def _align_call(cfg, mod, params, corpus):
     if nt and "null_threshold" in sig:
         kw["null_threshold"] = nt
     if "use_pallas" in sig:
-        # fused Viterbi decode kernel in the same regime as the fused E-step
-        kw["use_pallas"] = _resolve_use_pallas(cfg, corpus)
+        # decode defaults to the scan decoder under auto (memory-light,
+        # deterministic ties); explicit use_pallas=on still routes the kernel
+        kw["use_pallas"] = _resolve_decode_pallas(cfg, corpus)
     return jax.jit(functools.partial(mod.align, **kw))(params, corpus)
 
 

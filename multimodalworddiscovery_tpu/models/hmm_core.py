@@ -403,7 +403,11 @@ def viterbi_factored(
     dense form is the test oracle.  ``use_pallas=True`` routes through the
     fused kernel (ops/viterbi_pallas.py: delta chunks streamed, backtrace
     recomputed — no backpointer tensor at all); ties between equally-optimal
-    paths may resolve differently.
+    paths may resolve differently.  NOTE the HBM tradeoff: the kernel streams
+    f32 delta chunks [Ts, S, N] (~4x the int8 backpointers here at large S),
+    so this scan decoder — not the kernel — is the memory-light default; the
+    CLI's ``auto`` mode keeps decode here and only routes the kernel on an
+    explicit ``use_pallas=on``.
     """
     if use_pallas:
         from multimodalworddiscovery_tpu.ops.viterbi_pallas import (

@@ -78,14 +78,19 @@ def posteriors(params: Model1Params, corpus: Corpus) -> jax.Array:
 
 
 def loglik(params: Model1Params, corpus: Corpus) -> jax.Array:
-    """Corpus log-likelihood incl. the uniform 1/(1+Tt) alignment prior."""
-    logp, _ = _pair_logprobs(params, corpus)
-    per_pos = masked_logsumexp(logp, axis=-1)  # [N, Ts]
-    src_mask = corpus.src_mask()
-    prior = -jnp.log1p(corpus.trg_len.astype(logp.dtype))  # log 1/(1+Tt)
-    per_utt = jnp.sum(jnp.where(src_mask, per_pos, 0.0), axis=1)
-    per_utt = per_utt + corpus.src_len.astype(logp.dtype) * prior
-    return jnp.sum(per_utt)
+    """Corpus log-likelihood incl. the uniform 1/(1+Tt) alignment prior.
+
+    Same sufficient-statistic form as ``expected_counts`` (the per-position
+    logsumexp over target slots collapses to log R[n, f] because t(f|e)
+    depends on the slot only through its concept): two [N, V]-sized MXU
+    contractions instead of the materialized [N, Ts, 1+Tt] tensor."""
+    h, c = _count_stats(corpus, dtype=params.log_t.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    r = jnp.einsum("ne,fe->nf", c, jnp.exp(params.log_t), precision=hi)
+    r_safe = jnp.maximum(r, 1e-38)
+    prior = -jnp.log1p(corpus.trg_len.astype(h.dtype))  # log 1/(1+Tt)
+    ll = jnp.sum(jnp.where(h > 0, h * jnp.log(r_safe), 0.0))
+    return ll + jnp.sum(corpus.src_len.astype(h.dtype) * prior)
 
 
 def _count_stats(
@@ -141,7 +146,11 @@ def expected_counts(
     t_exp = jnp.exp(params.log_t)  # [F, E]
     r = jnp.einsum("ne,fe->nf", c, t_exp, precision=hi)  # [N, F]
     r_safe = jnp.maximum(r, 1e-38)
-    a = h / r_safe  # [N, F]
+    # A phone whose total probability underflows to ~0 (smoothing=0, restored
+    # degenerate tables) must contribute ZERO counts — h / r_safe alone can
+    # overflow float32 to inf (h up to Ts over a 1e-38 floor), poisoning the
+    # whole M-step where the old log-space path degraded gracefully.
+    a = jnp.where(r > 1e-30, h / r_safe, 0.0)  # [N, F]
     counts = t_exp * jnp.einsum("nf,ne->fe", a, c, precision=hi)
 
     prior = -jnp.log1p(corpus.trg_len.astype(h.dtype))
@@ -177,7 +186,43 @@ def align(params: Model1Params, corpus: Corpus) -> jax.Array:
 
     Returns [N, Ts] int32: 0 = NULL, j>=1 = 1-based trg position; padding
     positions are 0 (reference align(), SURVEY.md §3.1).
+
+    Decode runs in CONCEPT-VOCABULARY space, the same structural lever as
+    the EM sufficient statistics: because t(f|e) depends on the target only
+    through its concept id, argmax_k logp[n,t,k] = (max over the
+    utterance's PRESENT concepts of rows[n,t,e], then the first k whose
+    concept attains that max).  That replaces the per-lane column select
+    (core/counts.select_columns — K = 1+Tt masked VPU passes over
+    [N,Ts,E], the floor of the one-hot pipeline, PERFORMANCE.md rule 7)
+    with one [N,Ts,E] max + ONE MXU contraction of a 0/1 attains-max
+    indicator against the target one-hots.  Tie semantics match the dense
+    decode exactly (first target position attaining the max — bit-equality
+    against the max value, so duplicated/smoothing-tied concept columns
+    resolve identically; pinned vs ``_align_dense`` and the float64 oracle
+    by tests/test_model1.py).
     """
+    hi = jax.lax.Precision.HIGHEST
+    f, e = params.log_t.shape
+    rows = jnp.einsum(
+        "ntf,fe->nte", jax.nn.one_hot(corpus.src, f, dtype=params.log_t.dtype),
+        params.log_t, precision=hi,
+    )  # [N, Ts, E]
+    _, c = _count_stats(corpus, dtype=params.log_t.dtype)  # [N, E] multiplicity
+    masked = jnp.where(c[:, None, :] > 0, rows, NEG_INF)
+    m = jnp.max(masked, axis=-1, keepdims=True)  # [N, Ts, 1]
+    attains = (masked >= m).astype(params.log_t.dtype)  # [N, Ts, E] 0/1
+    trg_ext, ext_mask = _extended_targets(corpus)
+    trg_oh = jax.nn.one_hot(trg_ext, e, dtype=params.log_t.dtype)  # [N, K, E]
+    hit = jnp.einsum("nte,nke->ntk", attains, trg_oh, precision=hi) > 0.5
+    hit = hit & ext_mask[:, None, :]
+    a = jnp.argmax(hit, axis=-1).astype(jnp.int32)  # first k attaining max
+    return jnp.where(corpus.src_mask(), a, 0)
+
+
+def _align_dense(params: Model1Params, corpus: Corpus) -> jax.Array:
+    """Dense decode oracle: argmax over the materialized [N, Ts, 1+Tt]
+    pair log-probs (the pre-round-3 formulation; kept as the test oracle
+    for ``align``'s concept-space decode)."""
     logp, _ = _pair_logprobs(params, corpus)
     a = jnp.argmax(logp, axis=-1).astype(jnp.int32)
     return jnp.where(corpus.src_mask(), a, 0)

@@ -109,3 +109,45 @@ def test_em_recovers_gold_alignment():
     word_mask = sm & (gold.alignment > 0)  # score on non-NULL gold positions
     acc = (pred == gold.alignment)[word_mask].mean()
     assert acc > 0.85, acc
+
+
+def test_align_concept_space_matches_dense_decode():
+    """Round-3 decode: the concept-vocabulary-space argmax (align) must equal
+    the dense [N, Ts, 1+Tt] argmax (_align_dense) on trained tables."""
+    corpus, _, _ = make_flickr8k_mini(n_utterances=60, seed=11)
+    params = model1.init(corpus)
+    params, _ = jax.jit(lambda p: model1.train(p, corpus, 10))(params)
+    fast = np.asarray(model1.align(params, corpus))
+    dense = np.asarray(model1._align_dense(params, corpus))
+    np.testing.assert_array_equal(fast, dense)
+
+
+def test_loglik_matches_dense_formulation():
+    """Sufficient-statistic loglik == materialized per-position logsumexp."""
+    from multimodalworddiscovery_tpu.core.logsemiring import masked_logsumexp
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=40, seed=12)
+    params = model1.init(corpus)
+    params, _ = jax.jit(lambda p: model1.train(p, corpus, 5))(params)
+
+    logp, _ = model1._pair_logprobs(params, corpus)
+    per_pos = masked_logsumexp(logp, axis=-1)
+    prior = -jnp.log1p(corpus.trg_len.astype(logp.dtype))
+    dense = float(
+        jnp.sum(jnp.where(corpus.src_mask(), per_pos, 0.0))
+        + jnp.sum(corpus.src_len.astype(logp.dtype) * prior)
+    )
+    fast = float(model1.loglik(params, corpus))
+    np.testing.assert_allclose(fast, dense, rtol=1e-5)
+
+
+def test_degenerate_table_counts_stay_finite():
+    """ADVICE round-2: a phone whose total probability underflows to ~0 must
+    contribute ZERO expected counts, not inf (h / r_safe overflow)."""
+    corpus, _, _ = make_flickr8k_mini(n_utterances=20, seed=13)
+    params = model1.init(corpus)
+    # make phone 0 impossible under every concept
+    params = params.replace(log_t=params.log_t.at[0, :].set(-1e30))
+    counts, ll = jax.jit(model1.expected_counts)(params, corpus)
+    assert np.isfinite(np.asarray(counts)).all()
+    assert np.asarray(counts)[0].sum() == 0.0  # zero, not garbage
