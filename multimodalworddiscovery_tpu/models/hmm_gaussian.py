@@ -188,6 +188,7 @@ def expected_counts(
     use_pallas: bool = False,
     interpret: bool = False,
     dot_dtype: str = "float32",
+    emit_scale: float = 1.0,
 ) -> tuple[dict[str, jax.Array], jax.Array]:
     """E-step sufficient statistics — ALL additive across corpus shards or
     length buckets (exact bucketed / data-parallel EM):
@@ -195,10 +196,19 @@ def expected_counts(
       c0 [C,K], c1/c2 [C,K,D]   combined (gamma x responsibility) moments
       width [W+2]               expected jump counts
       fsum/fsq [D], fcnt []     global feature moments (for the var floor)
+
+    emit_scale < 1 runs a deterministic-annealing E-step (emission
+    log-likelihoods scaled by beta; ``train``'s ``anneal`` ramps it).
     """
     v_trg = corpus.trg_vocab
 
     log_emit = _log_emissions(params, corpus)
+    if isinstance(emit_scale, jax.Array) or emit_scale != 1.0:
+        # deterministic annealing: beta < 1 flattens the emission likelihood
+        # (p(x|s)^beta), softening early posteriors so EM explores concept
+        # assignments before committing — the dense-region regime's failure
+        # mode is premature hard assignment under the flat-start init
+        log_emit = jnp.asarray(emit_scale, log_emit.dtype) * log_emit
     gamma, width_counts, logz = hmm_core.estep(
         params.log_jump, params.log_p0, params.max_jump, log_emit, corpus,
         use_pallas=use_pallas, interpret=interpret, dot_dtype=dot_dtype,
@@ -271,11 +281,13 @@ def em_step(
     use_pallas: bool = False,
     interpret: bool = False,
     dot_dtype: str = "float32",
+    emit_scale: float | jax.Array = 1.0,
 ) -> tuple[GaussianHMMParams, dict[str, jax.Array]]:
-    """One EM iteration (expected_counts + m_step)."""
+    """One EM iteration (expected_counts + m_step).  ``emit_scale`` < 1 is
+    the deterministic-annealing temperature (see ``expected_counts``)."""
     counts, ll = expected_counts(
         params, corpus, use_pallas=use_pallas, interpret=interpret,
-        dot_dtype=dot_dtype,
+        dot_dtype=dot_dtype, emit_scale=emit_scale,
     )
     new_params = m_step(params, counts, smoothing, var_floor, var_floor_rel)
     return new_params, {"loglik": ll}
@@ -306,9 +318,118 @@ def train(
     num_iterations: int,
     use_pallas: bool = False,
     dot_dtype: str = "float32",
+    anneal: tuple[float, int] | None = None,
 ) -> tuple[GaussianHMMParams, jax.Array]:
-    def body(p, _):
-        p2, stats = em_step(p, corpus, use_pallas=use_pallas, dot_dtype=dot_dtype)
+    """EM under one lax.scan.  ``anneal=(beta0, n_ramp)`` runs deterministic
+    annealing: the emission temperature ramps linearly beta0 -> 1 over the
+    first n_ramp iterations (then exact EM) — measured on the dense-region
+    stretch regime in docs/PERFORMANCE.md."""
+    if anneal is None:
+        scales = jnp.ones((num_iterations,), jnp.float32)
+    else:
+        beta0, n_ramp = anneal
+        ramp = jnp.linspace(beta0, 1.0, max(n_ramp, 1))
+        scales = jnp.concatenate(
+            [ramp, jnp.ones((max(num_iterations - n_ramp, 0),), jnp.float32)]
+        )[:num_iterations]
+
+    def body(p, scale):
+        p2, stats = em_step(
+            p, corpus, use_pallas=use_pallas, dot_dtype=dot_dtype,
+            emit_scale=scale,
+        )
         return p2, stats["loglik"]
 
-    return jax.lax.scan(body, params, None, length=num_iterations)
+    return jax.lax.scan(body, params, scales)
+
+
+def counts_from_responsibilities(
+    params: GaussianHMMParams,
+    corpus: Corpus,
+    r: jax.Array,      # [N, Ts, C] concept responsibilities (masked frames 0)
+    width: jax.Array,  # [2*max_jump+3] jump-width counts to pass through
+) -> dict[str, jax.Array]:
+    """``expected_counts``-shaped sufficient statistics with an EXTERNAL
+    concept responsibility (gold one-hots for the oracle ceiling, a discrete
+    teacher's posteriors for VQ seeding, ...).  Component responsibilities
+    still come from ``params``, so iterating (this -> m_step) is per-concept
+    GMM EM with the concept assignment pinned."""
+    comp = _component_logdensity(params, corpus)  # [N, Ts, C, K]
+    logw = jax.nn.log_softmax(params.log_mix, axis=-1)
+    u = jax.nn.softmax(comp + logw[None, None, :, :], axis=-1)
+    comb = r[..., None] * u
+
+    x = corpus.src
+    w_feat = corpus.src_mask().astype(x.dtype)[..., None]
+    return {
+        "c0": jnp.sum(comb, axis=(0, 1)),
+        "c1": jnp.einsum("ntck,ntd->ckd", comb, x),
+        "c2": jnp.einsum("ntck,ntd->ckd", comb, x**2),
+        "width": width,
+        "fsum": jnp.sum(x * w_feat, axis=(0, 1)),
+        "fsq": jnp.sum(x**2 * w_feat, axis=(0, 1)),
+        "fcnt": jnp.sum(w_feat),
+    }
+
+
+def supervised_counts(
+    params: GaussianHMMParams, corpus: Corpus, gold_alignment: jax.Array
+) -> dict[str, jax.Array]:
+    """Oracle-assignment E-step: the same sufficient statistics as
+    ``expected_counts`` but with the state posterior replaced by the GOLD
+    frame alignment (one-hot on the aligned concept; NULL frames feed the
+    NULL concept).  ``m_step`` on these counts gives the emission family's
+    REPRESENTATIONAL CEILING for a corpus — decode accuracy under it bounds
+    what any EM/init/annealing scheme could reach, separating task bound
+    from optimization failure (dense-region study, docs/PERFORMANCE.md).
+
+    gold_alignment: [N, Ts] int (0 = NULL, else 1-based target position).
+    """
+    v_trg = corpus.trg_vocab
+    a = gold_alignment
+    tmask = corpus.src_mask()
+    pos = jnp.clip(a - 1, 0, corpus.max_trg_len - 1)
+    conc = jnp.take_along_axis(corpus.trg, pos, axis=1)  # [N, Ts]
+    conc = jnp.where(a > 0, conc, 0)  # NULL frames -> NULL concept
+    r = jax.nn.one_hot(conc, v_trg, dtype=params.means.dtype)
+    r = r * tmask.astype(r.dtype)[..., None]  # [N, Ts, C]
+
+    # gold jump-width counts: consecutive valid frames' underlying positions
+    both = tmask[:, 1:] & tmask[:, :-1]
+    real2 = both & (a[:, 1:] > 0) & (a[:, :-1] > 0)
+    mj = params.max_jump
+    W = 2 * mj + 1
+    w_id = jnp.clip(a[:, 1:] - a[:, :-1], -mj, mj) + mj
+    w_id = jnp.where(real2, w_id, jnp.where(both & (a[:, 1:] == 0), W, W + 1))
+    width = jax.ops.segment_sum(
+        jnp.ones_like(w_id.reshape(-1), params.means.dtype)
+        * both.reshape(-1).astype(params.means.dtype),
+        w_id.reshape(-1), num_segments=W + 2,
+    )
+    return counts_from_responsibilities(params, corpus, r, width)
+
+
+def supervised_fit(
+    params: GaussianHMMParams,
+    corpus: Corpus,
+    gold_alignment: jax.Array,
+    num_iterations: int = 5,
+) -> GaussianHMMParams:
+    """Supervised GMM fit from gold alignments (the oracle ceiling model):
+    iterate (supervised_counts -> m_step); gamma stays pinned to gold while
+    the per-concept mixture components converge."""
+    def body(p, _):
+        counts = supervised_counts(p, corpus, gold_alignment)
+        return m_step(p, counts), None
+
+    out, _ = jax.lax.scan(body, params, None, length=num_iterations)
+    return out
+
+
+def teacher_responsibilities(teacher_gamma: jax.Array, corpus: Corpus) -> jax.Array:
+    """Pool a (discrete-HMM) teacher's state posteriors [N, Ts, S] onto
+    concept responsibilities [N, Ts, C] (the VQ-teacher seeding path of the
+    dense-region study: scripts/exp_gauss_dense.py)."""
+    concepts = hmm_core.state_concepts(corpus)  # [N, S]
+    onehot = jax.nn.one_hot(concepts, corpus.trg_vocab, dtype=teacher_gamma.dtype)
+    return jnp.einsum("nts,nsc->ntc", teacher_gamma, onehot)
