@@ -1,9 +1,15 @@
-"""Benchmark harness (driver contract: prints ONE JSON line).
+"""Benchmark harness (driver contract: the LAST stdout line is ONE JSON line).
 
 Metric (BASELINE.md): utterances·iterations/sec/chip for discrete-HMM
 forward-backward EM on a Flickr8k-scale corpus, vs the per-utterance float64
 NumPy oracle on one CPU core (the reference's compute pattern).  Target from
 BASELINE.json north star: >= 50x.
+
+Also prints (as plain text, before the JSON line) the COMPUTE-DENSE shape:
+S=128 continuous-regime EM with achieved FLOP/s and %-of-v5e-peak — the
+headline shape (S=12) is latency-bound and says nothing about kernel quality
+(full MFU tables: scripts/bench_kernels.py -> bench/results.jsonl and
+docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations
@@ -20,8 +26,45 @@ N_UTTERANCES = 8000  # Flickr8k-scale (8k images)
 # fixed cost ate ~60% of the measurement (round-1 driver number 1.03M vs the
 # amortized 2.8M utt*iter/s).  100 iters amortizes it to <10%.
 N_ITERS_TPU = 100
-ORACLE_UTTS = 128  # oracle measured on a subset, per-utterance cost is flat
-ORACLE_ITERS = 1
+# Oracle denominator: best-of-3 runs of 2 iterations over 256 utterances —
+# same replay-proof rigor class as the TPU side (a single unguarded ~1 s
+# sample made the vs_baseline ratio jitter by several percent across rounds).
+ORACLE_UTTS = 256
+ORACLE_ITERS = 2
+
+
+def _dense_shape_report() -> str:
+    """One fused-EM measurement at the compute-dense S=128 shape with
+    explicit MFU accounting (v5e peaks: 197 TFLOP/s bf16 MXU — fp32-HIGHEST
+    dots are ~6 bf16 passes -> 33 TFLOP/s ceiling; 819 GB/s HBM).  FLOP
+    model: 3 recursion matmuls/step = 6*S^2*N*Ts per EM iteration."""
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.models import hmm
+
+    corpus, _, _ = make_flickr8k_mini(
+        n_utterances=512, n_concepts=400, n_phones=48, min_concepts=48,
+        max_concepts=64, min_word_len=2, max_word_len=3, seed=2,
+    )
+    s, ts, n = 2 * corpus.max_trg_len, corpus.max_src_len, corpus.n
+    iters = 50
+    train = jax.jit(lambda p: hmm.train(p, corpus, iters, use_pallas=True))
+    p1, _ = train(hmm.init(corpus))
+    jax.block_until_ready(p1)
+    dt = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, lls = train(p1)
+        _ = float(lls[-1])  # fresh host scalar inside the timed region
+        dt = min(dt, (time.perf_counter() - t0) / iters)
+    flops = 6.0 * s * s * n * ts
+    hbm = 4.0 * ts * s * n * 4
+    return (
+        f"compute-dense fused EM S={s} Ts={ts} N={n}: "
+        f"{dt * 1e3:.2f} ms/iter, {flops / dt / 1e12:.2f} TFLOP/s = "
+        f"{100 * flops / dt / (197e12 / 6):.1f}pct of v5e fp32-HIGHEST MXU "
+        f"peak ({100 * flops / dt / 197e12:.1f}pct of bf16 peak, "
+        f"{100 * hbm / dt / 819e9:.1f}pct of HBM bandwidth)"
+    )
 
 
 def main() -> None:
@@ -46,11 +89,13 @@ def main() -> None:
     tl = np.asarray(small.trg_len)
     src_seqs = [src[i, : sl[i]] for i in range(ORACLE_UTTS)]
     trg_seqs = [trg[i, : tl[i]] for i in range(ORACLE_UTTS)]
-    oracle = NumpyHMM(src_seqs, trg_seqs, corpus.src_vocab, corpus.trg_vocab)
-    t0 = time.perf_counter()
-    for _ in range(ORACLE_ITERS):
-        oracle.em_iteration()
-    oracle_time = time.perf_counter() - t0
+    oracle_time = 1e9
+    for _ in range(3):  # best-of-3, like the TPU side
+        oracle = NumpyHMM(src_seqs, trg_seqs, corpus.src_vocab, corpus.trg_vocab)
+        t0 = time.perf_counter()
+        for _ in range(ORACLE_ITERS):
+            oracle.em_iteration()
+        oracle_time = min(oracle_time, time.perf_counter() - t0)
     oracle_throughput = ORACLE_UTTS * ORACLE_ITERS / oracle_time
 
     # --- TPU batched EM: one fused lax.scan dispatch (BASELINE.md protocol).
@@ -79,6 +124,7 @@ def main() -> None:
     assert lw[-1] > lw[0], lw
     assert np.isfinite(final_ll), np.asarray(lls)
 
+    print(_dense_shape_report())
     print(
         json.dumps(
             {

@@ -149,9 +149,13 @@ def bench_counts(out):
     s = concepts.shape[1]
     f, e = params.log_emit.shape
     bn, tc = pick_tiles(ts, s, n)
-    bt = min(tc, 8)
+    # count kernels assert block_t % 8 == 0 (or == tp); pick_tiles has
+    # min_tc=1, so clamp block_t UP to 8 at VMEM-tight shapes and pad the
+    # time axis to a multiple of both (tc, bt are powers of 2: lcm = max)
+    bt = tc if tc % 8 == 0 else 8
+    tp = _round_up(ts, max(tc, bt))
     s_pad = _round_up(s, 8)
-    src_t = pad_time_major(corpus.src, _round_up(ts, tc), _round_up(n, bn))
+    src_t = pad_time_major(corpus.src, tp, _round_up(n, bn))
     conc_t = pad_time_major(concepts, s_pad, _round_up(n, bn))
     null_rows = tuple(k >= corpus.max_trg_len for k in range(s_pad))
     log_emit = hmm._log_emissions(params, corpus)
@@ -200,13 +204,48 @@ def bench_counts(out):
             gamma_t)
 
 
+# TPU v5 lite (v5e) per-chip peaks for the MFU / bandwidth-fraction fields:
+# 197 TFLOP/s bf16 MXU (fp32-HIGHEST dots decompose into ~6 bf16 passes, so
+# their MXU ceiling is ~197/6 = 33 TFLOP/s), 819 GB/s HBM.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_F32_HIGHEST_PASSES = 6
+V5E_PEAK_HBM_BYTES = 819e9
+
+
+def _mfu_fields(n: int, ts: int, s: int, dt: float, dtype: str) -> dict:
+    """Achieved FLOP/s and %-of-v5e-peak for one EM iteration at (N, Ts, S).
+
+    FLOP model: the recursion's useful work is 3 log-semiring inner products
+    per time step (forward, backward, xi), each an [S, S] x [S, N] matmul on
+    max-rescaled exponentials -> 3 * 2 * S^2 * N * Ts FLOPs per iteration
+    (lookup/count/M-step work excluded — it is O(S N Ts), a lower-order
+    term).  HBM model: the fused pipeline streams the [Ts, S, N] emissions
+    twice (fwd + bwd) and the alphas twice (write + re-read); gamma stays in
+    VMEM (counts fused into the backward kernel), so ~4 * Ts * S * N * 4
+    bytes per iteration.
+    """
+    flops = 6.0 * s * s * n * ts
+    hbm_bytes = 4.0 * ts * s * n * 4
+    mxu_peak = V5E_PEAK_BF16_FLOPS
+    if dtype == "float32":
+        mxu_peak = V5E_PEAK_BF16_FLOPS / V5E_F32_HIGHEST_PASSES
+    return dict(
+        flops_per_sec=round(flops / dt),
+        pct_peak_mxu=round(100 * flops / dt / mxu_peak, 3),
+        pct_peak_mxu_bf16=round(100 * flops / dt / V5E_PEAK_BF16_FLOPS, 3),
+        hbm_bytes_per_sec=round(hbm_bytes / dt),
+        pct_peak_hbm=round(100 * hbm_bytes / dt / V5E_PEAK_HBM_BYTES, 3),
+    )
+
+
 def bench_hmm_estep(out):
     """Fused Pallas E-step vs XLA scan path across state-space sizes.
 
     Timing: K chained EM iterations in ONE lax.scan dispatch (params feed
     back, so the relay cannot replay), host read of the final loglik.
     The large-S shapes are the config-#5 regime (S=64/128, Ts~128+) where the
-    round-1 whole-resident kernel OOMed VMEM.
+    round-1 whole-resident kernel OOMed VMEM.  Pallas rows carry achieved
+    FLOP/s + %-of-v5e-peak (``_mfu_fields``; VERDICT round-2 item 1).
     """
     from multimodalworddiscovery_tpu.data import make_flickr8k_mini
     from multimodalworddiscovery_tpu.models import hmm
@@ -250,6 +289,11 @@ def bench_hmm_estep(out):
             rec = dict(kernel=name, shape=label, S=s, Ts=ts, N=n,
                        ms_per_iter=round(dt * 1e3, 3),
                        utt_iter_per_sec=round(n / dt))
+            if name != "hmm_estep_xla":
+                rec.update(_mfu_fields(
+                    n, ts, s, dt,
+                    "bfloat16" if name.endswith("bf16") else "float32",
+                ))
             if name == "hmm_estep_xla":
                 base_ll = last
             elif base_ll is not None:
@@ -335,7 +379,110 @@ def bench_viterbi(out):
             _record(out, **rec)
 
 
-BENCHES = ("mfcc", "log_matmul", "em", "counts", "hmm_estep", "viterbi")
+def bench_models(out):
+    """TPU throughput for the remaining model families (VERDICT round-2
+    item 5): attention (minibatch steps/s at B=512), grounding (contrastive
+    minibatch steps/s), segmental k-means (EM iters/s + discover utt/s).
+
+    Replay-proof protocol: reps steps fused in ONE lax.scan dispatch with the
+    model state threaded through the carry (the relay cannot ack-without-
+    compute), timed input = warmup output, best-of-3, fresh host scalar read
+    inside the timed region.
+    """
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.models import (
+        attention, grounding, segmental_kmeans,
+    )
+    from multimodalworddiscovery_tpu.models.minibatch import gather_batch
+
+    corpus, gold, _ = make_flickr8k_mini(
+        n_utterances=8192, n_concepts=60, n_phones=48,
+        min_concepts=3, max_concepts=6, seed=0,
+    )
+
+    def bench_minibatch(name, step_fn, state0, c, batch, reps=20, **extra):
+        n = c.n
+
+        def body(s, k):
+            idx = jax.random.permutation(k, n)[:batch]
+            s2, stats = step_fn(s, gather_batch(c, idx))
+            return s2, stats["loss"]
+
+        run = jax.jit(lambda s, ks: jax.lax.scan(body, s, ks))
+        ks = jax.random.split(jax.random.PRNGKey(0), reps)
+        s1, losses = run(state0, ks)
+        jax.block_until_ready(losses)
+        dt = 1e9
+        for i in range(3):
+            ks = jax.random.split(jax.random.PRNGKey(i + 1), reps)
+            t = time.perf_counter()
+            _, losses = run(s1, ks)
+            _ = float(losses[-1])
+            dt = min(dt, (time.perf_counter() - t) / reps)
+        _record(out, kernel=name, batch=batch, N=n,
+                ms_per_step=round(dt * 1e3, 3),
+                steps_per_sec=round(1 / dt, 1),
+                utt_per_sec=round(batch / dt), **extra)
+
+    # --- attention aligner: B=512 minibatch AdamW steps (config #3/#4
+    # protocol; the 40k-utterance CRF experiment used the same batch) ---
+    att_state = attention.init(corpus, dim=128, key=jax.random.PRNGKey(0))
+    bench_minibatch(
+        "attention_minibatch_step", attention.em_step, att_state, corpus,
+        batch=512, dim=128,
+    )
+
+    # --- grounding baseline: B=256 contrastive steps (the matchmap + margin
+    # loss is O(B^2) pair scores; 256 is the production default regime) ---
+    gr_state = grounding.init(corpus, dim=128, key=jax.random.PRNGKey(1))
+    bench_minibatch(
+        "grounding_minibatch_step", grounding.em_step, gr_state, corpus,
+        batch=256, dim=128,
+    )
+
+    # --- segmental k-means: full-corpus EM iterations + discover, on a
+    # continuous frames corpus (its production input) ---
+    tok, tok_gold, _ = make_flickr8k_mini(
+        n_utterances=2000, n_concepts=60, n_phones=48,
+        min_concepts=3, max_concepts=6, seed=3,
+    )
+    fc, _, _ = phones_to_frames(tok, tok_gold, feat_dim=13, noise=0.1, seed=3)
+    skm_params = segmental_kmeans.init(
+        fc, n_clusters=64, key=jax.random.PRNGKey(2)
+    )
+    reps = 20
+    train = jax.jit(
+        lambda p: segmental_kmeans.train(p, fc, reps)
+    )
+    p1, costs = train(skm_params)
+    jax.block_until_ready(costs)
+    dt = 1e9
+    for _ in range(3):
+        t = time.perf_counter()
+        _, costs = train(p1)
+        _ = float(costs[-1])
+        dt = min(dt, (time.perf_counter() - t) / reps)
+    _record(out, kernel="segkmeans_em", N=fc.n, T=fc.max_src_len,
+            ms_per_iter=round(dt * 1e3, 3), utt_iter_per_sec=round(fc.n / dt))
+
+    disc = jax.jit(lambda p: segmental_kmeans.discover(p, fc))
+    segs, mask = disc(p1)
+    jax.block_until_ready(mask)
+    dt = 1e9
+    for i in range(3):
+        p2 = p1.replace(centroids=p1.centroids + 1e-6 * (i + 1))  # fresh req
+        t = time.perf_counter()
+        segs, mask = disc(p2)
+        nseg = int(jnp.sum(mask))  # fresh host scalar
+        dt = min(dt, time.perf_counter() - t)
+    _record(out, kernel="segkmeans_discover", N=fc.n, n_segments=nseg,
+            ms=round(dt * 1e3, 3), utt_per_sec=round(fc.n / dt),
+            segments_per_sec=round(nseg / dt))
+
+
+BENCHES = ("mfcc", "log_matmul", "em", "counts", "hmm_estep", "viterbi",
+           "models")
 
 
 def main():
@@ -361,7 +508,7 @@ def main():
     selected = args.only or BENCHES
     fns = dict(mfcc=bench_mfcc, log_matmul=bench_log_matmul, em=bench_em,
                counts=bench_counts, hmm_estep=bench_hmm_estep,
-               viterbi=bench_viterbi)
+               viterbi=bench_viterbi, models=bench_models)
     for name in selected:
         fns[name](out)
 
