@@ -292,7 +292,10 @@ def cmd_train(args) -> None:
         )
 
     ckpt = CheckpointManager(workdir / "ckpt")
-    writer = MetricsWriter(workdir / "train_metrics.jsonl")
+    writer = MetricsWriter(
+        workdir / "train_metrics.jsonl",
+        tensorboard_dir=(workdir / "tb") if cfg.train.get("tensorboard", False) else None,
+    )
 
     if edges:
         # --- exact length-bucketed EM (optionally data-parallel) ---
@@ -320,6 +323,7 @@ def cmd_train(args) -> None:
             on_iteration=on_iteration,
         )
         ckpt.close()
+        writer.close()
         print(
             f"bucketed EM ({len(edges) + 1} buckets"
             + (f", {mesh.shape} mesh" if mesh else "")
@@ -387,6 +391,7 @@ def cmd_train(args) -> None:
             if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
                 ckpt.save(it, params)
         ckpt.close()
+        writer.close()
         print(
             f"trained {cfg.train.num_iterations - start} minibatch steps "
             f"(B={batch_size}"
@@ -424,6 +429,7 @@ def cmd_train(args) -> None:
         if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
             ckpt.save(it, params)
     ckpt.close()
+    writer.close()
     print(f"trained {cfg.train.num_iterations - start} iterations in {t_total:.2f}s")
 
 
@@ -585,7 +591,10 @@ def cmd_discover(args) -> None:
     params = skm.init(
         corpus, n_clusters=args.clusters, key=jax.random.PRNGKey(cfg.seed)
     )
-    writer = MetricsWriter(workdir / "train_metrics.jsonl")
+    writer = MetricsWriter(
+        workdir / "train_metrics.jsonl",
+        tensorboard_dir=(workdir / "tb") if cfg.train.get("tensorboard", False) else None,
+    )
     step = jax.jit(skm.em_step)
     for it in range(cfg.train.num_iterations):
         t0 = time.perf_counter()
@@ -595,6 +604,7 @@ def cmd_discover(args) -> None:
                      seconds=time.perf_counter() - t0)
         print(f"iter {it:3d}  -distortion {float(stats['loglik']):.1f}  "
               f"segments {int(stats['n_segments'])}")
+    writer.close()
 
     segs, mask = skm.discover(params, corpus)
     out = Path(args.output or workdir / "discovered_segments.json")

@@ -80,6 +80,8 @@ def base_config() -> ConfigDict:
     # 1 = whole corpus at once; raise for corpora whose activations exceed
     # HBM (600k utterances fits at 8 on one v5e chip).
     cfg.train.corpus_chunks = 1
+    # also emit TensorBoard scalars to <workdir>/tb (JSONL stays canonical)
+    cfg.train.tensorboard = False
 
     cfg.eval = ConfigDict()
     cfg.eval.boundary_tolerance = 1

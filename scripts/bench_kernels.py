@@ -379,6 +379,56 @@ def bench_viterbi(out):
             _record(out, **rec)
 
 
+def bench_model1_align(out):
+    """Model-1 decode: concept-space argmax (align) vs the dense
+    [N, Ts, 1+Tt] formulation (_align_dense) — the round-3 structural
+    rewrite of the per-lane column select (VERDICT round-2 item 7)."""
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.models import model1
+
+    corpus, _, _ = make_flickr8k_mini(
+        n_utterances=8000, n_concepts=60, n_phones=48,
+        min_concepts=3, max_concepts=6, seed=0,
+    )
+    params = model1.init(corpus)
+    params, _ = jax.jit(lambda p: model1.train(p, corpus, 10))(params)
+    reps = 30
+    ref = None
+    for name, fn in (
+        ("model1_align_dense", model1._align_dense),
+        ("model1_align_concept_space", model1.align),
+    ):
+        # chained: perturb the table from the alignment checksum so the scan
+        # body is not loop-invariant (CLAUDE.md: hoisted bodies all read the
+        # same number) and the relay cannot replay
+        def chained(p, fn=fn):
+            def body(q, _):
+                a = fn(q, corpus)
+                return q.replace(
+                    log_t=q.log_t + jnp.float32(1e-12) * jnp.sum(a % 3)
+                ), jnp.sum(a)
+            return jax.lax.scan(body, p, None, length=reps)
+
+        run = jax.jit(chained)
+        p1, sums = run(params)
+        jax.block_until_ready(sums)
+        dt = 1e9
+        for _ in range(3):
+            t = time.perf_counter()
+            _, sums = run(p1)
+            _ = int(sums[-1])
+            dt = min(dt, (time.perf_counter() - t) / reps)
+        rec = dict(kernel=name, N=corpus.n, T=corpus.max_src_len,
+                   ms=round(dt * 1e3, 3), utt_per_sec=round(corpus.n / dt))
+        if name == "model1_align_dense":
+            ref = np.asarray(model1._align_dense(params, corpus))
+        else:
+            rec["agree_vs_dense"] = round(
+                float((np.asarray(model1.align(params, corpus)) == ref).mean()), 6
+            )
+        _record(out, **rec)
+
+
 def bench_models(out):
     """TPU throughput for the remaining model families (VERDICT round-2
     item 5): attention (minibatch steps/s at B=512), grounding (contrastive
@@ -482,7 +532,7 @@ def bench_models(out):
 
 
 BENCHES = ("mfcc", "log_matmul", "em", "counts", "hmm_estep", "viterbi",
-           "models")
+           "models", "model1_align")
 
 
 def main():
@@ -508,7 +558,8 @@ def main():
     selected = args.only or BENCHES
     fns = dict(mfcc=bench_mfcc, log_matmul=bench_log_matmul, em=bench_em,
                counts=bench_counts, hmm_estep=bench_hmm_estep,
-               viterbi=bench_viterbi, models=bench_models)
+               viterbi=bench_viterbi, models=bench_models,
+               model1_align=bench_model1_align)
     for name in selected:
         fns[name](out)
 
