@@ -234,3 +234,56 @@ def phones_to_frames(
         gold_align[i, : len(a)] = a
     frame_gold = GoldAnnotations(alignment=gold_align, segments=frame_segments)
     return frame_corpus, frame_gold, means
+
+
+def make_boxes_mini(
+    n_images: int = 64,
+    image_size: int = 64,
+    max_boxes: int = 3,
+    min_frac: float = 0.2,
+    max_frac: float = 0.45,
+    noise: float = 0.1,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic synthetic detection set for the learned region-proposal
+    path (frontend/detector.py; SURVEY.md §2 C3 "and/or an RCNN detector").
+
+    Each image is a noisy background with 1..max_boxes solid colored
+    rectangles ("objects"); the gold boxes are the rectangles.  Returns
+    (images [N, H, W, 3] float32 in [0, 1],
+     boxes  [N, G, 4] normalized (y1, x1, y2, x2) padded with zeros,
+     mask   [N, G] bool).
+    """
+    rng = np.random.default_rng(seed)
+    h = w = image_size
+    images = np.clip(
+        0.35 + noise * rng.normal(size=(n_images, h, w, 3)), 0.0, 1.0
+    ).astype(np.float32)
+    boxes = np.zeros((n_images, max_boxes, 4), np.float32)
+    mask = np.zeros((n_images, max_boxes), bool)
+    for i in range(n_images):
+        g = int(rng.integers(1, max_boxes + 1))
+        placed: list[tuple[float, float, float, float]] = []
+        for b in range(g):
+            for _ in range(20):  # rejection-sample low-overlap placements
+                bh = rng.uniform(min_frac, max_frac)
+                bw = rng.uniform(min_frac, max_frac)
+                y1 = rng.uniform(0.0, 1.0 - bh)
+                x1 = rng.uniform(0.0, 1.0 - bw)
+                cand = (y1, x1, y1 + bh, x1 + bw)
+                if all(
+                    min(cand[2], p[2]) - max(cand[0], p[0]) < 0.05
+                    or min(cand[3], p[3]) - max(cand[1], p[1]) < 0.05
+                    for p in placed
+                ):
+                    break
+            placed.append(cand)
+            boxes[i, b] = cand
+            mask[i, b] = True
+            color = rng.uniform(0.6, 1.0, size=3) * (
+                rng.integers(0, 2, size=3) * 2 - 1
+            ) * 0.5 + 0.5
+            ys, ye = int(cand[0] * h), max(int(cand[2] * h), int(cand[0] * h) + 2)
+            xs, xe = int(cand[1] * w), max(int(cand[3] * w), int(cand[1] * w) + 2)
+            images[i, ys:ye, xs:xe] = color.astype(np.float32)
+    return images, boxes, mask

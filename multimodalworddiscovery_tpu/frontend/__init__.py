@@ -1,1 +1,2 @@
-"""Feature frontends: speech (MFCC/filterbank/deltas) and image (VGG16)."""
+"""Feature frontends: speech (MFCC/filterbank/deltas), image (VGG16), and
+the learned region-proposal detector (anchor-based RPN, SURVEY.md §2 C3)."""
