@@ -187,7 +187,21 @@ def align(params: Model1Params, corpus: Corpus) -> jax.Array:
     Returns [N, Ts] int32: 0 = NULL, j>=1 = 1-based trg position; padding
     positions are 0 (reference align(), SURVEY.md §3.1).
 
-    Decode runs in CONCEPT-VOCABULARY space, the same structural lever as
+    Production path is the DENSE argmax (``_align_dense``): measured faster
+    than the concept-space formulation at both the sparse (Tt=6: 1.06 vs
+    1.33 ms, N=8000) and dense (Tt=32: 2.02 vs 2.30 ms, N=2048) target
+    regimes — the per-slot column select's K=1+Tt VPU passes stay cheaper
+    than the concept-space max + attains-indicator contraction at every
+    realistic caption density (bench/results.jsonl ``model1_align`` rows).
+    ``_align_concept_space`` is retained as an equal-output alternative
+    (pinned by tests/test_model1.py) in case a regime with Tt >> 32 ever
+    appears.
+    """
+    return _align_dense(params, corpus)
+
+
+def _align_concept_space(params: Model1Params, corpus: Corpus) -> jax.Array:
+    """Decode in CONCEPT-VOCABULARY space, the same structural lever as
     the EM sufficient statistics: because t(f|e) depends on the target only
     through its concept id, argmax_k logp[n,t,k] = (max over the
     utterance's PRESENT concepts of rows[n,t,e], then the first k whose
@@ -220,9 +234,9 @@ def align(params: Model1Params, corpus: Corpus) -> jax.Array:
 
 
 def _align_dense(params: Model1Params, corpus: Corpus) -> jax.Array:
-    """Dense decode oracle: argmax over the materialized [N, Ts, 1+Tt]
-    pair log-probs (the pre-round-3 formulation; kept as the test oracle
-    for ``align``'s concept-space decode)."""
+    """Dense decode: argmax over the materialized [N, Ts, 1+Tt] pair
+    log-probs — the production path for sparse targets (see ``align``) and
+    the test oracle for the concept-space formulation."""
     logp, _ = _pair_logprobs(params, corpus)
     a = jnp.argmax(logp, axis=-1).astype(jnp.int32)
     return jnp.where(corpus.src_mask(), a, 0)

@@ -380,53 +380,61 @@ def bench_viterbi(out):
 
 
 def bench_model1_align(out):
-    """Model-1 decode: concept-space argmax (align) vs the dense
-    [N, Ts, 1+Tt] formulation (_align_dense) — the round-3 structural
-    rewrite of the per-lane column select (VERDICT round-2 item 7)."""
+    """Model-1 decode: concept-space argmax (_align_concept_space) vs the
+    dense [N, Ts, 1+Tt] formulation (_align_dense) across target densities —
+    the data behind ``align``'s shape dispatch (VERDICT round-2 item 7)."""
     from multimodalworddiscovery_tpu.data import make_flickr8k_mini
     from multimodalworddiscovery_tpu.models import model1
 
-    corpus, _, _ = make_flickr8k_mini(
-        n_utterances=8000, n_concepts=60, n_phones=48,
-        min_concepts=3, max_concepts=6, seed=0,
-    )
-    params = model1.init(corpus)
-    params, _ = jax.jit(lambda p: model1.train(p, corpus, 10))(params)
+    shapes = [
+        ("Tt6", dict(n_utterances=8000, n_concepts=60, n_phones=48,
+                     min_concepts=3, max_concepts=6, seed=0)),
+        # MSCOCO/stretch-density regime: many concepts per image — where the
+        # dense [N, Ts, 1+Tt] per-lane select should lose to concept space
+        ("Tt32", dict(n_utterances=2048, n_concepts=200, n_phones=48,
+                      min_concepts=24, max_concepts=32, min_word_len=3,
+                      max_word_len=5, seed=1)),
+    ]
     reps = 30
-    ref = None
-    for name, fn in (
-        ("model1_align_dense", model1._align_dense),
-        ("model1_align_concept_space", model1.align),
-    ):
-        # chained: perturb the table from the alignment checksum so the scan
-        # body is not loop-invariant (CLAUDE.md: hoisted bodies all read the
-        # same number) and the relay cannot replay
-        def chained(p, fn=fn):
-            def body(q, _):
-                a = fn(q, corpus)
-                return q.replace(
-                    log_t=q.log_t + jnp.float32(1e-12) * jnp.sum(a % 3)
-                ), jnp.sum(a)
-            return jax.lax.scan(body, p, None, length=reps)
+    for label, gen in shapes:
+        corpus, _, _ = make_flickr8k_mini(**gen)
+        params = model1.init(corpus)
+        params, _ = jax.jit(lambda p: model1.train(p, corpus, 10))(params)
+        ref = None
+        for name, fn in (
+            ("model1_align_dense", model1._align_dense),
+            ("model1_align_concept_space", model1._align_concept_space),
+        ):
+            # chained: perturb the table from the alignment checksum so the
+            # scan body is not loop-invariant (CLAUDE.md: hoisted bodies all
+            # read the same number) and the relay cannot replay
+            def chained(p, fn=fn):
+                def body(q, _):
+                    a = fn(q, corpus)
+                    return q.replace(
+                        log_t=q.log_t + jnp.float32(1e-12) * jnp.sum(a % 3)
+                    ), jnp.sum(a)
+                return jax.lax.scan(body, p, None, length=reps)
 
-        run = jax.jit(chained)
-        p1, sums = run(params)
-        jax.block_until_ready(sums)
-        dt = 1e9
-        for _ in range(3):
-            t = time.perf_counter()
-            _, sums = run(p1)
-            _ = int(sums[-1])
-            dt = min(dt, (time.perf_counter() - t) / reps)
-        rec = dict(kernel=name, N=corpus.n, T=corpus.max_src_len,
-                   ms=round(dt * 1e3, 3), utt_per_sec=round(corpus.n / dt))
-        if name == "model1_align_dense":
-            ref = np.asarray(model1._align_dense(params, corpus))
-        else:
-            rec["agree_vs_dense"] = round(
-                float((np.asarray(model1.align(params, corpus)) == ref).mean()), 6
-            )
-        _record(out, **rec)
+            run = jax.jit(chained)
+            p1, sums = run(params)
+            jax.block_until_ready(sums)
+            dt = 1e9
+            for _ in range(3):
+                t = time.perf_counter()
+                _, sums = run(p1)
+                _ = int(sums[-1])
+                dt = min(dt, (time.perf_counter() - t) / reps)
+            rec = dict(kernel=name, shape=label, N=corpus.n,
+                       T=corpus.max_src_len, Tt=corpus.max_trg_len,
+                       ms=round(dt * 1e3, 3), utt_per_sec=round(corpus.n / dt))
+            if name == "model1_align_dense":
+                ref = np.asarray(model1._align_dense(params, corpus))
+            else:
+                rec["agree_vs_dense"] = round(
+                    float((np.asarray(fn(params, corpus)) == ref).mean()), 6
+                )
+            _record(out, **rec)
 
 
 def bench_models(out):

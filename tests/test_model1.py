@@ -112,14 +112,22 @@ def test_em_recovers_gold_alignment():
 
 
 def test_align_concept_space_matches_dense_decode():
-    """Round-3 decode: the concept-vocabulary-space argmax (align) must equal
-    the dense [N, Ts, 1+Tt] argmax (_align_dense) on trained tables."""
-    corpus, _, _ = make_flickr8k_mini(n_utterances=60, seed=11)
-    params = model1.init(corpus)
-    params, _ = jax.jit(lambda p: model1.train(p, corpus, 10))(params)
-    fast = np.asarray(model1.align(params, corpus))
-    dense = np.asarray(model1._align_dense(params, corpus))
-    np.testing.assert_array_equal(fast, dense)
+    """Round-3 decode: the concept-vocabulary-space argmax must equal the
+    dense [N, Ts, 1+Tt] argmax on trained tables, on BOTH sides of the
+    ``align`` shape dispatch (sparse Tt=4 and dense Tt>=16 targets)."""
+    for gen in (
+        dict(n_utterances=60, seed=11),
+        dict(n_utterances=24, n_concepts=60, min_concepts=16,
+             max_concepts=18, seed=11),
+    ):
+        corpus, _, _ = make_flickr8k_mini(**gen)
+        params = model1.init(corpus)
+        params, _ = jax.jit(lambda p: model1.train(p, corpus, 10))(params)
+        fast = np.asarray(model1._align_concept_space(params, corpus))
+        dense = np.asarray(model1._align_dense(params, corpus))
+        np.testing.assert_array_equal(fast, dense)
+        dispatched = np.asarray(model1.align(params, corpus))
+        np.testing.assert_array_equal(dispatched, dense)
 
 
 def test_loglik_matches_dense_formulation():
