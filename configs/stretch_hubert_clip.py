@@ -25,10 +25,13 @@ def get_config():
     cfg.data.min_concepts = 16
     cfg.data.max_concepts = 32
     # dense-region scale defeats the symmetric global-mean init (frame acc
-    # plateaus ~0.10); the diagonal flat-start seeds each concept's mean
-    # from uniformly-segmented frames (measured 0.15 — the 16-32-candidate
-    # assignment problem itself bounds absolute quality here)
-    cfg.model.init = "diagonal"
+    # plateaus ~0.10) and the diagonal flat-start (0.118).  The measured
+    # winner (scripts/exp_gauss_dense.py study, docs/PERFORMANCE.md) is the
+    # VQ-teacher recipe: k-means codebook -> discrete-HMM teacher -> emission
+    # fit from teacher posteriors, then annealed EM — 0.418 frame acc vs a
+    # 0.519 supervised ceiling on the N=1000 study corpus
+    cfg.model.init = "vq_teacher"
+    cfg.model.anneal_iters = 6
     cfg.train.num_iterations = 10
     cfg.train.data_parallel = True
     # 4000 dense-region utterances at S=64 need ~20 GB of E-step

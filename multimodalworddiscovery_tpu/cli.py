@@ -147,23 +147,34 @@ def _make_model(cfg, corpus, init_only: bool = False):
             )
         elif name == "hmm_gaussian":
             init_mode = str(cfg.model.get("init", "global"))
-            if init_mode not in ("global", "diagonal"):
+            if init_mode not in ("global", "diagonal", "vq_teacher"):
                 raise SystemExit(
-                    f"model.init must be global|diagonal, got {init_mode!r}"
+                    "model.init must be global|diagonal|vq_teacher, "
+                    f"got {init_mode!r}"
                 )
             # restore paths (init_only) need only the parameter TEMPLATE —
-            # skip the diagonal seeding's corpus-scale one-hot contraction
-            # (init and init_diagonal return identical pytree shapes)
-            init_fn = (
-                mod.init_diagonal
-                if init_mode == "diagonal" and not init_only
-                else mod.init
-            )
+            # skip the seeding work (all init variants return identical
+            # pytree shapes)
+            init_kw = {}
+            if init_only or init_mode == "global":
+                init_fn = mod.init
+            elif init_mode == "diagonal":
+                init_fn = mod.init_diagonal
+            else:
+                init_fn = mod.init_vq_teacher
+                init_kw = dict(
+                    n_codes=cfg.model.get("vq_codes", 64),
+                    teacher_iters=cfg.model.get("teacher_iters", 10),
+                    seed_rounds=cfg.model.get("seed_rounds", 3),
+                    use_pallas=use_pallas,
+                    chunks=int(cfg.train.get("corpus_chunks", 1)),
+                )
             params = init_fn(
                 corpus,
                 max_jump=cfg.model.max_jump,
                 n_components=cfg.model.get("n_components", 2),
                 key=key,
+                **init_kw,
             )
             step = functools.partial(
                 mod.em_step, use_pallas=use_pallas, dot_dtype=dot_dtype
@@ -290,6 +301,17 @@ def cmd_train(args) -> None:
             f"train.batch_size requires a gradient model {grad_models}; "
             f"EM aligners use train.bucket_edges for ragged corpora"
         )
+    n_anneal = int(cfg.model.get("anneal_iters", 0) or 0)
+    if n_anneal and cfg.model.name != "hmm_gaussian":
+        raise SystemExit(
+            "model.anneal_iters (deterministic annealing) requires "
+            "model.name=hmm_gaussian"
+        )
+    if n_anneal and edges:
+        raise SystemExit(
+            "model.anneal_iters does not compose with train.bucket_edges; "
+            "use train.corpus_chunks for memory instead"
+        )
 
     ckpt = CheckpointManager(workdir / "ckpt")
     writer = MetricsWriter(
@@ -352,13 +374,34 @@ def cmd_train(args) -> None:
             cfg.model.smoothing if cfg.model.name in ("model1", "hmm") else 1e-6
         )
 
-        def step(p, c, _mod=mod):
+        def step(p, c, _mod=mod, **kw):
             counts, ll = chunked_expected_counts(
-                _mod, p, c, chunks, use_pallas=use_pallas
+                _mod, p, c, chunks, use_pallas=use_pallas, **kw
             )
             return _mod.m_step(p, counts, smoothing), {"loglik": ll}
 
         print(f"E-step scans {chunks} corpus chunks per iteration")
+
+    anneal_sched = None
+    if n_anneal:
+        # deterministic annealing: emission temperature beta0 -> 1 over the
+        # first anneal_iters EM iterations, then exact EM.  The scale is a
+        # TRACED argument (one compile; resume indexes the same schedule).
+        beta0 = float(cfg.model.get("anneal_beta0", 0.25))
+        total = cfg.train.num_iterations
+        anneal_sched = np.concatenate(
+            [np.linspace(beta0, 1.0, max(n_anneal, 1)),
+             np.ones(max(total - n_anneal, 0))]
+        )[:total].astype(np.float32)
+        base_step = step
+
+        def step(p, c, scale, _base=base_step):
+            return _base(p, c, emit_scale=scale)
+
+        print(
+            f"deterministic annealing: emission temperature "
+            f"{beta0:g} -> 1 over {n_anneal} iterations"
+        )
 
     mesh = None
     if batch_size:
@@ -406,7 +449,9 @@ def cmd_train(args) -> None:
         # transparent to it
         mesh = make_mesh()
         corpus = shard_corpus(corpus, mesh)
-        step = make_data_parallel_step(step, mesh)
+        step = make_data_parallel_step(
+            step, mesh, n_extra_args=1 if anneal_sched is not None else 0
+        )
     else:
         step = jax.jit(step)
 
@@ -419,7 +464,10 @@ def cmd_train(args) -> None:
     t_total = 0.0
     for it in range(start, cfg.train.num_iterations):
         t0 = time.perf_counter()
-        params, stats = step(params, corpus)
+        if anneal_sched is not None:
+            params, stats = step(params, corpus, jnp.float32(anneal_sched[it]))
+        else:
+            params, stats = step(params, corpus)
         jax.block_until_ready(params)
         dt = time.perf_counter() - t0
         t_total += dt

@@ -40,7 +40,17 @@ def base_config() -> ConfigDict:
     cfg.model.self_loop_prob = 0.0
     cfg.model.emission = "discrete"  # discrete | gaussian
     cfg.model.n_components = 2  # GMM components per concept (hmm_gaussian)
-    cfg.model.init = "global"  # hmm_gaussian seeding: global | diagonal (flat-start)
+    # hmm_gaussian seeding: global | diagonal (flat-start) | vq_teacher
+    # (k-means codebook -> discrete-HMM teacher -> emission fit; the measured
+    # dense-region winner, models/hmm_gaussian.py:init_vq_teacher)
+    cfg.model.init = "global"
+    cfg.model.vq_codes = 64  # vq_teacher codebook size
+    cfg.model.teacher_iters = 10  # vq_teacher discrete-HMM EM iterations
+    cfg.model.seed_rounds = 3  # vq_teacher emission-fit rounds
+    # deterministic annealing (hmm_gaussian): emission temperature ramps
+    # anneal_beta0 -> 1 over the first anneal_iters EM iterations (0 = off)
+    cfg.model.anneal_beta0 = 0.25
+    cfg.model.anneal_iters = 0
     # fused Pallas E-step for the HMM family: auto = on TPU when the state
     # space is large enough to beat the XLA scan (models/hmm_core.py:estep)
     cfg.model.use_pallas = "auto"  # auto | on | off

@@ -124,6 +124,7 @@ def chunked_expected_counts(
     corpus: Corpus,
     num_chunks: int,
     use_pallas: bool = False,
+    **estep_kwargs,
 ):
     """E-step over ``num_chunks`` corpus slices inside ONE jitted scan,
     accumulating the additive counts — activation memory drops by
@@ -154,9 +155,13 @@ def chunked_expected_counts(
     )
 
     def estep(c):
+        # estep_kwargs flow through (e.g. hmm_gaussian's emit_scale annealing
+        # temperature — a traced scalar is fine, counts stay additive)
         if _supports_pallas(mod):
-            return mod.expected_counts(params, c, use_pallas=use_pallas)
-        return mod.expected_counts(params, c)
+            return mod.expected_counts(
+                params, c, use_pallas=use_pallas, **estep_kwargs
+            )
+        return mod.expected_counts(params, c, **estep_kwargs)
 
     def body(acc, leaves):
         c = Corpus(

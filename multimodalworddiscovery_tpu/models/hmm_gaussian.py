@@ -433,3 +433,140 @@ def teacher_responsibilities(teacher_gamma: jax.Array, corpus: Corpus) -> jax.Ar
     concepts = hmm_core.state_concepts(corpus)  # [N, S]
     onehot = jax.nn.one_hot(concepts, corpus.trg_vocab, dtype=teacher_gamma.dtype)
     return jnp.einsum("nts,nsc->ntc", teacher_gamma, onehot)
+
+
+def quantize_frames(
+    corpus: Corpus,
+    n_codes: int = 64,
+    num_iterations: int = 10,
+    key: jax.Array | None = None,
+) -> Corpus:
+    """Vector-quantize the frame corpus: Lloyd's k-means over the masked
+    frames, then replace each frame with its code id.
+
+    Returns the DISCRETE corpus (``src`` = int32 code ids, ``src_vocab`` =
+    n_codes; targets/lengths unchanged) — the input a discrete-HMM teacher
+    trains on in the VQ-teacher seeding recipe (``init_vq_teacher``).
+
+    TPU notes: the assignment never materializes [N*Ts, M, D] —
+    argmin ||x - c||^2 == argmin (|c|^2 - 2 x·c), one MXU matmul per sweep;
+    the codebook update is a one-hot contraction (no scatters).  Codebook
+    init draws n_codes distinct REAL frames (mask-weighted choice).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    x = corpus.src  # [N, Ts, D]
+    d = x.shape[-1]
+    flat = x.reshape(-1, d)
+    wflat = corpus.src_mask().reshape(-1).astype(jnp.float32)
+    idx0 = jax.random.choice(
+        key, flat.shape[0], (n_codes,), p=wflat / wflat.sum(), replace=False
+    )
+    hi = jax.lax.Precision.HIGHEST
+
+    def assign(cb):
+        score = (
+            -2.0 * jnp.einsum("nd,md->nm", flat, cb, precision=hi)
+            + jnp.sum(cb**2, axis=-1)[None, :]
+        )
+        return jnp.argmin(score, axis=-1)
+
+    def body(cb, _):
+        a = assign(cb)
+        oh = jax.nn.one_hot(a, n_codes, dtype=jnp.float32) * wflat[:, None]
+        sums = jnp.einsum("nm,nd->md", oh, flat, precision=hi)
+        cnt = jnp.sum(oh, axis=0)
+        # empty codes keep their old centroid (re-seeding would need
+        # data-dependent choice; distinct-frame init makes this rare)
+        cb = jnp.where(
+            cnt[:, None] > 0, sums / jnp.maximum(cnt, 1.0)[:, None], cb
+        )
+        return cb, None
+
+    @jax.jit
+    def run(cb0):
+        cb, _ = jax.lax.scan(body, cb0, None, length=num_iterations)
+        return assign(cb)
+
+    codes = run(flat[idx0])
+    return Corpus(
+        src=codes.reshape(x.shape[:2]).astype(jnp.int32),
+        src_len=corpus.src_len,
+        trg=corpus.trg,
+        trg_len=corpus.trg_len,
+        src_vocab=n_codes,
+        trg_vocab=corpus.trg_vocab,
+    )
+
+
+def init_vq_teacher(
+    corpus: Corpus,
+    max_jump: int = 3,
+    n_components: int = 1,
+    key: jax.Array | None = None,
+    dtype=jnp.float32,
+    *,
+    n_codes: int = 64,
+    teacher_iters: int = 10,
+    seed_rounds: int = 3,
+    use_pallas: bool = False,
+    chunks: int = 1,
+) -> GaussianHMMParams:
+    """Seed the Gaussian HMM from a VQ + discrete-HMM teacher — the measured
+    winner of the dense-region quality study (scripts/exp_gauss_dense.py;
+    docs/PERFORMANCE.md):
+
+      1. ``quantize_frames``: k-means codebook over frames -> code corpus;
+      2. discrete-HMM EM on the code sequences (``models.hmm``) — the
+         discrete aligner solves the dense-concept assignment problem that
+         joint Gaussian EM cannot (0.370 vs 0.118 frame acc at 200 concepts,
+         16-32 per image);
+      3. ``seed_rounds`` rounds of (teacher-posterior responsibility counts
+         -> ``m_step``): the Gaussian emission family is fit against the
+         teacher's concept posteriors (pinned assignment, per-concept GMM EM);
+      4. the teacher's learned transitions (log_jump/log_p0) are copied over.
+
+    Follow with annealed EM (``train(anneal=...)``) for the full recipe:
+    0.118 flat-start -> 0.418 vs a 0.519 supervised ceiling on the study
+    corpus.  ``chunks`` > 1 bounds seeding activation memory exactly like
+    ``train.corpus_chunks`` (per-chunk posteriors, additive counts).
+    """
+    from multimodalworddiscovery_tpu.models import hmm as dhmm
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_init, k_vq = jax.random.split(key)
+    base = init(
+        corpus, max_jump=max_jump, n_components=n_components,
+        key=k_init, dtype=dtype,
+    )
+
+    code_corpus = quantize_frames(corpus, n_codes=n_codes, key=k_vq)
+    tp = dhmm.init(code_corpus, max_jump=max_jump)
+    tp, _ = jax.jit(
+        lambda p: dhmm.train(p, code_corpus, teacher_iters, use_pallas=use_pallas)
+    )(tp)
+
+    nchunk = max(int(chunks), 1)
+    csz = -(-corpus.n // nchunk)
+    zero_w = jnp.zeros((2 * max_jump + 3,), dtype)
+
+    @jax.jit
+    def seed_counts_chunk(gp, sub_fc, sub_cc):
+        gamma = dhmm.posteriors(tp, sub_cc)  # [n, Ts, S]
+        r = teacher_responsibilities(gamma, sub_fc)
+        return counts_from_responsibilities(gp, sub_fc, r, zero_w)
+
+    gp = base
+    for _ in range(max(int(seed_rounds), 1)):
+        total = None
+        for i in range(nchunk):
+            sl = slice(i * csz, (i + 1) * csz)
+            sub_fc = jax.tree.map(lambda v: v[sl], corpus)
+            sub_cc = jax.tree.map(lambda v: v[sl], code_corpus)
+            cts = seed_counts_chunk(gp, sub_fc, sub_cc)
+            total = cts if total is None else jax.tree.map(
+                lambda a, b: a + b, total, cts
+            )
+        gp = m_step(gp, total)
+    return gp.replace(log_jump=tp.log_jump, log_p0=tp.log_p0)

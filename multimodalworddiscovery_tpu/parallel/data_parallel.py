@@ -42,17 +42,20 @@ def make_data_parallel_step(
     step_fn: Callable[[Any, Corpus], tuple[Any, dict]],
     mesh: Mesh,
     axis_name: str = DATA_AXIS,
+    n_extra_args: int = 0,
 ):
     """jit ``step_fn`` with (replicated params, sharded corpus) -> replicated.
 
     XLA inserts the cross-chip all-reduce for the M-step count tensors
-    automatically from the output sharding constraint.
+    automatically from the output sharding constraint.  ``n_extra_args``
+    trailing scalar arguments (e.g. an annealing temperature) are left to
+    XLA's default placement (replicated host scalars).
     """
     repl = NamedSharding(mesh, P())
 
     return jax.jit(
         step_fn,
-        in_shardings=(repl, None),
+        in_shardings=(repl, None) + (None,) * n_extra_args,
         out_shardings=(repl, repl),
     )
 

@@ -403,3 +403,39 @@ def test_train_corpus_chunks_cli(tmp_path, capsys):
                 workdir=str(tmp_path / "r2"), fresh=False,
                 override=["train.corpus_chunks=2"])
         )
+
+
+def test_train_gaussian_vq_teacher_annealed(tmp_path, capsys):
+    """model.init=vq_teacher + model.anneal_iters drive the productionized
+    dense-region recipe end-to-end: seeded init, annealed EM (traced
+    temperature, one compile), checkpoint restore via the template init."""
+    cfg_path = _write_config(
+        tmp_path,
+        CFG_TMPL.format(model="hmm_gaussian", retrieval=False, continuous=True),
+    )
+    wd = tmp_path / "run"
+    cli.cmd_train(
+        _ns(config=cfg_path, workdir=str(wd), fresh=False,
+            override=["model.init=vq_teacher", "model.vq_codes=16",
+                      "model.teacher_iters=3", "model.seed_rounds=2",
+                      "model.anneal_iters=2", "train.corpus_chunks=2"])
+    )
+    out = capsys.readouterr().out
+    assert "deterministic annealing" in out
+    lines = (wd / "train_metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 4
+    # decode from the restored checkpoint (init_only template path)
+    cli.cmd_align(_ns(workdir=str(wd), output=None))
+    recs = json.loads((wd / "alignment.json").read_text())
+    assert len(recs) == 40
+
+
+def test_train_anneal_requires_gaussian(tmp_path):
+    cfg_path = _write_config(
+        tmp_path, CFG_TMPL.format(model="hmm", retrieval=False, continuous=False)
+    )
+    with pytest.raises(SystemExit, match="anneal"):
+        cli.cmd_train(
+            _ns(config=cfg_path, workdir=str(tmp_path / "w"), fresh=False,
+                override=["model.anneal_iters=2"])
+        )
