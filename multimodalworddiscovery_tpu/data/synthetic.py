@@ -287,3 +287,81 @@ def make_boxes_mini(
             xs, xe = int(cand[1] * w), max(int(cand[3] * w), int(cand[1] * w) + 2)
             images[i, ys:ye, xs:xe] = color.astype(np.float32)
     return images, boxes, mask
+
+
+def concept_palette(n_concepts: int, seed: int = 0) -> np.ndarray:
+    """Deterministic distinct RGB color per concept id (1..n_concepts).
+
+    Hue wheel + two lightness rings so up to ~40 concepts stay separable;
+    index 0 (padding/NULL) is black.  Returns [n_concepts + 1, 3] float32."""
+    out = np.zeros((n_concepts + 1, 3), np.float32)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n_concepts)
+    for i, c in enumerate(order):
+        hue = i / n_concepts
+        val = 0.95 if i % 2 == 0 else 0.6
+        h6 = hue * 6.0
+        k = np.array([(5 + h6) % 6, (3 + h6) % 6, (1 + h6) % 6])
+        out[c + 1] = val * (1 - 0.85 * np.clip(np.minimum(k, 4 - k), 0, 1))
+    return out
+
+
+def images_for_corpus(
+    corpus: Corpus,
+    image_size: int = 64,
+    min_frac: float = 0.22,
+    max_frac: float = 0.4,
+    noise: float = 0.08,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Render IMAGES for a paired phone corpus — the image-side analogue of
+    ``phones_to_waveforms``: each utterance's "image" contains one colored
+    rectangle per target concept (color = ``concept_palette`` entry), so the
+    full image pipeline (detector -> region crops -> embeddings -> aligner)
+    can run end-to-end with exact gold (SURVEY.md §3.4 image branch).
+
+    Returns (images [N, H, W, 3] float32 in [0, 1],
+             boxes  [N, Tt, 4] normalized (y1, x1, y2, x2),
+             mask   [N, Tt] bool — True for real concepts,
+             pos    [N, Tt] int32 — 1-based trg position of each box, 0 pad).
+    Box order is SHUFFLED per image (spatial order carries no alignment
+    information, as in real region annotations).
+    """
+    rng = np.random.default_rng(seed)
+    n, g = corpus.trg.shape[:2]
+    trg = np.asarray(corpus.trg)
+    trg_len = np.asarray(corpus.trg_len)
+    n_concepts = corpus.trg_vocab - 1
+    palette = concept_palette(n_concepts, seed=seed)
+    h = w = image_size
+    images = np.clip(
+        0.3 + noise * rng.normal(size=(n, h, w, 3)), 0.0, 1.0
+    ).astype(np.float32)
+    boxes = np.zeros((n, g, 4), np.float32)
+    mask = np.zeros((n, g), bool)
+    pos = np.zeros((n, g), np.int32)
+    for i in range(n):
+        k = int(trg_len[i])
+        order = rng.permutation(k)
+        placed: list[tuple[float, float, float, float]] = []
+        for slot, j in enumerate(order):
+            for _ in range(30):  # rejection-sample low-overlap placements
+                bh = rng.uniform(min_frac, max_frac)
+                bw = rng.uniform(min_frac, max_frac)
+                y1 = rng.uniform(0.0, 1.0 - bh)
+                x1 = rng.uniform(0.0, 1.0 - bw)
+                cand = (y1, x1, y1 + bh, x1 + bw)
+                if all(
+                    min(cand[2], p[2]) - max(cand[0], p[0]) < 0.03
+                    or min(cand[3], p[3]) - max(cand[1], p[1]) < 0.03
+                    for p in placed
+                ):
+                    break
+            placed.append(cand)
+            boxes[i, slot] = cand
+            mask[i, slot] = True
+            pos[i, slot] = j + 1
+            ys, ye = int(cand[0] * h), max(int(cand[2] * h), int(cand[0] * h) + 2)
+            xs, xe = int(cand[1] * w), max(int(cand[3] * w), int(cand[1] * w) + 2)
+            images[i, ys:ye, xs:xe] = palette[int(trg[i, j])]
+    return images, boxes, mask, pos

@@ -25,6 +25,18 @@ from multimodalworddiscovery_tpu.core.logsemiring import NEG_INF
 from multimodalworddiscovery_tpu.data.corpus import Corpus
 
 
+def _l2_normalize(x: jax.Array) -> jax.Array:
+    """Gradient-safe L2 normalization.
+
+    ``x / max(||x||, eps)`` has a NaN GRADIENT at x == 0 (sqrt'(0) = inf
+    meets the maximum's zero cotangent as 0 * inf) — and exactly-zero rows
+    are routine here: zero-padded region slots pass through zero-bias Dense
+    layers unchanged, so one padded region NaN-poisons the whole Adam state
+    (observed on the detector-proposal pipeline, scripts/image_pipeline.py).
+    rsqrt(sum_sq + eps) is finite everywhere in value and gradient."""
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+
+
 class SpeechEncoder(nn.Module):
     dim: int = 128
     vocab: int = 0  # >0 => discrete tokens
@@ -38,7 +50,7 @@ class SpeechEncoder(nn.Module):
         x = nn.relu(nn.Conv(self.dim, (5,), padding="SAME")(x))
         x = nn.relu(nn.Conv(self.dim, (5,), padding="SAME")(x))
         x = nn.Dense(self.dim)(x)
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6)
+        return _l2_normalize(x)
 
 
 class RegionEncoder(nn.Module):
@@ -51,7 +63,7 @@ class RegionEncoder(nn.Module):
             y = nn.Embed(self.vocab, self.dim)(trg)
         else:
             y = nn.Dense(self.dim)(nn.relu(nn.Dense(self.dim)(trg)))
-        return y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-6)
+        return _l2_normalize(y)
 
 
 class GroundingModel(nn.Module):

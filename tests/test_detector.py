@@ -122,3 +122,39 @@ def test_train_detector_recovers_boxes():
     )
     assert crops.shape == (8, 16, 16, 3)
     assert np.isfinite(np.asarray(crops)).all()
+
+
+def test_images_for_corpus_invariants():
+    """Rendered paired images (data.synthetic.images_for_corpus): one box per
+    target concept, normalized coords, shuffled slot order tracked by pos."""
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.data.synthetic import (
+        concept_palette,
+        images_for_corpus,
+    )
+
+    corpus, _, _ = make_flickr8k_mini(
+        n_utterances=12, n_concepts=8, min_concepts=2, max_concepts=4, seed=3
+    )
+    images, boxes, mask, pos = images_for_corpus(corpus, image_size=32, seed=3)
+    n, g = mask.shape
+    assert images.shape == (12, 32, 32, 3) and boxes.shape == (n, g, 4)
+    assert images.min() >= 0.0 and images.max() <= 1.0
+    tl = np.asarray(corpus.trg_len)
+    np.testing.assert_array_equal(mask.sum(axis=1), tl)
+    for i in range(n):
+        k = int(tl[i])
+        # pos is a permutation of 1..k on real slots, 0 on padding
+        assert sorted(pos[i, :k].tolist()) == list(range(1, k + 1))
+        assert (pos[i, k:] == 0).all()
+        b = boxes[i, :k]
+        assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+        assert b.min() >= 0.0 and b.max() <= 1.0
+    # determinism
+    images2, _, _, _ = images_for_corpus(corpus, image_size=32, seed=3)
+    np.testing.assert_array_equal(images, images2)
+    # palette: index 0 black, concept colors pairwise distinct
+    pal = concept_palette(8)
+    assert (pal[0] == 0).all()
+    d = np.linalg.norm(pal[1:, None] - pal[None, 1:], axis=-1)
+    assert (d + np.eye(8)).min() > 0.05

@@ -42,3 +42,30 @@ def test_align_shape_and_masking(mini):
     assert (a[~sm] == 0).all()
     for i in range(corpus.n):
         assert a[i].max() <= tl[i]
+
+
+def test_training_survives_zero_padded_region_rows():
+    """Exactly-zero continuous region rows (detector-proposal padding) must
+    not NaN the gradients: x/max(||x||,eps) has a NaN gradient at x==0
+    (observed poisoning Adam on scripts/image_pipeline.py); the encoders
+    normalize with rsqrt(sum_sq + eps) instead."""
+    from multimodalworddiscovery_tpu.data.corpus import Corpus
+
+    rng = np.random.default_rng(0)
+    n, ts, k, d = 16, 12, 5, 32
+    src = rng.normal(size=(n, ts, 8)).astype(np.float32)
+    trg = rng.normal(size=(n, k, d)).astype(np.float32)
+    trg_len = rng.integers(2, k, size=n).astype(np.int32)
+    for i in range(n):
+        trg[i, trg_len[i]:] = 0.0  # exact zeros, like compacted proposals
+    corpus = Corpus(
+        src=jnp.asarray(src), src_len=jnp.full((n,), ts, jnp.int32),
+        trg=jnp.asarray(trg), trg_len=jnp.asarray(trg_len),
+        src_vocab=0, trg_vocab=0,
+    )
+    state = grounding.init(corpus, dim=16, key=jax.random.PRNGKey(0))
+    state, lls = jax.jit(lambda s: grounding.train(s, corpus, 10))(state)
+    lls = np.asarray(lls)
+    assert np.isfinite(lls).all(), lls
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(p)).all() for p in leaves)
