@@ -539,8 +539,74 @@ def bench_models(out):
             segments_per_sec=round(nseg / dt))
 
 
+def bench_detector(out):
+    """TPU throughput for the learned region-proposal detector
+    (frontend/detector.py): minibatch train steps/s and propose images/s.
+
+    Same replay-proof protocol as bench_models: reps steps fused in one
+    lax.scan with (variables, opt_state) threaded through the carry,
+    best-of-3, fresh host scalar read inside the timed region.
+    """
+    import optax
+
+    from multimodalworddiscovery_tpu.data.synthetic import make_boxes_mini
+    from multimodalworddiscovery_tpu.frontend import detector
+
+    n, batch, reps = 512, 64, 20
+    images, gt_boxes, gt_mask = make_boxes_mini(n_images=n, image_size=64)
+    images = jnp.asarray(images)
+    gt_boxes = jnp.asarray(gt_boxes)
+    gt_mask = jnp.asarray(gt_mask)
+
+    dcfg = detector.DetectorConfig(image_size=64)
+    mod, variables = detector.init(dcfg, key=jax.random.PRNGKey(0))
+    anchors = jnp.asarray(dcfg.anchors())
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(variables)
+
+    _step = detector.make_train_step(mod, anchors, optimizer)
+
+    def body(carry, k):
+        v, o = carry
+        idx = jax.random.permutation(k, n)[:batch]
+        v, o, stats = _step(v, o, images[idx], gt_boxes[idx], gt_mask[idx])
+        return (v, o), stats["loss"]
+
+    run = jax.jit(lambda c, ks: jax.lax.scan(body, c, ks))
+    carry = (variables, opt_state)
+    carry, losses = run(carry, jax.random.split(jax.random.PRNGKey(0), reps))
+    jax.block_until_ready(losses)
+    dt = 1e9
+    for i in range(3):
+        ks = jax.random.split(jax.random.PRNGKey(i + 1), reps)
+        t = time.perf_counter()
+        _, losses = run(carry, ks)
+        _ = float(losses[-1])
+        dt = min(dt, (time.perf_counter() - t) / reps)
+    _record(out, kernel="detector_train_step", batch=batch, N=n,
+            image_size=64, ms_per_step=round(dt * 1e3, 3),
+            steps_per_sec=round(1 / dt, 1),
+            images_per_sec=round(batch / dt))
+
+    v1 = carry[0]
+    prop = jax.jit(
+        lambda v, im: detector.propose(mod, v, anchors, im, k=8)
+    )
+    pb, ps, pk = prop(v1, images)
+    jax.block_until_ready(pk)
+    dt = 1e9
+    for i in range(3):
+        v2 = jax.tree.map(lambda x: x + 1e-6 * (i + 1), v1)  # fresh request
+        t = time.perf_counter()
+        pb, ps, pk = prop(v2, images)
+        nkeep = int(jnp.sum(pk))  # fresh host scalar
+        dt = min(dt, time.perf_counter() - t)
+    _record(out, kernel="detector_propose", N=n, k=8, n_kept=nkeep,
+            ms=round(dt * 1e3, 3), images_per_sec=round(n / dt))
+
+
 BENCHES = ("mfcc", "log_matmul", "em", "counts", "hmm_estep", "viterbi",
-           "models", "model1_align")
+           "models", "model1_align", "detector")
 
 
 def main():
@@ -567,7 +633,7 @@ def main():
     fns = dict(mfcc=bench_mfcc, log_matmul=bench_log_matmul, em=bench_em,
                counts=bench_counts, hmm_estep=bench_hmm_estep,
                viterbi=bench_viterbi, models=bench_models,
-               model1_align=bench_model1_align)
+               model1_align=bench_model1_align, detector=bench_detector)
     for name in selected:
         fns[name](out)
 
