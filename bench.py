@@ -53,7 +53,9 @@ def _dense_shape_report() -> str:
     dt = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        _, lls = train(p1)
+        p1, lls = train(p1)  # timed input = previous timed OUTPUT: every
+        # rep is a byte-distinct request, so the relay cannot replay an
+        # ack-without-compute response into the min() (CLAUDE.md protocol)
         _ = float(lls[-1])  # fresh host scalar inside the timed region
         dt = min(dt, (time.perf_counter() - t0) / iters)
     flops = 6.0 * s * s * n * ts

@@ -394,13 +394,27 @@ def supervised_counts(
     r = jax.nn.one_hot(conc, v_trg, dtype=params.means.dtype)
     r = r * tmask.astype(r.dtype)[..., None]  # [N, Ts, C]
 
-    # gold jump-width counts: consecutive valid frames' underlying positions
+    # gold jump-width counts.  A NULL state holds its predecessor's
+    # underlying position (hmm_core.jump_width_ids: null entries are
+    # same-pos only), so a null(pos i)->real(j) gold transition is a
+    # legal width-(j-i) jump chargeable to log_jump — forward-fill the
+    # last REAL position through NULL runs instead of binning those
+    # resumptions as 'impossible' (W+1), which silently dropped every
+    # post-NULL jump from the supervised transition fit.
     both = tmask[:, 1:] & tmask[:, :-1]
-    real2 = both & (a[:, 1:] > 0) & (a[:, :-1] > 0)
     mj = params.max_jump
     W = 2 * mj + 1
-    w_id = jnp.clip(a[:, 1:] - a[:, :-1], -mj, mj) + mj
-    w_id = jnp.where(real2, w_id, jnp.where(both & (a[:, 1:] == 0), W, W + 1))
+    tpos = jnp.arange(a.shape[1])[None, :]
+    seen = jax.lax.cummax(jnp.where(a > 0, tpos, -1), axis=1)
+    last_real = jnp.take_along_axis(a, jnp.clip(seen, 0, None), axis=1)
+    from_pos = last_real[:, :-1]
+    has_from = seen[:, :-1] >= 0  # leading-NULL runs have no source position
+    w_id = jnp.clip(a[:, 1:] - from_pos, -mj, mj) + mj
+    w_id = jnp.where(
+        both & (a[:, 1:] > 0),
+        jnp.where(has_from, w_id, W + 1),
+        jnp.where(both & (a[:, 1:] == 0), W, W + 1),
+    )
     width = jax.ops.segment_sum(
         jnp.ones_like(w_id.reshape(-1), params.means.dtype)
         * both.reshape(-1).astype(params.means.dtype),
@@ -464,31 +478,38 @@ def quantize_frames(
     )
     hi = jax.lax.Precision.HIGHEST
 
-    def assign(cb):
+    def assign(cb, fl):
         score = (
-            -2.0 * jnp.einsum("nd,md->nm", flat, cb, precision=hi)
+            -2.0 * jnp.einsum("nd,md->nm", fl, cb, precision=hi)
             + jnp.sum(cb**2, axis=-1)[None, :]
         )
         return jnp.argmin(score, axis=-1)
 
-    def body(cb, _):
-        a = assign(cb)
-        oh = jax.nn.one_hot(a, n_codes, dtype=jnp.float32) * wflat[:, None]
-        sums = jnp.einsum("nm,nd->md", oh, flat, precision=hi)
+    def body(carry, _):
+        cb, fl, wf = carry
+        a = assign(cb, fl)
+        oh = jax.nn.one_hot(a, n_codes, dtype=jnp.float32) * wf[:, None]
+        sums = jnp.einsum("nm,nd->md", oh, fl, precision=hi)
         cnt = jnp.sum(oh, axis=0)
         # empty codes keep their old centroid (re-seeding would need
         # data-dependent choice; distinct-frame init makes this rare)
         cb = jnp.where(
             cnt[:, None] > 0, sums / jnp.maximum(cnt, 1.0)[:, None], cb
         )
-        return cb, None
+        return (cb, fl, wf), None
 
+    # flat/wflat MUST be jit arguments, not closure constants: closed-over
+    # concrete arrays are baked into the lowered module as literals, and at
+    # corpus scale (N*Ts*D floats) the remote-compile request blows the
+    # tunnel's body-size limit (HTTP 413 seen at the stretch shape).
     @jax.jit
-    def run(cb0):
-        cb, _ = jax.lax.scan(body, cb0, None, length=num_iterations)
-        return assign(cb)
+    def run(cb0, fl, wf):
+        (cb, _, _), _ = jax.lax.scan(
+            body, (cb0, fl, wf), None, length=num_iterations
+        )
+        return assign(cb, fl)
 
-    codes = run(flat[idx0])
+    codes = run(flat[idx0], flat, wflat)
     return Corpus(
         src=codes.reshape(x.shape[:2]).astype(jnp.int32),
         src_len=corpus.src_len,
@@ -543,16 +564,38 @@ def init_vq_teacher(
 
     code_corpus = quantize_frames(corpus, n_codes=n_codes, key=k_vq)
     tp = dhmm.init(code_corpus, max_jump=max_jump)
+    # code_corpus as a jit ARGUMENT (closure constants become compile-request
+    # literals; see quantize_frames.run)
     tp, _ = jax.jit(
-        lambda p: dhmm.train(p, code_corpus, teacher_iters, use_pallas=use_pallas)
-    )(tp)
+        lambda p, cc: dhmm.train(p, cc, teacher_iters, use_pallas=use_pallas)
+    )(tp, code_corpus)
+
+    return seed_from_teacher(
+        base, corpus, code_corpus, tp, seed_rounds=seed_rounds, chunks=chunks
+    )
+
+
+def seed_from_teacher(
+    base: GaussianHMMParams,
+    corpus: Corpus,
+    code_corpus: Corpus,
+    teacher,
+    seed_rounds: int = 3,
+    chunks: int = 1,
+) -> GaussianHMMParams:
+    """Fit the Gaussian emission family against a discrete-HMM ``teacher``'s
+    concept posteriors over ``code_corpus`` (``seed_rounds`` rounds of
+    pinned-assignment GMM EM), then copy the teacher's transitions.  The
+    seeding stage of ``init_vq_teacher``, exposed so studies/scripts can
+    probe the teacher separately (scripts/exp_gauss_dense.py)."""
+    from multimodalworddiscovery_tpu.models import hmm as dhmm
 
     nchunk = max(int(chunks), 1)
     csz = -(-corpus.n // nchunk)
-    zero_w = jnp.zeros((2 * max_jump + 3,), dtype)
+    zero_w = jnp.zeros((2 * base.max_jump + 3,), base.means.dtype)
 
     @jax.jit
-    def seed_counts_chunk(gp, sub_fc, sub_cc):
+    def seed_counts_chunk(gp, tp, sub_fc, sub_cc):
         gamma = dhmm.posteriors(tp, sub_cc)  # [n, Ts, S]
         r = teacher_responsibilities(gamma, sub_fc)
         return counts_from_responsibilities(gp, sub_fc, r, zero_w)
@@ -564,9 +607,9 @@ def init_vq_teacher(
             sl = slice(i * csz, (i + 1) * csz)
             sub_fc = jax.tree.map(lambda v: v[sl], corpus)
             sub_cc = jax.tree.map(lambda v: v[sl], code_corpus)
-            cts = seed_counts_chunk(gp, sub_fc, sub_cc)
+            cts = seed_counts_chunk(gp, teacher, sub_fc, sub_cc)
             total = cts if total is None else jax.tree.map(
                 lambda a, b: a + b, total, cts
             )
         gp = m_step(gp, total)
-    return gp.replace(log_jump=tp.log_jump, log_p0=tp.log_p0)
+    return gp.replace(log_jump=teacher.log_jump, log_p0=teacher.log_p0)

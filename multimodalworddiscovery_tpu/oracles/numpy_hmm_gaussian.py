@@ -144,3 +144,56 @@ class NumpyGaussianHMM:
         self.log_jump = np.log(width_counts + smoothing)
         self.log_p0 = np.log(p0_count + smoothing)
         return float(total_ll)
+
+    def supervised_iteration(
+        self, gold_seqs, smoothing=1e-6, var_floor=1e-4, var_floor_rel=1e-3
+    ) -> None:
+        """Oracle-assignment M-step — parity oracle for
+        models/hmm_gaussian.supervised_counts + m_step.  gold_seqs: ragged
+        [T_i] int arrays, 0 = NULL, else 1-based target position.  Gamma is
+        the gold one-hot (NULL frames -> concept 0); component
+        responsibilities come from the CURRENT params; jump widths are
+        measured from the last REAL position (NULL states hold their
+        predecessor's underlying position — hmm_core.jump_width_ids)."""
+        d = self.x[0].shape[1]
+        c0 = np.zeros((self.v_trg, self.k))
+        c1 = np.zeros((self.v_trg, self.k, d))
+        c2 = np.zeros((self.v_trg, self.k, d))
+        W = 2 * self.max_jump + 1
+        width_counts = np.zeros(W)
+        p0_count = 0.0
+        for x, trg, a in zip(self.x, self.trg, gold_seqs):
+            a = np.asarray(a, np.int64)
+            T = len(x)
+            _, comp, logw = self._logb(x)
+            u = np.exp(
+                comp + logw[None]
+                - logsumexp(comp + logw[None], axis=-1, keepdims=True)
+            )  # [T, C, K]
+            r = np.zeros((T, self.v_trg))
+            for t in range(T):
+                c = trg[a[t] - 1] if a[t] > 0 else 0
+                r[t, c] = 1.0
+            comb = r[:, :, None] * u
+            c0 += comb.sum(0)
+            c1 += np.einsum("tck,td->ckd", comb, x)
+            c2 += np.einsum("tck,td->ckd", comb, x**2)
+            last_real = -1
+            for t in range(T):
+                if t > 0:
+                    if a[t] == 0:
+                        p0_count += 1.0
+                    elif last_real > 0:
+                        w_ = int(
+                            np.clip(a[t] - last_real, -self.max_jump, self.max_jump)
+                        ) + self.max_jump
+                        width_counts[w_] += 1.0
+                if a[t] > 0:
+                    last_real = int(a[t])
+        c0s = c0 + smoothing
+        self.means = c1 / c0s[..., None]
+        floor = np.maximum(var_floor, var_floor_rel * self.gvar)[None, None, :]
+        self.log_vars = np.log(np.maximum(c2 / c0s[..., None] - self.means**2, floor))
+        self.log_mix = np.log(c0s) - np.log(c0s.sum(-1, keepdims=True))
+        self.log_jump = np.log(width_counts + smoothing)
+        self.log_p0 = np.log(p0_count + smoothing)

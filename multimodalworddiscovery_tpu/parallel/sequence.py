@@ -191,10 +191,9 @@ def estep_time_sharded(
             suffix_step, ident, jnp.arange(d - 1, -1, -1)
         )
 
-        def total_step(carry, i):
-            return log_matmul(carry, p_all[i]), None
-
-        total, _ = jax.lax.scan(total_step, ident, jnp.arange(d))
+        # total = prefix (x) P_local (x) suffix — 2 log-matmuls instead of a
+        # fresh D-step scan over p_all (each is the dominant O(N*S^3) op here)
+        total = log_matmul(log_matmul(prefix, p_local), suffix)
         alpha_last = masked_logsumexp(alpha0_[:, :, None] + total, axis=1)
         logz = masked_logsumexp(alpha_last, axis=-1)
         logz = jnp.where(lens_ > 0, logz, 0.0)

@@ -145,7 +145,6 @@ def main():
     # same concept density.  If this is high while Gaussian EM is low, the
     # failure is specific to jointly learning emissions-from-scratch, and a
     # discretize-then-align teacher should transfer it ---
-    from multimodalworddiscovery_tpu.data.corpus import Corpus
     from multimodalworddiscovery_tpu.models import hmm as dhmm
 
     use_pallas = not args.cpu
@@ -162,76 +161,22 @@ def main():
     print(f"discrete control: acc={results['discrete_tokens_control']:.3f} "
           f"({time.perf_counter() - t0:.1f}s)", flush=True)
 
-    # --- VQ + discrete-teacher seeding: k-means codebook over frames ->
-    # discrete HMM EM on code sequences -> Gaussian params fit from the
-    # teacher's concept posteriors (+ its transitions) -> Gaussian EM ---
+    # --- VQ + discrete-teacher seeding: the PRODUCTION recipe's own library
+    # stages (quantize_frames -> dhmm.train -> seed_from_teacher), called
+    # piecewise so the teacher itself can be probed in between — the study
+    # measures exactly what configs/stretch_hubert_clip.py runs ---
     t0 = time.perf_counter()
-    import jax.numpy as jnp
-
-    M = 64
-    d = args.feat_dim
-    flat = fc.src.reshape(-1, d)
-    wflat = fc.src_mask().reshape(-1).astype(jnp.float32)
-    idx0 = jax.random.choice(
-        jax.random.PRNGKey(1), flat.shape[0], (M,),
-        p=wflat / wflat.sum(), replace=False,
-    )
-
-    @jax.jit
-    def lloyd(cb):
-        def assign(cb):
-            # argmin ||x - c||^2 = argmin (|c|^2 - 2 x.c): no [NT, M, D]
-            score = -2 * flat @ cb.T + jnp.sum(cb**2, axis=-1)[None, :]
-            return jnp.argmin(score, axis=-1)
-
-        def body(cb, _):
-            a = assign(cb)
-            oh = jax.nn.one_hot(a, M, dtype=jnp.float32) * wflat[:, None]
-            sums = oh.T @ flat
-            cnt = jnp.sum(oh, axis=0)
-            cb = jnp.where(cnt[:, None] > 0, sums / jnp.maximum(cnt, 1)[:, None], cb)
-            return cb, None
-
-        cb, _ = jax.lax.scan(body, cb, None, length=10)
-        return cb, assign(cb)
-
-    cb, codes_flat = lloyd(flat[idx0])
-    cc = Corpus(
-        src=codes_flat.reshape(fc.src.shape[:2]).astype(jnp.int32),
-        src_len=fc.src_len, trg=fc.trg, trg_len=fc.trg_len,
-        src_vocab=M, trg_vocab=fc.trg_vocab,
-    )
+    cc = hmm_gaussian.quantize_frames(fc, n_codes=64, key=jax.random.PRNGKey(1))
     tp0 = dhmm.init(cc, max_jump=5)
     tp, _ = jax.jit(
-        lambda p: dhmm.train(p, cc, args.iters, use_pallas=use_pallas)
-    )(tp0)
+        lambda p, c: dhmm.train(p, c, args.iters, use_pallas=use_pallas)
+    )(tp0, cc)
     tpred = np.asarray(dhmm.align(tp, cc))
     results["vq_teacher_itself"] = float((tpred == fg.alignment)[wm].mean())
 
-    # seed the Gaussian model from the teacher: 3 rounds of (chunked
-    # teacher-responsibility counts -> m_step), transitions copied over
-    csz = -(-fc.n // nchunk)
-
-    @jax.jit
-    def seed_counts_chunk(gp, sub_fc, sub_cc):
-        gamma = dhmm.posteriors(tp, sub_cc)  # teacher posteriors [n, T, S]
-        r = hmm_gaussian.teacher_responsibilities(gamma, sub_fc)
-        zero_w = jnp.zeros((2 * 5 + 3,), jnp.float32)
-        return hmm_gaussian.counts_from_responsibilities(gp, sub_fc, r, zero_w)
-
-    gp = base
-    for _ in range(3):
-        total = None
-        for i in range(nchunk):
-            sl = slice(i * csz, (i + 1) * csz)
-            sub_fc = jax.tree.map(lambda v: v[sl], fc)
-            sub_cc = jax.tree.map(lambda v: v[sl], cc)
-            cts = seed_counts_chunk(gp, sub_fc, sub_cc)
-            total = cts if total is None else jax.tree.map(
-                lambda a, b: a + b, total, cts
-            )
-        gp = hmm_gaussian.m_step(gp, total)
-    gp = gp.replace(log_jump=tp.log_jump, log_p0=tp.log_p0)
+    gp = hmm_gaussian.seed_from_teacher(
+        base, fc, cc, tp, seed_rounds=3, chunks=nchunk
+    )
     results["vq_teacher_seeded"] = accuracy(gp)
     gp2, _ = chunked_train(gp)
     results["vq_seed_plus_em"] = accuracy(gp2)

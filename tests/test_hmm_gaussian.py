@@ -138,6 +138,62 @@ def test_em_matches_numpy_oracle(frames):
         )
 
 
+def test_supervised_fit_matches_numpy_oracle(frames):
+    """supervised_counts + m_step vs the per-utterance float64 oracle,
+    including jump widths measured across NULL runs (a NULL state keeps its
+    predecessor's underlying position, so null->real resumptions charge
+    log_jump, not the discard bin)."""
+    from multimodalworddiscovery_tpu.data.corpus import Corpus
+    from multimodalworddiscovery_tpu.oracles.numpy_hmm_gaussian import (
+        NumpyGaussianHMM,
+    )
+
+    fc, fg = frames
+    n = 12
+    sub = Corpus(
+        src=fc.src[:n], src_len=fc.src_len[:n], trg=fc.trg[:n],
+        trg_len=fc.trg_len[:n], src_vocab=0, trg_vocab=fc.trg_vocab,
+    )
+    x = np.asarray(sub.src); sl = np.asarray(sub.src_len)
+    trg = np.asarray(sub.trg); tl = np.asarray(sub.trg_len)
+    gold = np.asarray(fg.alignment)[:n]
+    # inject NULL runs INSIDE utterances so the post-NULL resumption path
+    # is actually exercised (synthetic gold is mostly NULL-free)
+    gold = gold.copy()
+    for i in range(n):
+        if sl[i] > 6:
+            gold[i, 2:4] = 0
+    feat_seqs = [x[i, : sl[i]] for i in range(n)]
+    trg_seqs = [trg[i, : tl[i]] for i in range(n)]
+    gold_seqs = [gold[i, : sl[i]] for i in range(n)]
+
+    params = hmm_gaussian.init(sub, n_components=2, key=jax.random.PRNGKey(1))
+    oracle = NumpyGaussianHMM(feat_seqs, trg_seqs, sub.trg_vocab, n_components=2)
+    oracle.set_params(
+        np.asarray(params.means), np.asarray(params.log_vars),
+        np.asarray(params.log_mix), np.asarray(params.log_jump),
+        float(params.log_p0),
+    )
+    for it in range(2):
+        oracle.supervised_iteration(gold_seqs)
+        counts = jax.jit(hmm_gaussian.supervised_counts)(
+            params, sub, jnp.asarray(gold)
+        )
+        params = hmm_gaussian.m_step(params, counts)
+        np.testing.assert_allclose(
+            np.asarray(params.means, np.float64), oracle.means,
+            rtol=5e-3, atol=5e-3, err_msg=f"means iter {it}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(params.log_jump, np.float64), oracle.log_jump,
+            rtol=5e-3, atol=5e-3, err_msg=f"jump iter {it}",
+        )
+        np.testing.assert_allclose(
+            float(params.log_p0), oracle.log_p0, rtol=5e-3, atol=5e-3,
+            err_msg=f"p0 iter {it}",
+        )
+
+
 def test_init_diagonal_seeds_concept_means():
     """Flat-start means come from diagonally-assigned frames: the seeded
     means separate concepts with corpus evidence, and EM from the seed
