@@ -18,6 +18,8 @@ responsibility) posteriors — no scatters anywhere.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -449,6 +451,43 @@ def teacher_responsibilities(teacher_gamma: jax.Array, corpus: Corpus) -> jax.Ar
     return jnp.einsum("nts,nsc->ntc", teacher_gamma, onehot)
 
 
+@functools.partial(jax.jit, static_argnames=("n_codes", "num_iterations"))
+def _kmeans_codes(cb0, flat, wflat, *, n_codes, num_iterations):
+    """Lloyd's k-means sweeps + final assignment, [NT, D] frames flat.
+
+    Module-level jit with the frame matrix as an ARGUMENT: closed-over
+    concrete arrays are baked into the lowered module as literals, and at
+    corpus scale (N*Ts*D floats) the remote-compile request blows the TPU
+    tunnel's body-size limit (HTTP 413 measured at the stretch shape).
+    tests/test_hmm_gaussian.py pins the lowered-module size."""
+    hi = jax.lax.Precision.HIGHEST
+
+    def assign(cb, fl):
+        score = (
+            -2.0 * jnp.einsum("nd,md->nm", fl, cb, precision=hi)
+            + jnp.sum(cb**2, axis=-1)[None, :]
+        )
+        return jnp.argmin(score, axis=-1)
+
+    def body(carry, _):
+        cb, fl, wf = carry
+        a = assign(cb, fl)
+        oh = jax.nn.one_hot(a, n_codes, dtype=jnp.float32) * wf[:, None]
+        sums = jnp.einsum("nm,nd->md", oh, fl, precision=hi)
+        cnt = jnp.sum(oh, axis=0)
+        # empty codes keep their old centroid (re-seeding would need
+        # data-dependent choice; distinct-frame init makes this rare)
+        cb = jnp.where(
+            cnt[:, None] > 0, sums / jnp.maximum(cnt, 1.0)[:, None], cb
+        )
+        return (cb, fl, wf), None
+
+    (cb, _, _), _ = jax.lax.scan(
+        body, (cb0, flat, wflat), None, length=num_iterations
+    )
+    return assign(cb, flat)
+
+
 def quantize_frames(
     corpus: Corpus,
     n_codes: int = 64,
@@ -476,40 +515,10 @@ def quantize_frames(
     idx0 = jax.random.choice(
         key, flat.shape[0], (n_codes,), p=wflat / wflat.sum(), replace=False
     )
-    hi = jax.lax.Precision.HIGHEST
-
-    def assign(cb, fl):
-        score = (
-            -2.0 * jnp.einsum("nd,md->nm", fl, cb, precision=hi)
-            + jnp.sum(cb**2, axis=-1)[None, :]
-        )
-        return jnp.argmin(score, axis=-1)
-
-    def body(carry, _):
-        cb, fl, wf = carry
-        a = assign(cb, fl)
-        oh = jax.nn.one_hot(a, n_codes, dtype=jnp.float32) * wf[:, None]
-        sums = jnp.einsum("nm,nd->md", oh, fl, precision=hi)
-        cnt = jnp.sum(oh, axis=0)
-        # empty codes keep their old centroid (re-seeding would need
-        # data-dependent choice; distinct-frame init makes this rare)
-        cb = jnp.where(
-            cnt[:, None] > 0, sums / jnp.maximum(cnt, 1.0)[:, None], cb
-        )
-        return (cb, fl, wf), None
-
-    # flat/wflat MUST be jit arguments, not closure constants: closed-over
-    # concrete arrays are baked into the lowered module as literals, and at
-    # corpus scale (N*Ts*D floats) the remote-compile request blows the
-    # tunnel's body-size limit (HTTP 413 seen at the stretch shape).
-    @jax.jit
-    def run(cb0, fl, wf):
-        (cb, _, _), _ = jax.lax.scan(
-            body, (cb0, fl, wf), None, length=num_iterations
-        )
-        return assign(cb, fl)
-
-    codes = run(flat[idx0], flat, wflat)
+    codes = _kmeans_codes(
+        flat[idx0], flat, wflat, n_codes=n_codes,
+        num_iterations=num_iterations,
+    )
     return Corpus(
         src=codes.reshape(x.shape[:2]).astype(jnp.int32),
         src_len=corpus.src_len,

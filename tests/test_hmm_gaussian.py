@@ -224,6 +224,21 @@ def test_init_diagonal_seeds_concept_means():
     assert acc > 0.5, acc
 
 
+def test_kmeans_lowering_has_no_corpus_sized_literals():
+    """The k-means jit must take the frame matrix as an ARGUMENT: a
+    closed-over concrete corpus gets baked into the lowered module as a
+    literal, and at stretch scale the remote-compile request exceeded the
+    TPU tunnel's body-size limit (HTTP 413).  Pin the lowered-module size
+    at a corpus shape whose inlined literal alone would be ~50 MB."""
+    flat = jnp.zeros((200_000, 64), jnp.float32)
+    wflat = jnp.ones((200_000,), jnp.float32)
+    cb0 = jnp.zeros((8, 64), jnp.float32)
+    txt = hmm_gaussian._kmeans_codes.lower(
+        cb0, flat, wflat, n_codes=8, num_iterations=2
+    ).as_text()
+    assert len(txt) < 1_000_000, f"lowered module is {len(txt)} bytes"
+
+
 def test_quantize_frames_codes_and_determinism(frames):
     fc, _ = frames
     cc = hmm_gaussian.quantize_frames(fc, n_codes=16, key=jax.random.PRNGKey(4))

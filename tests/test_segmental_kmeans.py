@@ -92,3 +92,92 @@ def test_gmm_variant_runs_and_improves(frames):
             st, en, lbl = segs[i, s_]
             covered[st:en] += 1
         assert (covered == 1).all()
+
+
+def test_em_step_matches_numpy_oracle(frames):
+    """em_step + discover vs the per-utterance float64 oracle
+    (oracles/numpy_segkmeans.py): distortion, segment count, boundaries,
+    labels, and updated centroids."""
+    from multimodalworddiscovery_tpu.data.corpus import Corpus
+    from multimodalworddiscovery_tpu.oracles.numpy_segkmeans import (
+        NumpySegKMeans,
+    )
+
+    fc, _ = frames
+    n = 8
+    sub = Corpus(
+        src=fc.src[:n], src_len=fc.src_len[:n], trg=fc.trg[:n],
+        trg_len=fc.trg_len[:n], src_vocab=0, trg_vocab=fc.trg_vocab,
+    )
+    params = skm.init(
+        sub, n_clusters=8, n_samples=4, max_seg_len=6, min_seg_len=2,
+        key=jax.random.PRNGKey(3),
+    )
+    x = np.asarray(sub.src)
+    sl = np.asarray(sub.src_len)
+    feat_seqs = [x[i, : sl[i]] for i in range(n)]
+    oracle = NumpySegKMeans(
+        feat_seqs, np.asarray(params.centroids), n_samples=4,
+        max_seg_len=6, min_seg_len=2,
+    )
+
+    # discover BEFORE the update: identical segmentations
+    segs, mask = skm.discover(params, sub)
+    segs, mask = np.asarray(segs), np.asarray(mask)
+    got = [
+        [tuple(int(v) for v in segs[i, t]) for t in range(segs.shape[1]) if mask[i, t]]
+        for i in range(n)
+    ]
+    assert got == oracle.discover()
+
+    for it in range(2):
+        o_cost, o_nseg = oracle.em_iteration()
+        params, stats = skm.em_step(params, sub)
+        assert int(stats["n_segments"]) == o_nseg, f"iter {it}"
+        np.testing.assert_allclose(
+            -float(stats["loglik"]), o_cost, rtol=1e-4, err_msg=f"iter {it}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(params.centroids, np.float64), oracle.centroids,
+            rtol=1e-3, atol=1e-3, err_msg=f"iter {it}",
+        )
+
+
+def test_em_step_gmm_matches_numpy_oracle(frames):
+    """GMM-softened variant vs its float64 oracle (soft-min DP costs, soft
+    centroid + shared-variance updates)."""
+    from multimodalworddiscovery_tpu.data.corpus import Corpus
+    from multimodalworddiscovery_tpu.oracles.numpy_segkmeans import NumpySegGMM
+
+    fc, _ = frames
+    n = 6
+    sub = Corpus(
+        src=fc.src[:n], src_len=fc.src_len[:n], trg=fc.trg[:n],
+        trg_len=fc.trg_len[:n], src_vocab=0, trg_vocab=fc.trg_vocab,
+    )
+    params = skm.init_gmm(
+        sub, n_clusters=8, n_samples=4, max_seg_len=6, min_seg_len=2,
+        key=jax.random.PRNGKey(5),
+    )
+    x = np.asarray(sub.src)
+    sl = np.asarray(sub.src_len)
+    oracle = NumpySegGMM(
+        [x[i, : sl[i]] for i in range(n)], np.asarray(params.centroids),
+        log_var=float(params.log_var), n_samples=4, max_seg_len=6,
+        min_seg_len=2,
+    )
+    for it in range(2):
+        o_cost, o_nseg = oracle.em_iteration()
+        params, stats = skm.em_step_gmm(params, sub)
+        assert int(stats["n_segments"]) == o_nseg, f"iter {it}"
+        np.testing.assert_allclose(
+            -float(stats["loglik"]), o_cost, rtol=1e-3, err_msg=f"iter {it}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(params.centroids, np.float64), oracle.centroids,
+            rtol=1e-2, atol=1e-2, err_msg=f"iter {it}",
+        )
+        np.testing.assert_allclose(
+            float(params.log_var), oracle.log_var, rtol=1e-3, atol=1e-3,
+            err_msg=f"var iter {it}",
+        )
