@@ -541,13 +541,22 @@ def _retrieval_metrics(cfg, mod, params, corpus) -> dict:
         cand = sample_candidate_pools(
             corpus.n, min(pool, corpus.n), jax.random.PRNGKey(cfg.seed)
         )
-        if name == "model1":
-            scores = retrieval_scores_model1_pooled(params, corpus, cand)
-        elif name in hmm_family:
-            scores = retrieval_scores_hmm_family_pooled(mod, params, corpus, cand)
-        else:
-            scores = mod.retrieval_scores_pooled(params, corpus, cand)
-        return recall_at_k_pooled(scores)
+        out: dict = {}
+        for direction in ("c2i", "i2c"):
+            if name == "model1":
+                scores = retrieval_scores_model1_pooled(
+                    params, corpus, cand, direction=direction
+                )
+            elif name in hmm_family:
+                scores = retrieval_scores_hmm_family_pooled(
+                    mod, params, corpus, cand, direction=direction
+                )
+            else:
+                scores = mod.retrieval_scores_pooled(
+                    params, corpus, cand, direction=direction
+                )
+            out.update(recall_at_k_pooled(scores, direction=direction))
+        return out
     if name == "model1":
         scores = retrieval_scores_model1(params, corpus)
     elif name in hmm_family:

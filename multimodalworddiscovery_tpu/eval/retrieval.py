@@ -86,30 +86,44 @@ def retrieval_scores_hmm(params, corpus: Corpus, batch_size: int = 8) -> jax.Arr
 
 
 def retrieval_scores_hmm_family_pooled(
-    mod, params, corpus: Corpus, candidates: jax.Array, batch_size: int = 8
+    mod, params, corpus: Corpus, candidates: jax.Array, batch_size: int = 8,
+    direction: str = "c2i",
 ) -> jax.Array:
-    """Pooled variant for any Vogel-HMM module: caption i scored only
-    against its [C] candidate images -> [N, C]."""
+    """Pooled variant for any Vogel-HMM module -> [N, C].
+
+    direction="c2i" (image search): caption i scored against its [C]
+    candidate images.  direction="i2c" (image annotation, the reference's
+    other retrieval task — SURVEY.md §3.5): image i scored against its [C]
+    candidate captions.  Both rank by the same forward loglik
+    p(caption | image's concepts); only which side the pool re-pairs flips.
+    """
     from multimodalworddiscovery_tpu.models import hmm_core
 
     c = candidates.shape[1]
+    if direction not in ("c2i", "i2c"):
+        raise ValueError(f"direction must be c2i|i2c, got {direction!r}")
 
-    def one_caption(args):
-        src_row, src_len_row, cand = args
+    def one_row(args):
+        src_row, src_len_row, trg_row, trg_len_row, cand = args
+        if direction == "c2i":
+            src = jnp.broadcast_to(src_row[None], (c,) + src_row.shape)
+            src_len = jnp.broadcast_to(src_len_row[None], (c,))
+            trg, trg_len = corpus.trg[cand], corpus.trg_len[cand]
+        else:
+            src, src_len = corpus.src[cand], corpus.src_len[cand]
+            trg = jnp.broadcast_to(trg_row[None], (c,) + trg_row.shape)
+            trg_len = jnp.broadcast_to(trg_len_row[None], (c,))
         paired = Corpus(
-            src=jnp.broadcast_to(src_row[None], (c,) + src_row.shape),
-            src_len=jnp.broadcast_to(src_len_row[None], (c,)),
-            trg=corpus.trg[cand],
-            trg_len=corpus.trg_len[cand],
-            src_vocab=corpus.src_vocab,
-            trg_vocab=corpus.trg_vocab,
+            src=src, src_len=src_len, trg=trg, trg_len=trg_len,
+            src_vocab=corpus.src_vocab, trg_vocab=corpus.trg_vocab,
         )
         log_init, log_trans, log_emit = mod._machinery(params, paired)
         _, logz = hmm_core.forward(log_init, log_trans, log_emit, paired.src_len)
         return logz
 
     return jax.lax.map(
-        one_caption, (corpus.src, corpus.src_len, candidates),
+        one_row,
+        (corpus.src, corpus.src_len, corpus.trg, corpus.trg_len, candidates),
         batch_size=batch_size,
     )
 
@@ -173,13 +187,17 @@ def retrieval_scores_hmm_pooled(
 
 def retrieval_scores_model1_pooled(
     params: Model1Params, corpus: Corpus, candidates: jax.Array,
-    batch_size: int = 32,
+    batch_size: int = 32, direction: str = "c2i",
 ) -> jax.Array:
-    """Model-1 loglik of caption i vs its candidate images -> [N, C]."""
+    """Model-1 pooled pair logliks -> [N, C] (direction as in
+    ``retrieval_scores_hmm_family_pooled``: "c2i" ranks candidate images
+    per caption, "i2c" ranks candidate captions per image)."""
     trg_ext, ext_mask = _extended_targets(corpus)  # [N, 1+Tt]
     src_mask = corpus.src_mask()
     tt1 = trg_ext.shape[1]
     c = candidates.shape[1]
+    if direction not in ("c2i", "i2c"):
+        raise ValueError(f"direction must be c2i|i2c, got {direction!r}")
 
     def one_caption(args):
         src_row, src_mask_row, src_len_row, cand = args
@@ -194,22 +212,40 @@ def retrieval_scores_model1_pooled(
         prior = -jnp.log1p(corpus.trg_len[cand].astype(ll.dtype))
         return ll + src_len_row.astype(ll.dtype) * prior
 
+    def one_image(args):
+        te_row, em_row, trg_len_row, cand = args  # [1+Tt], [1+Tt], [], [C]
+        srcs = corpus.src[cand]  # [C, Ts]
+        sm = src_mask[cand]  # [C, Ts]
+        pair = params.log_t[srcs][:, :, te_row]  # [C, Ts, 1+Tt]
+        mask = sm[:, :, None] & em_row[None, None, :]
+        pair = jnp.where(mask, pair, NEG_INF)
+        per_pos = masked_logsumexp(pair, axis=-1)  # [C, Ts]
+        ll = jnp.sum(jnp.where(sm, per_pos, 0.0), axis=1)
+        prior = -jnp.log1p(trg_len_row.astype(ll.dtype))
+        return ll + corpus.src_len[cand].astype(ll.dtype) * prior
+
+    if direction == "c2i":
+        return jax.lax.map(
+            one_caption, (corpus.src, src_mask, corpus.src_len, candidates),
+            batch_size=batch_size,
+        )
     return jax.lax.map(
-        one_caption, (corpus.src, src_mask, corpus.src_len, candidates),
+        one_image, (trg_ext, ext_mask, corpus.trg_len, candidates),
         batch_size=batch_size,
     )
 
 
 def recall_at_k_pooled(
-    pool_scores: jax.Array, ks: tuple[int, ...] = (1, 5, 10)
+    pool_scores: jax.Array, ks: tuple[int, ...] = (1, 5, 10),
+    direction: str = "c2i",
 ) -> dict[str, jax.Array]:
-    """Recall@k from [N, C] pooled scores (column 0 = true image)."""
+    """Recall@k from [N, C] pooled scores (column 0 = the true pairing)."""
     true = pool_scores[:, :1]
     rank = jnp.sum(pool_scores[:, 1:] > true, axis=1)
     out: dict[str, jax.Array] = {}
     for k in ks:
-        out[f"recall@{k}_c2i"] = jnp.mean((rank < k).astype(jnp.float32))
-    out["median_rank_c2i"] = jnp.median(rank + 1).astype(jnp.float32)
+        out[f"recall@{k}_{direction}"] = jnp.mean((rank < k).astype(jnp.float32))
+    out[f"median_rank_{direction}"] = jnp.median(rank + 1).astype(jnp.float32)
     out["pool_size"] = jnp.asarray(float(pool_scores.shape[1]))
     return out
 

@@ -179,18 +179,39 @@ def retrieval_scores(state: GroundingParams, corpus: Corpus) -> jax.Array:
 def retrieval_scores_pooled(
     state: GroundingParams,
     corpus: Corpus,
-    candidates: jax.Array,  # [N, C] image indices; col 0 = true image
+    candidates: jax.Array,  # [N, C] indices; col 0 = the true pairing
     batch_size: int = 32,
+    direction: str = "c2i",
 ) -> jax.Array:
-    """Matchmap score of caption i vs its candidate images -> [N, C].
+    """Pooled matchmap scores -> [N, C]: "c2i" scores caption i against its
+    candidate images, "i2c" (annotation) scores image i against its
+    candidate captions — same matchmap statistic either way.
 
     Never materializes [N, N, Ts, Tt] (round-1 weakness): embeddings are
-    computed once, then a lax.map over captions scores each against only its
+    computed once, then a lax.map over rows scores each against only its
     C-candidate pool — O(N * C * Ts * Tt) in bounded blocks."""
+    if direction not in ("c2i", "i2c"):
+        raise ValueError(f"direction must be c2i|i2c, got {direction!r}")
     mod = _module(corpus, state.dim)
     s, r = mod.apply(state.params, corpus.src, corpus.trg)  # [N,Ts,D],[N,Tt,D]
     src_mask = corpus.src_mask()
     trg_mask = corpus.trg_mask()
+
+    def one_image(args):
+        r_i, tm_i, cand = args  # [Tt, D], [Tt], [C]
+        s_c = s[cand]  # [C, Ts, D]
+        sm_c = src_mask[cand]  # [C, Ts]
+        sim = jnp.einsum("ctd,rd->ctr", s_c, r_i)  # [C, Ts, Tt]
+        sim = jnp.where(tm_i[None, None, :], sim, -1.0)
+        best_region = jnp.max(sim, axis=-1)  # [C, Ts]
+        best_region = jnp.where(sm_c, best_region, 0.0)
+        denom = jnp.maximum(jnp.sum(sm_c, axis=-1), 1)  # [C]
+        return jnp.sum(best_region, axis=-1) / denom  # [C]
+
+    if direction == "i2c":
+        return jax.lax.map(
+            one_image, (r, trg_mask, candidates), batch_size=batch_size
+        )
 
     def one_caption(args):
         s_i, sm_i, cand = args  # [Ts, D], [Ts], [C]

@@ -277,6 +277,54 @@ def test_pooled_retrieval_grounding():
     )
 
 
+def test_pooled_retrieval_i2c_matches_dense_transpose():
+    """Annotation direction (i2c): pooled[i, j] scores candidate caption
+    cand[i, j] against image i, so it must equal dense[cand[i, j], i]
+    for every pooled scorer (dense rows = captions, cols = images)."""
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        recall_at_k_pooled,
+        retrieval_scores_hmm_family,
+        retrieval_scores_hmm_family_pooled,
+        retrieval_scores_model1,
+        retrieval_scores_model1_pooled,
+        sample_candidate_pools,
+    )
+    from multimodalworddiscovery_tpu.models import grounding, hmm, model1
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=16, seed=7)
+    cand = sample_candidate_pools(corpus.n, 6, jax.random.PRNGKey(2))
+    rows = np.asarray(cand)
+
+    params = model1.init(corpus)
+    for _ in range(4):
+        params, _ = model1.em_step(params, corpus)
+    pooled = retrieval_scores_model1_pooled(params, corpus, cand, direction="i2c")
+    dense = np.asarray(retrieval_scores_model1(params, corpus))
+    np.testing.assert_allclose(
+        np.asarray(pooled), dense[rows, np.arange(16)[:, None]], rtol=1e-4
+    )
+    out = recall_at_k_pooled(pooled, ks=(1,), direction="i2c")
+    assert "recall@1_i2c" in out and "median_rank_i2c" in out
+
+    hp = hmm.init(corpus)
+    pooled_h = retrieval_scores_hmm_family_pooled(
+        hmm, hp, corpus, cand, batch_size=4, direction="i2c"
+    )
+    dense_h = np.asarray(retrieval_scores_hmm_family(hmm, hp, corpus, batch_size=4))
+    np.testing.assert_allclose(
+        np.asarray(pooled_h), dense_h[rows, np.arange(16)[:, None]],
+        rtol=1e-4, atol=1e-4,
+    )
+
+    state = grounding.init(corpus, dim=32, key=jax.random.PRNGKey(0))
+    pooled_g = grounding.retrieval_scores_pooled(state, corpus, cand, direction="i2c")
+    dense_g = np.asarray(grounding.retrieval_scores(state, corpus))
+    np.testing.assert_allclose(
+        np.asarray(pooled_g), dense_g[rows, np.arange(16)[:, None]],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_retrieval_hmm_family_gaussian():
     """Continuous-emission aligners score retrieval through the same
     re-pairing forward (reference scored retrieval from alignment probs)."""
