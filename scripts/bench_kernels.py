@@ -540,6 +540,83 @@ def bench_models(out):
             segments_per_sec=round(nseg / dt))
 
 
+def bench_retrieval(out):
+    """TPU throughput for the pooled retrieval protocol (eval/retrieval.py)
+    — the evaluation-side hot path at MSCOCO scale: scored (row, candidate)
+    pairs/s for Model-1, the HMM family, and the grounding matchmap, in both
+    directions (c2i image search / i2c annotation).
+
+    Replay-proof: timed run perturbs the parameters (fresh request), fresh
+    host scalar read of the score sum inside the timed region, best-of-3.
+    """
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        retrieval_scores_hmm_family_pooled,
+        retrieval_scores_model1_pooled,
+        sample_candidate_pools,
+    )
+    from multimodalworddiscovery_tpu.models import grounding, hmm, model1
+
+    corpus, _, _ = make_flickr8k_mini(
+        n_utterances=8192, n_concepts=60, n_phones=48,
+        min_concepts=3, max_concepts=6, seed=0,
+    )
+    pool = 32
+    cand = sample_candidate_pools(corpus.n, pool, jax.random.PRNGKey(0))
+
+    def timeit(name, fn, params, perturb, **extra):
+        scores = fn(params)
+        jax.block_until_ready(scores)
+        dt = 1e9
+        for i in range(3):
+            p2 = perturb(params, 1e-6 * (i + 1))
+            t = time.perf_counter()
+            scores = fn(p2)
+            _ = float(jnp.sum(scores))  # fresh host scalar
+            dt = min(dt, time.perf_counter() - t)
+        npairs = int(np.prod(scores.shape))
+        _record(out, kernel=name, N=scores.shape[0], pool=scores.shape[1],
+                ms=round(dt * 1e3, 3), pairs_per_sec=round(npairs / dt),
+                **extra)
+
+    m1 = model1.init(corpus)
+    for direction in ("c2i", "i2c"):
+        timeit(
+            f"retrieval_model1_pooled_{direction}",
+            jax.jit(lambda p, d=direction: retrieval_scores_model1_pooled(
+                p, corpus, cand, batch_size=64, direction=d)),
+            m1,
+            lambda p, eps: p.replace(log_t=p.log_t + eps),
+        )
+
+    hp = hmm.init(corpus)
+    for direction in ("c2i", "i2c"):
+        timeit(
+            f"retrieval_hmm_pooled_{direction}",
+            jax.jit(lambda p, d=direction: retrieval_scores_hmm_family_pooled(
+                hmm, p, corpus, cand, batch_size=32, direction=d)),
+            hp,
+            lambda p, eps: p.replace(log_emit=p.log_emit + eps),
+        )
+
+    gr = grounding.init(corpus, dim=128, key=jax.random.PRNGKey(1))
+
+    def perturb_grounding(state, eps):
+        return state.replace(
+            params=jax.tree.map(lambda x: x + eps, state.params)
+        )
+
+    for direction in ("c2i", "i2c"):
+        timeit(
+            f"retrieval_grounding_pooled_{direction}",
+            jax.jit(lambda s, d=direction: grounding.retrieval_scores_pooled(
+                s, corpus, cand, batch_size=64, direction=d)),
+            gr,
+            perturb_grounding,
+            dim=128,
+        )
+
+
 def bench_detector(out):
     """TPU throughput for the learned region-proposal detector
     (frontend/detector.py): minibatch train steps/s and propose images/s.
@@ -607,7 +684,7 @@ def bench_detector(out):
 
 
 BENCHES = ("mfcc", "log_matmul", "em", "counts", "hmm_estep", "viterbi",
-           "models", "model1_align", "detector")
+           "models", "model1_align", "detector", "retrieval")
 
 
 def main():
@@ -634,7 +711,8 @@ def main():
     fns = dict(mfcc=bench_mfcc, log_matmul=bench_log_matmul, em=bench_em,
                counts=bench_counts, hmm_estep=bench_hmm_estep,
                viterbi=bench_viterbi, models=bench_models,
-               model1_align=bench_model1_align, detector=bench_detector)
+               model1_align=bench_model1_align, detector=bench_detector,
+               retrieval=bench_retrieval)
     for name in selected:
         fns[name](out)
 
