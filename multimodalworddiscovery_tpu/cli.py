@@ -258,6 +258,12 @@ def _save_config(cfg, workdir: Path) -> None:
     (workdir / "config.json").write_text(cfg.to_json(indent=2))
 
 
+def _host_local_copy(x):
+    """Fully-replicated (possibly process-spanning) array -> host numpy copy,
+    so the coordinator can checkpoint it with a plain single-host save."""
+    return np.asarray(x)
+
+
 def _load_workdir_config(workdir: Path):
     cfg = base_config()
     saved = json.loads((workdir / "config.json").read_text())
@@ -277,9 +283,21 @@ def _load_workdir_config(workdir: Path):
 def cmd_train(args) -> None:
     cfg = load_config(args.config) if args.config else base_config()
     apply_overrides(cfg, args.override)
+
+    distributed = bool(cfg.train.get("distributed", False))
+    if distributed:
+        # must run before the first backend touch (i.e. before _load_data)
+        from multimodalworddiscovery_tpu.parallel import multihost
+
+        multihost.initialize()
+        if not cfg.train.data_parallel:
+            raise SystemExit("train.distributed requires train.data_parallel=true")
+    is_coord = (not distributed) or jax.process_index() == 0
+
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
-    _save_config(cfg, workdir)
+    if is_coord:
+        _save_config(cfg, workdir)
 
     corpus, _ = _load_data(cfg)
     mod, params, step = _make_model(cfg, corpus)
@@ -311,6 +329,12 @@ def cmd_train(args) -> None:
         raise SystemExit(
             "model.anneal_iters does not compose with train.bucket_edges; "
             "use train.corpus_chunks for memory instead"
+        )
+    if distributed and (edges or batch_size):
+        raise SystemExit(
+            "train.distributed supports the full-corpus (optionally "
+            "corpus_chunks-scanned) EM path; bucketed EM and minibatch SGD "
+            "are single-host for now"
         )
 
     ckpt = CheckpointManager(workdir / "ckpt")
@@ -447,8 +471,19 @@ def cmd_train(args) -> None:
         # guided attention composes too: the guide matrix is computed inside
         # the step from teacher params, so sharding the (padded) corpus is
         # transparent to it
-        mesh = make_mesh()
-        corpus = shard_corpus(corpus, mesh)
+        if distributed:
+            # process-spanning mesh; THIS process keeps only its own slice
+            # of the loaded corpus (a from-disk loader would read just the
+            # slice — parallel/multihost.process_slice is the range)
+            from multimodalworddiscovery_tpu.parallel import multihost
+
+            mesh = multihost.global_mesh()
+            lo, hi = multihost.process_slice(corpus.n)
+            local = jax.tree.map(lambda x: x[lo:hi], corpus)
+            corpus = multihost.global_corpus_from_local(local, mesh)
+        else:
+            mesh = make_mesh()
+            corpus = shard_corpus(corpus, mesh)
         step = make_data_parallel_step(
             step, mesh, n_extra_args=1 if anneal_sched is not None else 0
         )
@@ -459,7 +494,16 @@ def cmd_train(args) -> None:
     if ckpt.latest_step() is not None and not args.fresh:
         params, start = ckpt.restore(params)
         start += 1
-        print(f"resumed from iteration {start}")
+        if is_coord:
+            print(f"resumed from iteration {start}")
+    if distributed:
+        # params are identical host-local arrays on every process (same init
+        # or same restored checkpoint); lift them to replicated global arrays
+        # on the process-spanning mesh.  Done AFTER restore so the checkpoint
+        # template stays host-local (every process reads the shared dir).
+        from multimodalworddiscovery_tpu.parallel import multihost
+
+        params = multihost.replicate_to_global(params, mesh)
 
     t_total = 0.0
     for it in range(start, cfg.train.num_iterations):
@@ -472,13 +516,22 @@ def cmd_train(args) -> None:
         dt = time.perf_counter() - t0
         t_total += dt
         ll = float(stats["loglik"])
-        writer.write(it, loglik=ll, seconds=dt)
-        print(f"iter {it:4d}  loglik {ll:.2f}  ({dt*1e3:.1f} ms)")
+        if is_coord:
+            writer.write(it, loglik=ll, seconds=dt)
+            print(f"iter {it:4d}  loglik {ll:.2f}  ({dt*1e3:.1f} ms)")
         if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
-            ckpt.save(it, params)
+            # orbax saves are COLLECTIVE under jax.distributed (internal
+            # cross-process barriers) — every process must call save; params
+            # are fully replicated so each passes an identical host copy and
+            # orbax's primary host does the writing
+            ckpt.save(
+                it,
+                jax.tree.map(_host_local_copy, params) if distributed else params,
+            )
     ckpt.close()
     writer.close()
-    print(f"trained {cfg.train.num_iterations - start} iterations in {t_total:.2f}s")
+    if is_coord:
+        print(f"trained {cfg.train.num_iterations - start} iterations in {t_total:.2f}s")
 
 
 def _restore(workdir: Path, overrides: list[str] | None = None):

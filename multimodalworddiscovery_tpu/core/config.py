@@ -79,6 +79,11 @@ def base_config() -> ConfigDict:
     cfg.train.num_iterations = 20
     cfg.train.checkpoint_every = 10
     cfg.train.data_parallel = False  # shard corpus over all devices
+    # multi-host (pod-scale) run: every process calls this CLI with
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID set (all
+    # auto-discovered on Cloud TPU pods); implies a process-spanning global
+    # mesh; each process computes its own corpus slice (parallel/multihost.py)
+    cfg.train.distributed = False
     # comma-separated src-length bucket edges ("" = no bucketing); exact
     # bucketed EM for model1/hmm/hmm_gaussian/hmm_dnn (models/bucketed.py)
     cfg.train.bucket_edges = ""

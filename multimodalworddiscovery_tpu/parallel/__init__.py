@@ -1,4 +1,6 @@
-"""Parallelism: data-parallel EM over a TPU device mesh."""
+"""Parallelism: data-parallel EM over a TPU device mesh (single-host
+sharding in data_parallel.py, pod-scale multi-process in multihost.py,
+time-axis sharding in sequence.py)."""
 
 from multimodalworddiscovery_tpu.parallel.data_parallel import (
     make_data_parallel_step,

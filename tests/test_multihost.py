@@ -1,0 +1,141 @@
+"""Multi-host data parallelism: REAL multi-process test.
+
+Launches two OS processes (4 virtual CPU devices each -> 8-device global
+mesh, gloo collectives over localhost — the CPU stand-in for ICI/DCN) that
+run distributed EM via the process-spanning mesh and check parity against
+the single-process result (tests/multihost_worker.py).
+
+SURVEY.md §5.8: the reference has no distributed backend at all; this is the
+pod-scale half of the TPU-native equivalent (single-host sharding is
+test_parallel.py).
+"""
+
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+WORKER = pathlib.Path(__file__).parent / "multihost_worker.py"
+REPO = WORKER.parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_em_parity():
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=str(REPO),
+            env={**os.environ,
+                 "PYTHONPATH": f"{REPO}:{os.environ.get('PYTHONPATH', '')}"},
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        assert "PARITY OK" in out, f"worker {i} no parity line:\n{out[-4000:]}"
+    # both processes computed the identical replicated result
+    lls = [float(o.split("PARITY OK")[1].split()[0]) for o in outs]
+    np.testing.assert_allclose(lls[0], lls[1], rtol=1e-6)
+
+
+def test_two_process_cli_train(tmp_path):
+    """`mwd train --override train.distributed=true` as two real OS
+    processes sharing a workdir: coordinator writes config/metrics/ckpt,
+    the follower stays quiet, and the loglik trajectory matches the
+    single-host CLI run on the same config."""
+    import json
+
+    port = _free_port()
+    # ONE --override flag: nargs="*" collects the pairs (repeated flags
+    # would overwrite each other)
+    overrides = [
+        "--override", "data.n_utterances=24", "model.name=hmm",
+        "train.num_iterations=4", "train.checkpoint_every=4",
+    ]
+    dist_dir, single_dir = tmp_path / "dist", tmp_path / "single"
+
+    def env_for(pid):
+        e = {**os.environ,
+             "PYTHONPATH": f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
+             "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+             "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+             "JAX_NUM_PROCESSES": "2",
+             "JAX_PROCESS_ID": str(pid)}
+        e.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU tunnel in the workers
+        return e
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "multimodalworddiscovery_tpu.cli", "train",
+             "--workdir", str(dist_dir), *overrides,
+             "train.data_parallel=true", "train.distributed=true"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(REPO), env=env_for(i),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"cli worker {i} failed:\n{out[-4000:]}"
+    assert "iter    3" in outs[0], outs[0][-2000:]  # coordinator logs
+    assert "iter" not in outs[1], outs[1][-2000:]   # follower is quiet
+
+    # single-host reference run of the same CLI config
+    r = subprocess.run(
+        [sys.executable, "-m", "multimodalworddiscovery_tpu.cli", "train",
+         "--workdir", str(single_dir), *overrides],
+        capture_output=True, text=True, cwd=str(REPO),
+        env={**os.environ,
+             "PYTHONPATH": f"{REPO}:{os.environ.get('PYTHONPATH', '')}",
+             "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    def lls(d):
+        rows = [json.loads(l) for l in (d / "train_metrics.jsonl").read_text().splitlines()]
+        return [row["loglik"] for row in rows]
+
+    np.testing.assert_allclose(lls(dist_dir), lls(single_dir), rtol=1e-5)
+    assert (dist_dir / "ckpt").exists() and (dist_dir / "config.json").exists()
+
+
+def test_process_slice_partition():
+    from multimodalworddiscovery_tpu.parallel import multihost
+
+    for n, p in [(24, 2), (7, 3), (8, 8), (5, 8)]:
+        spans = [multihost.process_slice(n, i, p) for i in range(p)]
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c and b - a >= d - c >= 0
