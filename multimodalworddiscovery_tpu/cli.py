@@ -59,6 +59,12 @@ def _load_data(cfg) -> tuple[Corpus, GoldAnnotations | None]:
         return corpus, gold
     if cfg.data.source == "disk":
         return load_corpus(cfg.data.dir, cfg.data.name)
+    if cfg.data.source == "stream":
+        # decode/eval-time convenience: materialize the sharded corpus (the
+        # TRAIN path never calls this — cmd_train streams shard by shard)
+        from multimodalworddiscovery_tpu.data.stream import ShardedCorpusReader
+
+        return ShardedCorpusReader(cfg.data.dir).materialize()
     raise ValueError(f"unknown data.source {cfg.data.source!r}")
 
 
@@ -280,6 +286,94 @@ def _load_workdir_config(workdir: Path):
     return cfg
 
 
+def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
+    """Out-of-core EM: the corpus never materializes — fixed-shape shards
+    stream from disk (data/stream.py) with I/O prefetch, counts accumulate
+    on device, one M-step per iteration.  Exact (counts are additive)."""
+    from multimodalworddiscovery_tpu.data.stream import (
+        ShardedCorpusReader,
+        train_streaming,
+    )
+
+    if cfg.model.name not in ("model1", "hmm", "hmm_gaussian"):
+        raise SystemExit(
+            "data.source=stream trains the closed-form EM aligners "
+            "(model1/hmm/hmm_gaussian); materialize the corpus "
+            "(data.source=disk) for gradient-trained models"
+        )
+    if (
+        str(cfg.train.get("bucket_edges", "")).strip()
+        or int(cfg.train.get("batch_size", 0))
+        or int(cfg.train.get("corpus_chunks", 1)) > 1
+        or int(cfg.model.get("anneal_iters", 0) or 0)
+    ):
+        raise SystemExit(
+            "data.source=stream already bounds memory by shard_size; it does "
+            "not compose with bucket_edges/batch_size/corpus_chunks/"
+            "anneal_iters"
+        )
+    if cfg.train.get("distributed", False):
+        raise SystemExit(
+            "data.source=stream is single-host for now; for multi-host use "
+            "train.distributed with a resident corpus"
+        )
+
+    reader = ShardedCorpusReader(cfg.data.dir)
+    shard0 = reader.load_shard(0)
+    # params are seeded from shard 0's statistics (vocab/shape constants are
+    # corpus-wide from the manifest; data-dependent seeding like
+    # init=vq_teacher sees one shard)
+    mod, params, _ = _make_model(cfg, shard0)
+
+    if cfg.model.name == "model1":
+        ckw: dict = {}
+        mkw: dict = {"smoothing": cfg.model.smoothing}
+    else:
+        ckw = {
+            "use_pallas": _resolve_use_pallas(cfg, shard0),
+            "dot_dtype": cfg.model.get("dot_dtype", "float32"),
+        }
+        mkw = (
+            {"smoothing": cfg.model.smoothing}
+            if cfg.model.name == "hmm" else {}
+        )
+    mesh = make_mesh() if cfg.train.data_parallel else None
+
+    ckpt = CheckpointManager(workdir / "ckpt")
+    writer = MetricsWriter(
+        workdir / "train_metrics.jsonl",
+        tensorboard_dir=(workdir / "tb") if cfg.train.get("tensorboard", False) else None,
+    )
+    start = 0
+    if ckpt.latest_step() is not None and not args.fresh:
+        params, start = ckpt.restore(params)
+        start += 1
+        print(f"resumed from iteration {start}")
+
+    def on_iteration(i, p, ll):
+        it = start + i
+        writer.write(it, loglik=ll)
+        print(f"iter {it:4d}  loglik {ll:.2f}")
+        if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
+            ckpt.save(it, p)
+
+    t0 = time.perf_counter()
+    params, lls = train_streaming(
+        mod, params, reader, cfg.train.num_iterations - start,
+        count_kwargs=ckw, m_step_kwargs=mkw, mesh=mesh,
+        prefetch=int(cfg.train.get("stream_prefetch", 1)),
+        on_iteration=on_iteration,
+    )
+    ckpt.close()
+    writer.close()
+    print(
+        f"streamed EM over {reader.num_shards} shards x {reader.shard_size} "
+        f"utterances ({reader.n} total"
+        + (f", {mesh.shape} mesh" if mesh else "")
+        + f") in {time.perf_counter() - t0:.2f}s"
+    )
+
+
 def cmd_train(args) -> None:
     cfg = load_config(args.config) if args.config else base_config()
     apply_overrides(cfg, args.override)
@@ -298,6 +392,10 @@ def cmd_train(args) -> None:
     workdir.mkdir(parents=True, exist_ok=True)
     if is_coord:
         _save_config(cfg, workdir)
+
+    if cfg.data.source == "stream":
+        _train_streaming_cmd(cfg, args, workdir)
+        return
 
     corpus, _ = _load_data(cfg)
     mod, params, step = _make_model(cfg, corpus)
@@ -532,6 +630,23 @@ def cmd_train(args) -> None:
     writer.close()
     if is_coord:
         print(f"trained {cfg.train.num_iterations - start} iterations in {t_total:.2f}s")
+
+
+def cmd_shard(args) -> None:
+    """Split a corpus (synthetic or disk) into fixed-shape shards for
+    streaming EM (data/stream.py)."""
+    from multimodalworddiscovery_tpu.data.stream import write_shards
+
+    cfg = load_config(args.config) if args.config else base_config()
+    apply_overrides(cfg, args.override)
+    if cfg.data.source == "stream":
+        raise SystemExit("source corpus must be synthetic or disk, not stream")
+    corpus, gold = _load_data(cfg)
+    n = write_shards(corpus, args.output, args.shard_size, gold=gold)
+    print(
+        f"wrote {n} shards x {args.shard_size} utterances "
+        f"({corpus.n} total) to {args.output}"
+    )
 
 
 def _restore(workdir: Path, overrides: list[str] | None = None):
@@ -950,6 +1065,17 @@ def main() -> None:
     p_pre.add_argument("--output", required=True)
     p_pre.add_argument("--name", default="corpus")
     p_pre.set_defaults(fn=cmd_preprocess)
+
+    p_shard = sub.add_parser(
+        "shard",
+        help="split a corpus into fixed-shape shards for out-of-core "
+             "streaming EM (then train with data.source=stream data.dir=...)",
+    )
+    p_shard.add_argument("--config", default=None, help="python config file")
+    p_shard.add_argument("--output", required=True, help="shard directory")
+    p_shard.add_argument("--shard-size", type=int, required=True)
+    p_shard.add_argument("--override", nargs="*", default=[])
+    p_shard.set_defaults(fn=cmd_shard)
 
     p_exp = sub.add_parser("export", help="export model params as plain .npz")
     p_exp.add_argument("--workdir", required=True)

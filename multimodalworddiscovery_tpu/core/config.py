@@ -97,6 +97,9 @@ def base_config() -> ConfigDict:
     cfg.train.corpus_chunks = 1
     # also emit TensorBoard scalars to <workdir>/tb (JSONL stays canonical)
     cfg.train.tensorboard = False
+    # data.source=stream: shards loaded ahead of compute by the reader
+    # thread (out-of-core EM, data/stream.py); 1 = plain double buffering
+    cfg.train.stream_prefetch = 1
 
     cfg.eval = ConfigDict()
     cfg.eval.boundary_tolerance = 1

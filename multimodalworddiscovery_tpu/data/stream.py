@@ -1,0 +1,240 @@
+"""Out-of-core streaming EM: sharded on-disk corpora + double-buffered I/O.
+
+The reference holds every corpus in Python lists in RAM and loops utterances
+(SURVEY.md §1/§3.1); its ceiling is host memory.  The resident-corpus path
+here already scales past HBM via the chunk-scanned E-step
+(``train.corpus_chunks``), but the corpus still had to fit host RAM once.
+This module removes that ceiling: the corpus lives on disk as fixed-shape
+shards, and EM streams them through the device.
+
+Why this is EXACT (not minibatch SGD): expected counts are additive over
+utterances, so per-iteration
+
+    counts = sum_k expected_counts(params, shard_k);  m_step once
+
+is bit-for-bit the full-batch E-step up to float addition order.
+
+TPU-shaped design decisions:
+
+- Every shard has the SAME padded shape ([shard_size, Ts] / [shard_size, Tt],
+  short shards padded with zero-length utterances) so ONE jitted
+  ``expected_counts`` is compiled and reused for all shards and all
+  iterations — no shape-polymorphic retraces.
+- Shards are plain ``.npy`` files opened with ``mmap_mode="r"``: loading a
+  shard touches only its bytes; host residency is O(shard), not O(corpus).
+- Double buffering: a reader thread mmap-reads and ``jax.device_put``s shard
+  k+1 while the device computes counts for shard k (JAX's async dispatch
+  overlaps the H2D copy with compute), hiding disk+PCIe latency.
+
+Layout of a shard directory (``write_shards``):
+
+    manifest.json   {"name", "num_shards", "shard_size", "n", "max_src_len",
+                     "max_trg_len", "src_vocab", "trg_vocab"}
+    src_<k>.npy  src_len_<k>.npy  trg_<k>.npy  trg_len_<k>.npy
+"""
+
+from __future__ import annotations
+
+import json
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from multimodalworddiscovery_tpu.data.corpus import Corpus
+
+
+def write_shards(
+    corpus: Corpus, directory: str | Path, shard_size: int, name: str = "corpus",
+    gold=None,
+) -> int:
+    """Split a (host- or device-resident) corpus into fixed-shape shards.
+
+    For corpora too large to ever materialize, build shard files directly in
+    this layout (they are plain ``np.save`` arrays) and write the manifest;
+    ``ShardedCorpusReader`` only needs the files, not this writer.  ``gold``
+    annotations (if any) are saved beside the shards for decode-time
+    evaluation.  Returns the number of shards written.
+    """
+    d = Path(directory)
+    d.mkdir(parents=True, exist_ok=True)
+    n = corpus.n
+    num_shards = max(1, -(-n // shard_size))
+    padded = corpus.pad_to(num_shards * shard_size)
+    arrays = {
+        "src": np.asarray(padded.src),
+        "src_len": np.asarray(padded.src_len),
+        "trg": np.asarray(padded.trg),
+        "trg_len": np.asarray(padded.trg_len),
+    }
+    for k in range(num_shards):
+        lo, hi = k * shard_size, (k + 1) * shard_size
+        for field, arr in arrays.items():
+            np.save(d / f"{field}_{k}.npy", arr[lo:hi])
+    (d / "manifest.json").write_text(json.dumps({
+        "name": name,
+        "num_shards": num_shards,
+        "shard_size": shard_size,
+        "n": n,
+        "max_src_len": corpus.max_src_len,
+        "max_trg_len": corpus.max_trg_len,
+        "src_vocab": corpus.src_vocab,
+        "trg_vocab": corpus.trg_vocab,
+    }))
+    if gold is not None:
+        from multimodalworddiscovery_tpu.data.io import save_alignment_json
+
+        save_alignment_json(
+            gold.alignment, np.asarray(corpus.src_len), d / "gold.json",
+            segments=gold.segments,
+        )
+    return num_shards
+
+
+class ShardedCorpusReader:
+    """mmap-backed reader for a ``write_shards`` directory."""
+
+    def __init__(self, directory: str | Path):
+        self.directory = Path(directory)
+        m = json.loads((self.directory / "manifest.json").read_text())
+        self.num_shards: int = m["num_shards"]
+        self.shard_size: int = m["shard_size"]
+        self.n: int = m["n"]
+        self.max_src_len: int = m["max_src_len"]
+        self.max_trg_len: int = m["max_trg_len"]
+        self.src_vocab: int = m["src_vocab"]
+        self.trg_vocab: int = m["trg_vocab"]
+
+    def load_shard(self, k: int, sharding=None) -> Corpus:
+        """Shard ``k`` as a device-resident Corpus.
+
+        ``np.ascontiguousarray`` on the mmap slice reads only this shard's
+        bytes; ``device_put`` is async, so when called from the prefetch
+        thread the H2D copy overlaps the current shard's compute.
+        """
+        if not 0 <= k < self.num_shards:
+            raise IndexError(f"shard {k} of {self.num_shards}")
+
+        def rd(field):
+            arr = np.load(self.directory / f"{field}_{k}.npy", mmap_mode="r")
+            return jax.device_put(np.ascontiguousarray(arr), sharding)
+
+        return Corpus(
+            src=rd("src"), src_len=rd("src_len"),
+            trg=rd("trg"), trg_len=rd("trg_len"),
+            src_vocab=self.src_vocab, trg_vocab=self.trg_vocab,
+        )
+
+    def materialize(self) -> tuple[Corpus, Any]:
+        """Whole corpus resident (decode/eval-time convenience, trims the
+        last shard's padding back to the true N).  Training should stream —
+        this exists so `mwd align/evaluate` work on stream-trained workdirs
+        when the corpus fits RAM; (corpus, gold-or-None)."""
+        fields = {}
+        for field in ("src", "src_len", "trg", "trg_len"):
+            parts = [
+                np.load(self.directory / f"{field}_{k}.npy")
+                for k in range(self.num_shards)
+            ]
+            fields[field] = np.concatenate(parts)[: self.n]
+        corpus = Corpus(
+            src=jax.numpy.asarray(fields["src"]),
+            src_len=jax.numpy.asarray(fields["src_len"]),
+            trg=jax.numpy.asarray(fields["trg"]),
+            trg_len=jax.numpy.asarray(fields["trg_len"]),
+            src_vocab=self.src_vocab, trg_vocab=self.trg_vocab,
+        )
+        gold = None
+        if (self.directory / "gold.json").exists():
+            from multimodalworddiscovery_tpu.data.io import load_alignment_json
+
+            gold = load_alignment_json(
+                self.directory / "gold.json", self.n, self.max_src_len
+            )
+        return corpus, gold
+
+
+def stream_expected_counts(
+    count_fn: Callable[[Any, Corpus], tuple[Any, jax.Array]],
+    params: Any,
+    reader: ShardedCorpusReader,
+    sharding=None,
+    prefetch: int = 1,
+) -> tuple[Any, jax.Array]:
+    """Sum ``count_fn(params, shard)`` over all shards with I/O prefetch.
+
+    ``count_fn`` must be the jitted per-shard E-step (same static shapes for
+    every shard — one compile).  ``prefetch`` shards are loaded ahead on a
+    reader thread.  Returns (counts, loglik) for the WHOLE corpus.
+    """
+    k_total = reader.num_shards
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = [
+            ex.submit(reader.load_shard, k, sharding)
+            for k in range(min(prefetch, k_total))
+        ]
+        total, ll = None, None
+        for k in range(k_total):
+            shard = pending.pop(0).result()
+            if k + prefetch < k_total:
+                pending.append(
+                    ex.submit(reader.load_shard, k + prefetch, sharding)
+                )
+            counts, l = count_fn(params, shard)
+            if total is None:
+                total, ll = counts, l
+            else:
+                total = jax.tree.map(jax.numpy.add, total, counts)
+                ll = ll + l
+    return total, ll
+
+
+def train_streaming(
+    mod: Any,
+    params: Any,
+    reader: ShardedCorpusReader,
+    num_iterations: int,
+    count_kwargs: dict | None = None,
+    m_step_kwargs: dict | None = None,
+    mesh=None,
+    prefetch: int = 1,
+    on_iteration: Callable[[int, Any, float], None] | None = None,
+):
+    """Exact out-of-core EM for the closed-form aligners (model1 / hmm /
+    hmm_gaussian): stream shards from disk every iteration, one M-step per
+    iteration.  With ``mesh``, each shard is additionally sharded over the
+    device mesh ('data' axis) and the per-shard E-step runs data-parallel
+    (GSPMD inserts the psum) — disk -> host -> every chip, no chip ever
+    holds more than shard_size / n_devices utterances.
+
+    Returns (params, [loglik per iteration]).
+    """
+    ckw = dict(count_kwargs or {})
+    mkw = dict(m_step_kwargs or {})
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from multimodalworddiscovery_tpu.core.mesh import DATA_AXIS
+
+        if reader.shard_size % mesh.shape[DATA_AXIS] != 0:
+            raise ValueError(
+                f"shard_size {reader.shard_size} must divide by the mesh's "
+                f"{mesh.shape[DATA_AXIS]} devices"
+            )
+        sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    count_fn = jax.jit(lambda p, c: mod.expected_counts(p, c, **ckw))
+    m_fn = jax.jit(lambda p, c: mod.m_step(p, c, **mkw))
+    lls = []
+    for it in range(num_iterations):
+        counts, ll = stream_expected_counts(
+            count_fn, params, reader, sharding=sharding, prefetch=prefetch
+        )
+        params = m_fn(params, counts)
+        lls.append(float(ll))
+        if on_iteration is not None:
+            on_iteration(it, params, lls[-1])
+    return params, lls

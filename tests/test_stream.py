@@ -1,0 +1,171 @@
+"""Out-of-core streaming EM (data/stream.py).
+
+The key property: streamed EM is EXACT — per-iteration counts are the sum of
+per-shard counts, so params/loglik match the resident full-batch EM to float
+tolerance, for every closed-form model, any shard size, any prefetch depth,
+with or without a device mesh.
+"""
+
+import json
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+from multimodalworddiscovery_tpu.data.stream import (
+    ShardedCorpusReader,
+    stream_expected_counts,
+    train_streaming,
+    write_shards,
+)
+from multimodalworddiscovery_tpu.models import hmm, hmm_gaussian, model1
+
+
+@pytest.fixture(scope="module")
+def corpus_gold():
+    return make_flickr8k_mini(n_utterances=30, n_concepts=10, n_phones=16, seed=3)
+
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory, corpus_gold):
+    corpus, gold, _ = corpus_gold
+    d = tmp_path_factory.mktemp("shards")
+    n = write_shards(corpus, d, shard_size=8, gold=gold)
+    assert n == 4  # 30 utterances -> 4 shards of 8 (last padded)
+    return d
+
+
+def test_reader_roundtrip(shard_dir, corpus_gold):
+    corpus, gold, _ = corpus_gold
+    r = ShardedCorpusReader(shard_dir)
+    assert (r.num_shards, r.shard_size, r.n) == (4, 8, 30)
+    s0 = r.load_shard(0)
+    np.testing.assert_array_equal(np.asarray(s0.src), np.asarray(corpus.src[:8]))
+    assert s0.src_vocab == corpus.src_vocab
+    # last shard padding is zero-length utterances
+    s3 = r.load_shard(3)
+    assert np.asarray(s3.src_len)[-2:].sum() == 0
+    with pytest.raises(IndexError):
+        r.load_shard(4)
+    # materialize trims back to the true N and restores gold
+    full, g2 = r.materialize()
+    assert full.n == 30
+    np.testing.assert_array_equal(np.asarray(full.src), np.asarray(corpus.src))
+    np.testing.assert_array_equal(g2.alignment, gold.alignment)
+
+
+@pytest.mark.parametrize("mod_name", ["model1", "hmm"])
+@pytest.mark.parametrize("prefetch", [1, 3])
+def test_streaming_em_exact(shard_dir, corpus_gold, mod_name, prefetch):
+    corpus, _, _ = corpus_gold
+    mod = {"model1": model1, "hmm": hmm}[mod_name]
+    reader = ShardedCorpusReader(shard_dir)
+    p0 = mod.init(reader.load_shard(0))
+
+    ps, lls = train_streaming(mod, p0, reader, 3, prefetch=prefetch)
+    pr, lls_ref = jax.jit(lambda p, c: mod.train(p, c, 3))(mod.init(corpus), corpus)
+    np.testing.assert_allclose(lls, np.asarray(lls_ref), rtol=1e-5)
+    leaves_s = jax.tree_util.tree_leaves(ps)
+    leaves_r = jax.tree_util.tree_leaves(pr)
+    for a, b in zip(leaves_s, leaves_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_streaming_em_gaussian_exact(tmp_path, corpus_gold):
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    write_shards(fc, tmp_path, shard_size=10)
+    reader = ShardedCorpusReader(tmp_path)
+    key = jax.random.PRNGKey(0)
+    p0 = hmm_gaussian.init(fc, key=key)
+    ps, lls = train_streaming(hmm_gaussian, p0, reader, 2)
+    pr, lls_ref = jax.jit(
+        lambda p, c: hmm_gaussian.train(p, c, 2)
+    )(hmm_gaussian.init(fc, key=key), fc)
+    np.testing.assert_allclose(lls, np.asarray(lls_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ps.means), np.asarray(pr.means), atol=1e-4
+    )
+
+
+def test_streaming_with_mesh(shard_dir, corpus_gold):
+    corpus, _, _ = corpus_gold
+    from multimodalworddiscovery_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh()  # 8 virtual CPU devices; shard_size=8 divides evenly
+    reader = ShardedCorpusReader(shard_dir)
+    p0 = hmm.init(reader.load_shard(0))
+    ps, lls = train_streaming(hmm, p0, reader, 2, mesh=mesh)
+    pr, lls_ref = jax.jit(lambda p, c: hmm.train(p, c, 2))(hmm.init(corpus), corpus)
+    np.testing.assert_allclose(lls, np.asarray(lls_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ps.log_emit), np.asarray(pr.log_emit), atol=1e-4
+    )
+
+
+def test_stream_counts_match_single_call(shard_dir, corpus_gold):
+    corpus, _, _ = corpus_gold
+    reader = ShardedCorpusReader(shard_dir)
+    params = hmm.init(corpus)
+    fn = jax.jit(lambda p, c: hmm.expected_counts(p, c))
+    counts_s, ll_s = stream_expected_counts(fn, params, reader)
+    counts_r, ll_r = fn(params, corpus.pad_to(32))
+    np.testing.assert_allclose(float(ll_s), float(ll_r), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(counts_s),
+                    jax.tree_util.tree_leaves(counts_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
+
+
+def test_cli_shard_train_evaluate(tmp_path):
+    """mwd shard -> train (data.source=stream) -> align/evaluate e2e."""
+    from multimodalworddiscovery_tpu import cli
+
+    shard_dir = tmp_path / "shards"
+    wd = tmp_path / "wd"
+    old = sys.argv
+    try:
+        sys.argv = ["mwd", "shard", "--output", str(shard_dir),
+                    "--shard-size", "8",
+                    "--override", "data.n_utterances=30", "data.n_concepts=10"]
+        cli.main()
+        assert (shard_dir / "manifest.json").exists()
+
+        sys.argv = ["mwd", "train", "--workdir", str(wd),
+                    "--override", "data.source=stream",
+                    f"data.dir={shard_dir}", "model.name=hmm",
+                    "train.num_iterations=3", "train.checkpoint_every=3"]
+        cli.main()
+        rows = [json.loads(l) for l in (wd / "train_metrics.jsonl").read_text().splitlines()]
+        assert len(rows) == 3
+        assert rows[-1]["loglik"] > rows[0]["loglik"]
+
+        sys.argv = ["mwd", "evaluate", "--workdir", str(wd)]
+        cli.main()
+        metrics = json.loads((wd / "metrics.json").read_text())
+        assert metrics["alignment"]["f1"] > 0.5
+    finally:
+        sys.argv = old
+
+
+def test_streaming_resume(tmp_path, shard_dir):
+    """Checkpoint mid-run, retrain: resumes from the saved iteration."""
+    from multimodalworddiscovery_tpu import cli
+
+    wd = tmp_path / "wd"
+    base = ["mwd", "train", "--workdir", str(wd),
+            "--override", "data.source=stream", f"data.dir={shard_dir}",
+            "model.name=model1", "train.checkpoint_every=2"]
+    old = sys.argv
+    try:
+        sys.argv = base + ["train.num_iterations=2"]
+        cli.main()
+        sys.argv = base + ["train.num_iterations=4"]
+        cli.main()
+        rows = [json.loads(l) for l in (wd / "train_metrics.jsonl").read_text().splitlines()]
+        assert [r["step"] for r in rows] == [0, 1, 2, 3]
+    finally:
+        sys.argv = old
