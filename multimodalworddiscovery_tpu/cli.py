@@ -312,11 +312,8 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
             "not compose with bucket_edges/batch_size/corpus_chunks/"
             "anneal_iters"
         )
-    if cfg.train.get("distributed", False):
-        raise SystemExit(
-            "data.source=stream is single-host for now; for multi-host use "
-            "train.distributed with a resident corpus"
-        )
+    distributed = bool(cfg.train.get("distributed", False))
+    is_coord = (not distributed) or jax.process_index() == 0
 
     reader = ShardedCorpusReader(cfg.data.dir)
     shard0 = reader.load_shard(0)
@@ -337,7 +334,12 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
             {"smoothing": cfg.model.smoothing}
             if cfg.model.name == "hmm" else {}
         )
-    mesh = make_mesh() if cfg.train.data_parallel else None
+    if distributed:
+        from multimodalworddiscovery_tpu.parallel import multihost
+
+        mesh = multihost.global_mesh()
+    else:
+        mesh = make_mesh() if cfg.train.data_parallel else None
 
     ckpt = CheckpointManager(workdir / "ckpt")
     writer = MetricsWriter(
@@ -348,30 +350,42 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
     if ckpt.latest_step() is not None and not args.fresh:
         params, start = ckpt.restore(params)
         start += 1
-        print(f"resumed from iteration {start}")
+        if is_coord:
+            print(f"resumed from iteration {start}")
 
     def on_iteration(i, p, ll):
         it = start + i
-        writer.write(it, loglik=ll)
-        print(f"iter {it:4d}  loglik {ll:.2f}")
+        if is_coord:
+            writer.write(it, loglik=ll)
+            print(f"iter {it:4d}  loglik {ll:.2f}")
         if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
-            ckpt.save(it, p)
+            # collective under jax.distributed (see cmd_train)
+            ckpt.save(it, jax.tree.map(_host_local_copy, p) if distributed else p)
 
     t0 = time.perf_counter()
-    params, lls = train_streaming(
-        mod, params, reader, cfg.train.num_iterations - start,
-        count_kwargs=ckw, m_step_kwargs=mkw, mesh=mesh,
-        prefetch=int(cfg.train.get("stream_prefetch", 1)),
-        on_iteration=on_iteration,
-    )
+    if distributed:
+        # pod-scale out-of-core: every process streams ITS OWN shard subset
+        params, lls = multihost.train_streaming_multihost(
+            mod, params, reader, cfg.train.num_iterations - start,
+            mesh=mesh, count_kwargs=ckw, m_step_kwargs=mkw,
+            on_iteration=on_iteration,
+        )
+    else:
+        params, lls = train_streaming(
+            mod, params, reader, cfg.train.num_iterations - start,
+            count_kwargs=ckw, m_step_kwargs=mkw, mesh=mesh,
+            prefetch=int(cfg.train.get("stream_prefetch", 1)),
+            on_iteration=on_iteration,
+        )
     ckpt.close()
     writer.close()
-    print(
-        f"streamed EM over {reader.num_shards} shards x {reader.shard_size} "
-        f"utterances ({reader.n} total"
-        + (f", {mesh.shape} mesh" if mesh else "")
-        + f") in {time.perf_counter() - t0:.2f}s"
-    )
+    if is_coord:
+        print(
+            f"streamed EM over {reader.num_shards} shards x {reader.shard_size} "
+            f"utterances ({reader.n} total"
+            + (f", {mesh.shape} mesh" if mesh else "")
+            + f") in {time.perf_counter() - t0:.2f}s"
+        )
 
 
 def cmd_train(args) -> None:

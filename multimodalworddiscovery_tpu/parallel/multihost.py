@@ -146,3 +146,92 @@ def replicate_to_global(pytree, mesh: Mesh):
     return multihost_utils.host_local_array_to_global_array(
         pytree, mesh, P()
     )
+
+
+def train_streaming_multihost(
+    mod,
+    params,
+    reader,
+    num_iterations: int,
+    mesh: Mesh | None = None,
+    count_kwargs: dict | None = None,
+    m_step_kwargs: dict | None = None,
+    axis_name: str = DATA_AXIS,
+    on_iteration=None,
+):
+    """Pod-scale out-of-core EM: every process streams ITS OWN shard subset.
+
+    Composition of ``data/stream.py`` (exact streamed counts) with the
+    process-spanning mesh: in round ``r`` process ``p`` mmap-loads shard
+    ``r*P + p`` from its reader (a shared filesystem or a per-host copy of
+    the shard directory), the P local shards are assembled into one global
+    round-corpus of ``P * shard_size`` utterances, and a single jitted
+    E-step computes its counts (GSPMD inserts the cross-host reduction).
+    ceil(K/P) rounds cover the corpus; processes past the last shard
+    contribute an all-zero shard (zero-length utterances add zero counts —
+    the same invariant corpus padding relies on everywhere).  One replicated
+    M-step per iteration.  Exact: identical to resident full-batch EM up to
+    float addition order.
+
+    Host residency per process: O(shard).  HBM per device:
+    O(shard_size / local_device_count) utterances of activations.
+
+    ``params`` may be host-local (identical on every process, e.g. from a
+    deterministic init or a restored checkpoint) — they are lifted to
+    replicated global arrays here.  Returns (params, [loglik/iter]).
+    """
+    if mesh is None:
+        mesh = global_mesh(axis_name)
+    ckw = dict(count_kwargs or {})
+    mkw = dict(m_step_kwargs or {})
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    rounds = -(-reader.num_shards // n_proc)
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def local_arrays(k: int) -> dict:
+        if k < reader.num_shards:
+            return {
+                f: np.ascontiguousarray(
+                    np.load(reader.directory / f"{f}_{k}.npy", mmap_mode="r")
+                )
+                for f in ("src", "src_len", "trg", "trg_len")
+            }
+        return {  # past the end: zero-length utterances, zero counts
+            f: np.zeros_like(
+                np.load(reader.directory / f"{f}_0.npy", mmap_mode="r")
+            )
+            for f in ("src", "src_len", "trg", "trg_len")
+        }
+
+    from multimodalworddiscovery_tpu.data.corpus import Corpus
+
+    def round_corpus(r: int) -> Corpus:
+        loc = local_arrays(r * n_proc + pid)
+        return Corpus(
+            src=jax.make_array_from_process_local_data(sharding, loc["src"]),
+            src_len=jax.make_array_from_process_local_data(sharding, loc["src_len"]),
+            trg=jax.make_array_from_process_local_data(sharding, loc["trg"]),
+            trg_len=jax.make_array_from_process_local_data(sharding, loc["trg_len"]),
+            src_vocab=reader.src_vocab,
+            trg_vocab=reader.trg_vocab,
+        )
+
+    params = replicate_to_global(params, mesh)
+    repl = NamedSharding(mesh, P())
+    count_fn = jax.jit(
+        lambda p, c: mod.expected_counts(p, c, **ckw), out_shardings=repl
+    )
+    m_fn = jax.jit(lambda p, c: mod.m_step(p, c, **mkw), out_shardings=repl)
+    sum_fn = jax.jit(
+        lambda rs: jax.tree.map(lambda *xs: sum(xs[1:], xs[0]), *rs)
+    )
+    lls = []
+    for it in range(num_iterations):
+        results = [count_fn(params, round_corpus(r)) for r in range(rounds)]
+        counts, ll = sum_fn(results) if len(results) > 1 else results[0]
+        params = m_fn(params, counts)
+        lls.append(float(ll))
+        if on_iteration is not None:
+            on_iteration(it, params, lls[-1])
+    return params, lls

@@ -1,0 +1,49 @@
+"""Worker for test_multihost.py::test_two_process_streaming_em — one process
+of a 2-process POD-SCALE OUT-OF-CORE EM run: each process mmap-streams its
+own shard subset (parallel/multihost.train_streaming_multihost) and the
+result must match resident single-process EM.
+
+The shard directory has 5 shards over 2 processes: 3 rounds, the last round
+padded with an all-zero shard on process 1 — exercising the uneven tail.
+
+Usage: python multihost_stream_worker.py <pid> <nproc> <port> <shard_dir>
+"""
+
+import os
+import sys
+
+pid, nproc, port, shard_dir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/mwd_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+
+from multimodalworddiscovery_tpu.parallel import multihost
+
+multihost.initialize(f"localhost:{port}", nproc, pid)
+
+from multimodalworddiscovery_tpu.data.stream import ShardedCorpusReader
+from multimodalworddiscovery_tpu.models import hmm
+
+reader = ShardedCorpusReader(shard_dir)
+assert reader.num_shards % nproc != 0, "test wants an uneven tail"
+
+params0 = hmm.init(reader.load_shard(0))
+params, lls = multihost.train_streaming_multihost(hmm, params0, reader, 3)
+
+# reference: resident single-process EM on the materialized corpus
+full, _ = reader.materialize()
+ref, lls_ref = jax.jit(lambda p, c: hmm.train(p, c, 3))(hmm.init(full), full)
+np.testing.assert_allclose(lls, np.asarray(lls_ref), rtol=1e-5)
+np.testing.assert_allclose(
+    np.asarray(params.log_emit), np.asarray(ref.log_emit), atol=1e-4
+)
+print(f"PARITY OK {lls[-1]:.6f}", flush=True)

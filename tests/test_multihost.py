@@ -131,6 +131,46 @@ def test_two_process_cli_train(tmp_path):
     assert (dist_dir / "ckpt").exists() and (dist_dir / "config.json").exists()
 
 
+def test_two_process_streaming_em(tmp_path):
+    """Pod-scale out-of-core EM: two OS processes, each streaming its own
+    shard subset (5 shards -> 3 rounds, uneven tail), must match resident
+    single-process EM (tests/multihost_stream_worker.py)."""
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.data.stream import write_shards
+
+    corpus, gold, _ = make_flickr8k_mini(
+        n_utterances=20, n_concepts=10, n_phones=16, seed=5
+    )
+    shard_dir = tmp_path / "shards"
+    assert write_shards(corpus, shard_dir, shard_size=4, gold=gold) == 5
+
+    worker = WORKER.parent / "multihost_stream_worker.py"
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port),
+             str(shard_dir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(REPO),
+            env={**os.environ,
+                 "PYTHONPATH": f"{REPO}:{os.environ.get('PYTHONPATH', '')}"},
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"stream worker {i} failed:\n{out[-4000:]}"
+        assert "PARITY OK" in out, f"stream worker {i}:\n{out[-4000:]}"
+
+
 def test_process_slice_partition():
     from multimodalworddiscovery_tpu.parallel import multihost
 
