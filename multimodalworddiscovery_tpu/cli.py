@@ -392,6 +392,16 @@ def cmd_train(args) -> None:
     cfg = load_config(args.config) if args.config else base_config()
     apply_overrides(cfg, args.override)
 
+    if cfg.train.get("profile", False) and not getattr(args, "_profiling", False):
+        # capture the WHOLE training run (compile + steps) as a device trace
+        from multimodalworddiscovery_tpu.utils.profiling import trace
+
+        args._profiling = True
+        with trace(Path(args.workdir) / "profile"):
+            cmd_train(args)
+        print(f"wrote device trace to {Path(args.workdir) / 'profile'}")
+        return
+
     distributed = bool(cfg.train.get("distributed", False))
     if distributed:
         # must run before the first backend touch (i.e. before _load_data)

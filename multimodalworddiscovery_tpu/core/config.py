@@ -100,6 +100,9 @@ def base_config() -> ConfigDict:
     # data.source=stream: shards loaded ahead of compute by the reader
     # thread (out-of-core EM, data/stream.py); 1 = plain double buffering
     cfg.train.stream_prefetch = 1
+    # capture a device trace of the whole training loop to <workdir>/profile
+    # (open in Perfetto / TensorBoard's profile plugin)
+    cfg.train.profile = False
 
     cfg.eval = ConfigDict()
     cfg.eval.boundary_tolerance = 1

@@ -439,3 +439,16 @@ def test_train_anneal_requires_gaussian(tmp_path):
             _ns(config=cfg_path, workdir=str(tmp_path / "w"), fresh=False,
                 override=["model.anneal_iters=2"])
         )
+
+
+def test_train_profile_flag(tmp_path):
+    """train.profile=true wraps the run in a jax.profiler trace and leaves a
+    non-empty <workdir>/profile directory."""
+    wd = tmp_path / "run"
+    cli.cmd_train(_ns(
+        config=None, workdir=str(wd), fresh=False,
+        override=["data.n_utterances=16", "model.name=model1",
+                  "train.num_iterations=2", "train.profile=true"],
+    ))
+    prof = wd / "profile"
+    assert prof.exists() and any(prof.rglob("*")), "no trace files written"
