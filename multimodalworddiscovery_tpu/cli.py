@@ -452,11 +452,11 @@ def cmd_train(args) -> None:
             "model.anneal_iters does not compose with train.bucket_edges; "
             "use train.corpus_chunks for memory instead"
         )
-    if distributed and (edges or batch_size):
+    if distributed and edges:
         raise SystemExit(
-            "train.distributed supports the full-corpus (optionally "
-            "corpus_chunks-scanned) EM path; bucketed EM and minibatch SGD "
-            "are single-host for now"
+            "train.distributed does not compose with train.bucket_edges "
+            "(per-bucket meshes do not span hosts); use the full-corpus, "
+            "chunked, streamed, or minibatch paths"
         )
 
     ckpt = CheckpointManager(workdir / "ckpt")
@@ -555,16 +555,34 @@ def cmd_train(args) -> None:
         # per-step on-device gather; guide computed per batch inside step) ---
         from multimodalworddiscovery_tpu.models.minibatch import make_minibatch_step
 
-        if cfg.train.data_parallel:
+        if distributed:
+            # pod-scale: process-spanning mesh, per-process corpus slice,
+            # per-device LOCAL batch sampling (no cross-host gathers),
+            # gradient all-reduce from the replicated output sharding
+            from multimodalworddiscovery_tpu.parallel import multihost
+
+            mesh = multihost.global_mesh()
+            lo, hi = multihost.process_slice(corpus.n)
+            local = jax.tree.map(lambda x: x[lo:hi], corpus)
+            corpus = multihost.global_corpus_from_local(local, mesh)
+            mb_step = make_minibatch_step(
+                step, corpus, batch_size, mesh=mesh, sample="local"
+            )
+        elif cfg.train.data_parallel:
             mesh = make_mesh()
             corpus = shard_corpus(corpus, mesh)
-        mb_step = make_minibatch_step(step, corpus, batch_size, mesh=mesh)
+            mb_step = make_minibatch_step(step, corpus, batch_size, mesh=mesh)
+        else:
+            mb_step = make_minibatch_step(step, corpus, batch_size, mesh=mesh)
 
         start = 0
         if ckpt.latest_step() is not None and not args.fresh:
             params, start = ckpt.restore(params)
             start += 1
-            print(f"resumed from step {start}")
+            if is_coord:
+                print(f"resumed from step {start}")
+        if distributed:
+            params = multihost.replicate_to_global(params, mesh)
         key = jax.random.PRNGKey(cfg.seed)
         t_total = 0.0
         for it in range(start, cfg.train.num_iterations):
@@ -574,19 +592,24 @@ def cmd_train(args) -> None:
             dt = time.perf_counter() - t0
             t_total += dt
             ll = float(stats["loglik"])
-            writer.write(it, loglik=ll, seconds=dt, batch_size=batch_size)
-            if it % 20 == 0 or it == cfg.train.num_iterations - 1:
-                print(f"step {it:5d}  loglik {ll:.2f}  ({dt*1e3:.1f} ms)")
+            if is_coord:
+                writer.write(it, loglik=ll, seconds=dt, batch_size=batch_size)
+                if it % 20 == 0 or it == cfg.train.num_iterations - 1:
+                    print(f"step {it:5d}  loglik {ll:.2f}  ({dt*1e3:.1f} ms)")
             if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
-                ckpt.save(it, params)
+                ckpt.save(
+                    it,
+                    jax.tree.map(_host_local_copy, params) if distributed else params,
+                )
         ckpt.close()
         writer.close()
-        print(
-            f"trained {cfg.train.num_iterations - start} minibatch steps "
-            f"(B={batch_size}"
-            + (f", {mesh.shape} mesh" if mesh else "")
-            + f") in {t_total:.2f}s"
-        )
+        if is_coord:
+            print(
+                f"trained {cfg.train.num_iterations - start} minibatch steps "
+                f"(B={batch_size}"
+                + (f", {mesh.shape} mesh" if mesh else "")
+                + f") in {t_total:.2f}s"
+            )
         return
 
     if cfg.train.data_parallel:

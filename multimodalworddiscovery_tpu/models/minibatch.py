@@ -47,12 +47,54 @@ def gather_batch(corpus: Corpus, idx: jax.Array) -> Corpus:
     )
 
 
+def sample_local_batch(
+    corpus: Corpus,
+    key: jax.Array,
+    batch_size: int,
+    mesh,
+    axis_name: str = DATA_AXIS,
+):
+    """Per-device stratified minibatch: each device samples batch_size/D rows
+    uniformly WITHOUT replacement from its OWN corpus shard (per-device key =
+    fold_in(key, device index)), so the gather never leaves the device.
+
+    This is the pod-scale sampling scheme: a globally-uniform gather from a
+    cross-host-sharded corpus would make GSPMD exchange corpus rows over DCN
+    every step (or worse, all-gather the operand).  Stratified-by-shard is
+    statistically equivalent for SGD when shards are i.i.d. slices of the
+    corpus (they are: utterance order carries no meaning here).
+    """
+    n_dev = mesh.shape[axis_name]
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+        )
+    b_local = batch_size // n_dev
+
+    def shard_sample(c_shard: Corpus, k):
+        d = jax.lax.axis_index(axis_name)
+        n_local = c_shard.src.shape[0]
+        idx = jax.random.permutation(jax.random.fold_in(k, d), n_local)[:b_local]
+        return gather_batch(c_shard, idx)
+
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        shard_sample,
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=P(axis_name),
+        check_vma=False,  # fold_in of the replicated key is fine per device
+    )(corpus, key)
+
+
 def make_minibatch_step(
     step_fn: StepFn,
     corpus: Corpus,
     batch_size: int,
     mesh=None,
     axis_name: str = DATA_AXIS,
+    sample: str = "global",
 ):
     """jitted ``(state, key) -> (state, stats)`` sampling a fresh minibatch.
 
@@ -60,10 +102,19 @@ def make_minibatch_step(
     teacher logic runs inside, per batch).  With ``mesh`` the batch is
     sharded over the data axis and the state kept replicated — XLA inserts
     the gradient all-reduce.  batch_size must be a multiple of the mesh size.
+
+    ``sample="global"`` draws uniformly from the whole corpus (single-host
+    default; the gather may cross devices).  ``sample="local"`` draws each
+    device's share from its own shard (`sample_local_batch`) — REQUIRED on
+    multi-host meshes, where a global gather would cross DCN every step.
     """
     n = corpus.n
     if batch_size > n:
         raise ValueError(f"batch_size {batch_size} > corpus size {n}")
+    if sample not in ("global", "local"):
+        raise ValueError(f"sample must be global|local, got {sample!r}")
+    if sample == "local" and mesh is None:
+        raise ValueError("sample='local' requires a mesh")
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -76,10 +127,16 @@ def make_minibatch_step(
         batch_sharding = NamedSharding(mesh, P(axis_name))
         repl = NamedSharding(mesh, P())
 
-    def step(state, key):
-        # uniform without replacement: prefix of a random permutation
-        idx = jax.random.permutation(key, n)[:batch_size]
-        batch = gather_batch(corpus, idx)
+    # the corpus is an ARGUMENT of the jitted step, not a closure constant:
+    # global arrays spanning other processes' devices cannot be closed over
+    # (and passing it as an operand keeps its sharding authoritative)
+    def step(state, key, c):
+        if sample == "local":
+            batch = sample_local_batch(c, key, batch_size, mesh, axis_name)
+        else:
+            # uniform without replacement: prefix of a random permutation
+            idx = jax.random.permutation(key, n)[:batch_size]
+            batch = gather_batch(c, idx)
         if mesh is not None:
             batch = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
@@ -88,8 +145,12 @@ def make_minibatch_step(
         return step_fn(state, batch)
 
     if mesh is not None:
-        return jax.jit(step, in_shardings=(repl, None), out_shardings=(repl, repl))
-    return jax.jit(step)
+        jitted = jax.jit(
+            step, in_shardings=(repl, None, None), out_shardings=(repl, repl)
+        )
+    else:
+        jitted = jax.jit(step)
+    return lambda state, key: jitted(state, key, corpus)
 
 
 def train_minibatch(

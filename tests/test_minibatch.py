@@ -117,3 +117,44 @@ def test_train_minibatch_runs_remainder_steps():
         steps_per_call=4,
     )
     assert len(lls) == 10  # 2 fused calls of 4 + 2 remainder steps
+
+
+def test_sample_local_batch_stays_on_shard():
+    """sample='local': every device's rows come from its own corpus shard
+    (the pod-scale scheme — no cross-device/host gathers)."""
+    from multimodalworddiscovery_tpu.core.mesh import make_mesh
+    from multimodalworddiscovery_tpu.models.minibatch import sample_local_batch
+    from multimodalworddiscovery_tpu.parallel import shard_corpus
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=64, seed=9)
+    mesh = make_mesh()  # 8 virtual devices -> 8-row shards
+    sharded = shard_corpus(corpus, mesh)
+    batch = sample_local_batch(sharded, jax.random.PRNGKey(0), 16, mesh)
+    src = np.asarray(batch.src)
+    cs = np.asarray(corpus.src)
+    for j in range(16):
+        matches = np.where((cs == src[j]).all(axis=1))[0]
+        assert len(matches) > 0, f"batch row {j} not found in corpus"
+        d = j // 2  # 2 rows per device
+        assert any(8 * d <= m < 8 * (d + 1) for m in matches), (j, matches)
+    # deterministic in the key, different across keys
+    b2 = sample_local_batch(sharded, jax.random.PRNGKey(0), 16, mesh)
+    np.testing.assert_array_equal(src, np.asarray(b2.src))
+    b3 = sample_local_batch(sharded, jax.random.PRNGKey(1), 16, mesh)
+    assert not np.array_equal(src, np.asarray(b3.src))
+
+
+def test_minibatch_local_sampling_trains():
+    from multimodalworddiscovery_tpu.core.mesh import make_mesh
+    from multimodalworddiscovery_tpu.parallel import shard_corpus
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=32, seed=10)
+    mesh = make_mesh()
+    sharded = shard_corpus(corpus, mesh)
+    state = attention.init(sharded, dim=32, key=jax.random.PRNGKey(0))
+    step = make_minibatch_step(
+        attention.em_step, sharded, batch_size=8, mesh=mesh, sample="local"
+    )
+    for it in range(4):
+        state, stats = step(state, jax.random.PRNGKey(it))
+        assert np.isfinite(float(stats["loss"]))

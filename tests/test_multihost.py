@@ -171,6 +171,38 @@ def test_two_process_streaming_em(tmp_path):
         assert "PARITY OK" in out, f"stream worker {i}:\n{out[-4000:]}"
 
 
+def test_two_process_minibatch(tmp_path):
+    """Distributed minibatch SGD for the gradient models: local sampling,
+    all-reduced gradients, state bit-identical across processes."""
+    worker = WORKER.parent / "multihost_minibatch_worker.py"
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(REPO),
+            env={**os.environ,
+                 "PYTHONPATH": f"{REPO}:{os.environ.get('PYTHONPATH', '')}"},
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"minibatch worker {i} failed:\n{out[-4000:]}"
+        assert "PARITY OK" in out, f"minibatch worker {i}:\n{out[-4000:]}"
+    # both processes report the identical loss and checksum
+    tails = [o.split("PARITY OK")[1].split()[:2] for o in outs]
+    assert tails[0] == tails[1], tails
+
+
 def test_process_slice_partition():
     from multimodalworddiscovery_tpu.parallel import multihost
 
