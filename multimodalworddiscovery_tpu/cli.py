@@ -368,6 +368,7 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
         params, lls = multihost.train_streaming_multihost(
             mod, params, reader, cfg.train.num_iterations - start,
             mesh=mesh, count_kwargs=ckw, m_step_kwargs=mkw,
+            prefetch=int(cfg.train.get("stream_prefetch", 1)),
             on_iteration=on_iteration,
         )
     else:
@@ -392,6 +393,19 @@ def cmd_train(args) -> None:
     cfg = load_config(args.config) if args.config else base_config()
     apply_overrides(cfg, args.override)
 
+    distributed = bool(cfg.train.get("distributed", False))
+    if distributed:
+        # must run before the first backend touch — including the profiler
+        # trace below, which initializes the backend (jax.distributed
+        # refuses to initialize after that).  multihost.initialize is
+        # idempotent, so the profiled re-entry is fine.
+        from multimodalworddiscovery_tpu.parallel import multihost
+
+        multihost.initialize()
+        if not cfg.train.data_parallel:
+            raise SystemExit("train.distributed requires train.data_parallel=true")
+    is_coord = (not distributed) or jax.process_index() == 0
+
     if cfg.train.get("profile", False) and not getattr(args, "_profiling", False):
         # capture the WHOLE training run (compile + steps) as a device trace
         from multimodalworddiscovery_tpu.utils.profiling import trace
@@ -399,18 +413,9 @@ def cmd_train(args) -> None:
         args._profiling = True
         with trace(Path(args.workdir) / "profile"):
             cmd_train(args)
-        print(f"wrote device trace to {Path(args.workdir) / 'profile'}")
+        if is_coord:
+            print(f"wrote device trace to {Path(args.workdir) / 'profile'}")
         return
-
-    distributed = bool(cfg.train.get("distributed", False))
-    if distributed:
-        # must run before the first backend touch (i.e. before _load_data)
-        from multimodalworddiscovery_tpu.parallel import multihost
-
-        multihost.initialize()
-        if not cfg.train.data_parallel:
-            raise SystemExit("train.distributed requires train.data_parallel=true")
-    is_coord = (not distributed) or jax.process_index() == 0
 
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
@@ -696,11 +701,12 @@ def cmd_shard(args) -> None:
     )
 
 
-def _restore(workdir: Path, overrides: list[str] | None = None):
-    cfg = _load_workdir_config(workdir)
-    if overrides:
-        # eval-time knobs (retrieval_pool, dtw sampling, null_threshold, ...)
-        apply_overrides(cfg, overrides)
+def _restore(workdir: Path, overrides: list[str] | None = None, cfg=None):
+    if cfg is None:
+        cfg = _load_workdir_config(workdir)
+        if overrides:
+            # eval-time knobs (retrieval_pool, dtw sampling, null_threshold, ...)
+            apply_overrides(cfg, overrides)
     corpus, gold = _load_data(cfg)
     mod, params, _ = _make_model(cfg, corpus, init_only=True)
     ckpt = CheckpointManager(workdir / "ckpt")
@@ -724,8 +730,12 @@ def _align_streaming(cfg, workdir: Path, args) -> None:
 
     import inspect
 
+    # same decode knobs as the resident _align_call
     kw = {}
     sig = inspect.signature(mod.align).parameters
+    nt = float(cfg.model.get("null_threshold", 0.0) or 0.0)
+    if nt and "null_threshold" in sig:
+        kw["null_threshold"] = nt
     if "use_pallas" in sig:
         kw["use_pallas"] = _resolve_decode_pallas(cfg, shard0)
     align_fn = jax.jit(functools.partial(mod.align, **kw))  # ONE jit, reused
@@ -752,7 +762,7 @@ def cmd_align(args) -> None:
     if cfg.data.source == "stream":
         _align_streaming(cfg, workdir, args)
         return
-    cfg, corpus, _, mod, params = _restore(workdir, getattr(args, "override", None))
+    cfg, corpus, _, mod, params = _restore(workdir, cfg=cfg)
     alignment = np.asarray(_align_call(cfg, mod, params, corpus))
     out = Path(args.output or workdir / "alignment.json")
     save_alignment_json(alignment, np.asarray(corpus.src_len), out)

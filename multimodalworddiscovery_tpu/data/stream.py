@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 from concurrent.futures import ThreadPoolExecutor
+from functools import lru_cache as _lru_cache
 from pathlib import Path
 from typing import Any, Callable
 
@@ -44,6 +45,9 @@ import jax
 import numpy as np
 
 from multimodalworddiscovery_tpu.data.corpus import Corpus
+
+# the per-shard array files: <field>_<k>.npy
+FIELDS = ("src", "src_len", "trg", "trg_len")
 
 
 def write_shards(
@@ -133,7 +137,7 @@ class ShardedCorpusReader:
         this exists so `mwd align/evaluate` work on stream-trained workdirs
         when the corpus fits RAM; (corpus, gold-or-None)."""
         fields = {}
-        for field in ("src", "src_len", "trg", "trg_len"):
+        for field in FIELDS:
             parts = [
                 np.load(self.directory / f"{field}_{k}.npy")
                 for k in range(self.num_shards)
@@ -169,27 +173,29 @@ def stream_expected_counts(
     every shard — one compile).  ``prefetch`` shards are loaded ahead on a
     reader thread.  Returns (counts, loglik) for the WHOLE corpus.
     """
+    if prefetch < 1:
+        raise ValueError(f"prefetch must be >= 1, got {prefetch}")
     k_total = reader.num_shards
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        pending = [
-            ex.submit(reader.load_shard, k, sharding)
-            for k in range(min(prefetch, k_total))
-        ]
-        results = []
-        for k in range(k_total):
-            shard = pending.pop(0).result()
-            if k + prefetch < k_total:
-                pending.append(
-                    ex.submit(reader.load_shard, k + prefetch, sharding)
-                )
-            # per-shard dispatches stay INDEPENDENT of each other so they
-            # pipeline (async dispatch overlaps executes; measured: chaining
-            # an accumulator through each call serialized the executes and
-            # cost ~40 ms/shard over the remote-relay link)
-            results.append(count_fn(params, shard))
-    # one fused tree-sum closes the E-step (a single extra dispatch,
-    # vs num_shards-1 incremental adds)
-    return _tree_sum(results)
+
+    def per_shard():
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            pending = [
+                ex.submit(reader.load_shard, k, sharding)
+                for k in range(min(prefetch, k_total))
+            ]
+            for k in range(k_total):
+                shard = pending.pop(0).result()
+                if k + prefetch < k_total:
+                    pending.append(
+                        ex.submit(reader.load_shard, k + prefetch, sharding)
+                    )
+                # per-shard dispatches stay INDEPENDENT of each other so
+                # they pipeline (async dispatch overlaps executes; measured:
+                # chaining an accumulator through each call serialized the
+                # executes, ~+40 ms/shard over the remote-relay link)
+                yield count_fn(params, shard)
+
+    return tree_sum_bounded(per_shard())
 
 
 @jax.jit
@@ -200,6 +206,44 @@ def _tree_sum(results):
     import jax.numpy as jnp
 
     return jax.tree.map(lambda *xs: _ft.reduce(jnp.add, xs), *results)
+
+
+# fold fan-in: results kept live on device at once is bounded by this (plus
+# one partial), and _tree_sum retraces only for list lengths {2, _FOLD_CHUNK,
+# final remainder} — NOT per distinct shard count
+_FOLD_CHUNK = 16
+
+
+def tree_sum_bounded(items) -> Any:
+    """Sum an iterator of identically-structured pytrees with bounded device
+    residency: fold every ``_FOLD_CHUNK`` items into a partial (two fused
+    dispatches per chunk) instead of keeping all K results live for one
+    K-ary sum — at pod scale K is the shard count and O(K) residency would
+    defeat the out-of-core design."""
+    partial, buf = None, []
+
+    def fold(partial, buf):
+        s = _tree_sum(buf)
+        return s if partial is None else _tree_sum([partial, s])
+
+    for r in items:
+        buf.append(r)
+        if len(buf) == _FOLD_CHUNK:
+            partial, buf = fold(partial, buf), []
+    if buf:
+        partial = fold(partial, buf)
+    return partial
+
+
+@_lru_cache(maxsize=64)
+def _jitted_step(mod, attr: str, kw_items: tuple):
+    """Cache the jitted per-shard step by (module, fn, kwargs) so repeated
+    ``train_streaming`` calls (benchmarks, resumed runs) reuse the SAME jit
+    object — fresh ``jax.jit(lambda ...)`` wrappers re-trace and re-compile
+    every call (measured: the streamed-EM benchmark paid a full E-step
+    compile inside every timed rep)."""
+    kw = dict(kw_items)
+    return jax.jit(lambda p, c: getattr(mod, attr)(p, c, **kw))
 
 
 def train_streaming(
@@ -237,8 +281,8 @@ def train_streaming(
             )
         sharding = NamedSharding(mesh, P(DATA_AXIS))
 
-    count_fn = jax.jit(lambda p, c: mod.expected_counts(p, c, **ckw))
-    m_fn = jax.jit(lambda p, c: mod.m_step(p, c, **mkw))
+    count_fn = _jitted_step(mod, "expected_counts", tuple(sorted(ckw.items())))
+    m_fn = _jitted_step(mod, "m_step", tuple(sorted(mkw.items())))
     lls = []
     for it in range(num_iterations):
         counts, ll = stream_expected_counts(

@@ -70,6 +70,13 @@ def sample_local_batch(
             f"batch_size {batch_size} not divisible by mesh size {n_dev}"
         )
     b_local = batch_size // n_dev
+    if b_local > corpus.n // n_dev:
+        # permutation-prefix sampling cannot fill the per-device share from
+        # a smaller shard — it would silently return a short batch
+        raise ValueError(
+            f"batch_size/device {b_local} exceeds the per-device corpus "
+            f"shard of {corpus.n // n_dev} rows"
+        )
 
     def shard_sample(c_shard: Corpus, k):
         d = jax.lax.axis_index(axis_name)

@@ -50,8 +50,12 @@ def initialize(
     server and may be omitted.  Elsewhere they come from the arguments or the
     standard env vars (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
     ``JAX_PROCESS_ID``), matching ``jax.distributed``'s own conventions.
-    Safe to call once per process, before any other JAX call.
+    Safe to call once per process, before any other JAX call.  Idempotent:
+    a second call (e.g. cmd_train re-entering itself under the profiler
+    trace) is a no-op.
     """
+    if jax.distributed.is_initialized():
+        return
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
@@ -157,6 +161,7 @@ def train_streaming_multihost(
     count_kwargs: dict | None = None,
     m_step_kwargs: dict | None = None,
     axis_name: str = DATA_AXIS,
+    prefetch: int = 1,
     on_iteration=None,
 ):
     """Pod-scale out-of-core EM: every process streams ITS OWN shard subset.
@@ -180,12 +185,23 @@ def train_streaming_multihost(
     deterministic init or a restored checkpoint) — they are lifted to
     replicated global arrays here.  Returns (params, [loglik/iter]).
     """
+    from multimodalworddiscovery_tpu.data.stream import FIELDS
+
     if mesh is None:
         mesh = global_mesh(axis_name)
+    if prefetch < 1:
+        raise ValueError(f"prefetch must be >= 1, got {prefetch}")
     ckw = dict(count_kwargs or {})
     mkw = dict(m_step_kwargs or {})
     n_proc = jax.process_count()
     pid = jax.process_index()
+    per_proc_dev = mesh.shape[axis_name] // max(n_proc, 1)
+    if reader.shard_size % max(per_proc_dev, 1) != 0:
+        raise ValueError(
+            f"shard_size {reader.shard_size} must divide by the per-process "
+            f"device count {per_proc_dev} — re-shard with `mwd shard "
+            f"--shard-size <multiple of {per_proc_dev}>`"
+        )
     rounds = -(-reader.num_shards // n_proc)
     sharding = NamedSharding(mesh, P(axis_name))
 
@@ -195,19 +211,18 @@ def train_streaming_multihost(
                 f: np.ascontiguousarray(
                     np.load(reader.directory / f"{f}_{k}.npy", mmap_mode="r")
                 )
-                for f in ("src", "src_len", "trg", "trg_len")
+                for f in FIELDS
             }
         return {  # past the end: zero-length utterances, zero counts
             f: np.zeros_like(
                 np.load(reader.directory / f"{f}_0.npy", mmap_mode="r")
             )
-            for f in ("src", "src_len", "trg", "trg_len")
+            for f in FIELDS
         }
 
     from multimodalworddiscovery_tpu.data.corpus import Corpus
 
-    def round_corpus(r: int) -> Corpus:
-        loc = local_arrays(r * n_proc + pid)
+    def round_corpus_from(loc: dict) -> Corpus:
         return Corpus(
             src=jax.make_array_from_process_local_data(sharding, loc["src"]),
             src_len=jax.make_array_from_process_local_data(sharding, loc["src_len"]),
@@ -217,19 +232,38 @@ def train_streaming_multihost(
             trg_vocab=reader.trg_vocab,
         )
 
+    from multimodalworddiscovery_tpu.data.stream import (
+        _jitted_step,
+        tree_sum_bounded,
+    )
+
     params = replicate_to_global(params, mesh)
-    repl = NamedSharding(mesh, P())
-    count_fn = jax.jit(
-        lambda p, c: mod.expected_counts(p, c, **ckw), out_shardings=repl
-    )
-    m_fn = jax.jit(lambda p, c: mod.m_step(p, c, **mkw), out_shardings=repl)
-    sum_fn = jax.jit(
-        lambda rs: jax.tree.map(lambda *xs: sum(xs[1:], xs[0]), *rs)
-    )
+    count_fn = _jitted_step(mod, "expected_counts", tuple(sorted(ckw.items())))
+    m_fn = _jitted_step(mod, "m_step", tuple(sorted(mkw.items())))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def per_round():
+        # prefetch thread mmap-reads the NEXT rounds' local shard while the
+        # device computes this one's counts (same scheme as data/stream.py —
+        # only the host file read runs on the thread; global-array assembly
+        # is a collective-adjacent call and stays on the main thread)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            pending = [
+                ex.submit(local_arrays, r * n_proc + pid)
+                for r in range(min(prefetch, rounds))
+            ]
+            for r in range(rounds):
+                loc = pending.pop(0).result()
+                if r + prefetch < rounds:
+                    pending.append(
+                        ex.submit(local_arrays, (r + prefetch) * n_proc + pid)
+                    )
+                yield count_fn(params, round_corpus_from(loc))
+
     lls = []
     for it in range(num_iterations):
-        results = [count_fn(params, round_corpus(r)) for r in range(rounds)]
-        counts, ll = sum_fn(results) if len(results) > 1 else results[0]
+        counts, ll = tree_sum_bounded(per_round())
         params = m_fn(params, counts)
         lls.append(float(ll))
         if on_iteration is not None:
