@@ -243,9 +243,9 @@ def _make_model(cfg, corpus, init_only: bool = False):
     return mod, params, step
 
 
-def _align_call(cfg, mod, params, corpus):
-    """Decode with model-specific knobs from config (e.g. the attention
-    aligner's NULL threshold) when the model supports them."""
+def _decode_kwargs(cfg, mod, corpus) -> dict:
+    """Model-specific decode knobs from config (e.g. the attention aligner's
+    NULL threshold) when the model's ``align`` supports them."""
     import inspect
 
     kw = {}
@@ -257,6 +257,11 @@ def _align_call(cfg, mod, params, corpus):
         # decode defaults to the scan decoder under auto (memory-light,
         # deterministic ties); explicit use_pallas=on still routes the kernel
         kw["use_pallas"] = _resolve_decode_pallas(cfg, corpus)
+    return kw
+
+
+def _align_call(cfg, mod, params, corpus):
+    kw = _decode_kwargs(cfg, mod, corpus)
     return jax.jit(functools.partial(mod.align, **kw))(params, corpus)
 
 
@@ -728,17 +733,9 @@ def _align_streaming(cfg, workdir: Path, args) -> None:
     params, _ = ckpt.restore(params)
     ckpt.close()
 
-    import inspect
-
-    # same decode knobs as the resident _align_call
-    kw = {}
-    sig = inspect.signature(mod.align).parameters
-    nt = float(cfg.model.get("null_threshold", 0.0) or 0.0)
-    if nt and "null_threshold" in sig:
-        kw["null_threshold"] = nt
-    if "use_pallas" in sig:
-        kw["use_pallas"] = _resolve_decode_pallas(cfg, shard0)
-    align_fn = jax.jit(functools.partial(mod.align, **kw))  # ONE jit, reused
+    align_fn = jax.jit(
+        functools.partial(mod.align, **_decode_kwargs(cfg, mod, shard0))
+    )  # ONE jit, reused across shards
 
     alignment = np.zeros((reader.n, reader.max_src_len), dtype=np.int32)
     src_len = np.zeros((reader.n,), dtype=np.int32)
@@ -832,6 +829,94 @@ def _retrieval_metrics(cfg, mod, params, corpus) -> dict:
     return recall_at_k(scores)
 
 
+def _evaluate_streaming(cfg, workdir: Path, args) -> None:
+    """Out-of-core evaluation: every metric family decomposes into additive
+    per-utterance sufficient statistics (eval/metrics.py ``*_stats`` /
+    ``*_from_stats``), so the shards stream through one jitted
+    decode+stats step and only tiny count pytrees accumulate."""
+    from multimodalworddiscovery_tpu.data.io import load_alignment_json
+    from multimodalworddiscovery_tpu.data.stream import (
+        ShardedCorpusReader,
+        tree_sum_bounded,
+    )
+    from multimodalworddiscovery_tpu.eval.metrics import (
+        alignment_from_stats,
+        alignment_stats,
+        boundary_from_stats,
+        boundary_stats,
+        purity_counts,
+        purity_from_counts,
+        word_iou_from_stats,
+        word_iou_stats,
+    )
+
+    reader = ShardedCorpusReader(cfg.data.dir)
+    gold_path = reader.directory / "gold.json"
+    if not gold_path.exists():
+        raise SystemExit(f"no gold annotations ({gold_path}) in the shard dir")
+    # gold alignments for the FULL corpus are [N, Ts] int32 — tiny next to
+    # the feature arrays, which never leave disk
+    gold = load_alignment_json(gold_path, reader.n, reader.max_src_len)
+    ga = np.zeros(
+        (reader.num_shards * reader.shard_size, reader.max_src_len), np.int32
+    )
+    ga[: reader.n] = gold.alignment
+
+    shard0 = reader.load_shard(0)
+    mod, params, _ = _make_model(cfg, shard0, init_only=True)
+    ckpt = CheckpointManager(workdir / "ckpt")
+    params, _ = ckpt.restore(params)
+    ckpt.close()
+
+    kw = _decode_kwargs(cfg, mod, shard0)
+    tol = int(cfg.eval.boundary_tolerance)
+    thr = float(cfg.eval.iou_threshold)
+    n_concepts = reader.trg_vocab
+
+    @jax.jit
+    def shard_stats(p, shard, gold_align):
+        alignment = mod.align(p, shard, **kw)
+        pred_segs, pred_mask = segments_from_alignment(
+            alignment, shard.trg, shard.src_len
+        )
+        gold_segs, gold_mask = segments_from_alignment(
+            gold_align, shard.trg, shard.src_len
+        )
+        pb = boundaries_from_segments(pred_segs, pred_mask, shard.max_src_len)
+        gb = boundaries_from_segments(gold_segs, gold_mask, shard.max_src_len)
+        return {
+            "alignment": alignment_stats(alignment, gold_align, shard.src_mask()),
+            "word_iou": word_iou_stats(pred_segs, pred_mask, gold_segs, gold_mask, thr),
+            "boundary": boundary_stats(pb, gb, tol),
+            "purity": purity_counts(pred_segs, pred_mask, gold_segs, gold_mask, n_concepts),
+        }
+
+    def per_shard():
+        for k in range(reader.num_shards):
+            shard = reader.load_shard(k) if k else shard0
+            lo = k * reader.shard_size
+            yield shard_stats(params, shard, jnp.asarray(ga[lo: lo + reader.shard_size]))
+
+    acc = tree_sum_bounded(per_shard())
+    results = {
+        "alignment": alignment_from_stats(acc["alignment"]),
+        "word_iou": word_iou_from_stats(acc["word_iou"]),
+        "boundary": boundary_from_stats(acc["boundary"]),
+        "purity": purity_from_counts(acc["purity"]),
+    }
+    if cfg.eval.get("dtw", True) or cfg.eval.get("retrieval", True):
+        print(
+            "note: DTW and retrieval need the resident corpus and are "
+            "skipped in streamed evaluation (materialize with "
+            "data.source=disk to get them)"
+        )
+    results = _to_jsonable(jax.tree.map(lambda x: float(x), results))
+    out = Path(args.output or workdir / "metrics.json")
+    out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+    print(f"wrote {out} (streamed {reader.num_shards} shards)")
+
+
 def cmd_evaluate(args) -> None:
     from multimodalworddiscovery_tpu.eval import (
         alignment_prf,
@@ -841,7 +926,13 @@ def cmd_evaluate(args) -> None:
     )
 
     workdir = Path(args.workdir)
-    cfg, corpus, gold, mod, params = _restore(workdir, getattr(args, "override", None))
+    cfg = _load_workdir_config(workdir)
+    if getattr(args, "override", None):
+        apply_overrides(cfg, args.override)
+    if cfg.data.source == "stream":
+        _evaluate_streaming(cfg, workdir, args)
+        return
+    cfg, corpus, gold, mod, params = _restore(workdir, cfg=cfg)
     if gold is None:
         raise SystemExit("no gold annotations available for this dataset")
 

@@ -30,6 +30,26 @@ def _prf(tp: jax.Array, n_pred: jax.Array, n_gold: jax.Array) -> dict[str, jax.A
     return {"precision": p, "recall": r, "f1": f1}
 
 
+def alignment_stats(
+    pred: jax.Array, gold: jax.Array, src_mask: jax.Array
+) -> dict[str, jax.Array]:
+    """Additive sufficient statistics of ``alignment_prf`` — summable across
+    corpus shards (streamed evaluation)."""
+    pred = jnp.where(src_mask, pred, 0)
+    gold = jnp.where(src_mask, gold, 0)
+    return {
+        "tp": jnp.sum((pred == gold) & (gold > 0) & (pred > 0)).astype(jnp.float32),
+        "n_pred": jnp.sum(pred > 0).astype(jnp.float32),
+        "n_gold": jnp.sum(gold > 0).astype(jnp.float32),
+    }
+
+
+def alignment_from_stats(s: dict[str, jax.Array]) -> dict[str, jax.Array]:
+    out = _prf(s["tp"], s["n_pred"], s["n_gold"])
+    out["aer"] = 1.0 - _safe_div(2.0 * s["tp"], s["n_pred"] + s["n_gold"])
+    return out
+
+
 @jax.jit
 def alignment_prf(
     pred: jax.Array, gold: jax.Array, src_mask: jax.Array
@@ -40,14 +60,7 @@ def alignment_prf(
     Since an alignment assigns at most one target per source position, the
     set-intersection reduces to positionwise equality on non-NULL entries.
     """
-    pred = jnp.where(src_mask, pred, 0)
-    gold = jnp.where(src_mask, gold, 0)
-    tp = jnp.sum((pred == gold) & (gold > 0) & (pred > 0))
-    n_pred = jnp.sum(pred > 0)
-    n_gold = jnp.sum(gold > 0)
-    out = _prf(tp.astype(jnp.float32), n_pred.astype(jnp.float32), n_gold.astype(jnp.float32))
-    out["aer"] = 1.0 - _safe_div(2.0 * tp.astype(jnp.float32), (n_pred + n_gold).astype(jnp.float32))
-    return out
+    return alignment_from_stats(alignment_stats(pred, gold, src_mask))
 
 
 def _segment_iou_matrix(
@@ -69,6 +82,42 @@ def _segment_iou_matrix(
     return jnp.where(mask, iou, 0.0), mask
 
 
+def word_iou_stats(
+    pred_segs: jax.Array,
+    pred_mask: jax.Array,
+    gold_segs: jax.Array,
+    gold_mask: jax.Array,
+    iou_threshold: float = 0.5,
+) -> dict[str, jax.Array]:
+    """Additive sufficient statistics of ``word_iou`` (matching is
+    per-utterance, so every count sums across shards)."""
+    iou, mask = _segment_iou_matrix(pred_segs, pred_mask, gold_segs, gold_mask)
+    same = (pred_segs[..., 2][:, :, None] == gold_segs[..., 2][:, None, :]) & mask
+    iou_c = jnp.where(same, iou, 0.0)
+    best_per_gold = jnp.max(iou_c, axis=1)  # [N, Sg]
+    best_per_pred = jnp.max(iou_c, axis=2)  # [N, Sp]
+    f32 = jnp.float32
+    return {
+        "sum_best_iou": jnp.sum(jnp.where(gold_mask, best_per_gold, 0.0)).astype(f32),
+        "hit_gold": jnp.sum((best_per_gold >= iou_threshold) & gold_mask).astype(f32),
+        "hit_pred": jnp.sum((best_per_pred >= iou_threshold) & pred_mask).astype(f32),
+        "n_gold": jnp.sum(gold_mask).astype(f32),
+        "n_pred": jnp.sum(pred_mask).astype(f32),
+    }
+
+
+def word_iou_from_stats(s: dict[str, jax.Array]) -> dict[str, jax.Array]:
+    p = _safe_div(s["hit_pred"], s["n_pred"])
+    r = _safe_div(s["hit_gold"], s["n_gold"])
+    f1 = jnp.where(p + r > 0, 2 * p * r / jnp.maximum(p + r, 1e-12), 0.0)
+    return {
+        "mean_iou": _safe_div(s["sum_best_iou"], s["n_gold"]),
+        "precision": p,
+        "recall": r,
+        "f1": f1,
+    }
+
+
 @jax.jit
 def word_iou(
     pred_segs: jax.Array,
@@ -83,35 +132,16 @@ def word_iou(
     with the SAME concept label, averaged over gold units.  word P/R/F1:
     a unit "matches" if same-concept IoU >= threshold (greedy, both sides).
     """
-    iou, mask = _segment_iou_matrix(pred_segs, pred_mask, gold_segs, gold_mask)
-    same = (pred_segs[..., 2][:, :, None] == gold_segs[..., 2][:, None, :]) & mask
-    iou_c = jnp.where(same, iou, 0.0)
-
-    best_per_gold = jnp.max(iou_c, axis=1)  # [N, Sg]
-    n_gold = jnp.sum(gold_mask)
-    mean_iou = _safe_div(
-        jnp.sum(jnp.where(gold_mask, best_per_gold, 0.0)), n_gold.astype(jnp.float32)
+    return word_iou_from_stats(
+        word_iou_stats(pred_segs, pred_mask, gold_segs, gold_mask, iou_threshold)
     )
 
-    hit_gold = jnp.sum((best_per_gold >= iou_threshold) & gold_mask)
-    best_per_pred = jnp.max(iou_c, axis=2)  # [N, Sp]
-    hit_pred = jnp.sum((best_per_pred >= iou_threshold) & pred_mask)
-    n_pred = jnp.sum(pred_mask)
-    p = _safe_div(hit_pred.astype(jnp.float32), n_pred.astype(jnp.float32))
-    r = _safe_div(hit_gold.astype(jnp.float32), n_gold.astype(jnp.float32))
-    f1 = jnp.where(p + r > 0, 2 * p * r / jnp.maximum(p + r, 1e-12), 0.0)
-    return {"mean_iou": mean_iou, "precision": p, "recall": r, "f1": f1}
 
-
-@functools.partial(jax.jit, static_argnames=("tolerance",))
-def boundary_prf(
+def boundary_stats(
     pred_bounds: jax.Array, gold_bounds: jax.Array, tolerance: int = 0
 ) -> dict[str, jax.Array]:
-    """Boundary precision/recall/F1 with +-tolerance positions.
-
-    Relaxed matching via dilation: a predicted boundary counts if any gold
-    boundary lies within ``tolerance``; recall symmetric.  [N, L+1] bools.
-    """
+    """Additive sufficient statistics of ``boundary_prf`` (matching is
+    within-utterance; counts sum across shards).  [N, L+1] bools."""
     def shift(b: jax.Array, d: int) -> jax.Array:
         # zero-padded shift along positions (jnp.roll would wrap around and
         # let a boundary at L match one at 0)
@@ -127,14 +157,31 @@ def boundary_prf(
 
     gold_d = dilate(gold_bounds)
     pred_d = dilate(pred_bounds)
-    tp_p = jnp.sum(pred_bounds & gold_d).astype(jnp.float32)
-    tp_g = jnp.sum(gold_bounds & pred_d).astype(jnp.float32)
-    n_pred = jnp.sum(pred_bounds).astype(jnp.float32)
-    n_gold = jnp.sum(gold_bounds).astype(jnp.float32)
-    p = _safe_div(tp_p, n_pred)
-    r = _safe_div(tp_g, n_gold)
+    return {
+        "tp_p": jnp.sum(pred_bounds & gold_d).astype(jnp.float32),
+        "tp_g": jnp.sum(gold_bounds & pred_d).astype(jnp.float32),
+        "n_pred": jnp.sum(pred_bounds).astype(jnp.float32),
+        "n_gold": jnp.sum(gold_bounds).astype(jnp.float32),
+    }
+
+
+def boundary_from_stats(s: dict[str, jax.Array]) -> dict[str, jax.Array]:
+    p = _safe_div(s["tp_p"], s["n_pred"])
+    r = _safe_div(s["tp_g"], s["n_gold"])
     f1 = jnp.where(p + r > 0, 2 * p * r / jnp.maximum(p + r, 1e-12), 0.0)
     return {"precision": p, "recall": r, "f1": f1}
+
+
+@functools.partial(jax.jit, static_argnames=("tolerance",))
+def boundary_prf(
+    pred_bounds: jax.Array, gold_bounds: jax.Array, tolerance: int = 0
+) -> dict[str, jax.Array]:
+    """Boundary precision/recall/F1 with +-tolerance positions.
+
+    Relaxed matching via dilation: a predicted boundary counts if any gold
+    boundary lies within ``tolerance``; recall symmetric.
+    """
+    return boundary_from_stats(boundary_stats(pred_bounds, gold_bounds, tolerance))
 
 
 def cluster_purity(
@@ -150,6 +197,26 @@ def cluster_purity(
     class is the concept of the max-overlap gold unit (0 if none).  Purity =
     sum over clusters of the dominant gold class count / total units.
     """
+    return purity_from_counts(
+        purity_counts(pred_segs, pred_mask, gold_segs, gold_mask, n_concepts)
+    )
+
+
+def purity_from_counts(counts: jax.Array) -> jax.Array:
+    """Purity from a (cluster, gold-class) contingency matrix — counts are
+    additive across shards."""
+    total = jnp.sum(counts)
+    return _safe_div(jnp.sum(jnp.max(counts, axis=1)), total)
+
+
+def purity_counts(
+    pred_segs: jax.Array,
+    pred_mask: jax.Array,
+    gold_segs: jax.Array,
+    gold_mask: jax.Array,
+    n_concepts: int,
+) -> jax.Array:
+    """The [C, C] (cluster, gold-class) contingency matrix behind purity."""
     iou, mask = _segment_iou_matrix(pred_segs, pred_mask, gold_segs, gold_mask)
     has_overlap = jnp.any(mask & (iou > 0), axis=2)  # [N, Sp]
     best_gold = jnp.argmax(jnp.where(mask, iou, -1.0), axis=2)  # [N, Sp]
@@ -166,5 +233,4 @@ def cluster_purity(
         num_segments=n_concepts * n_concepts,
     ).reshape(n_concepts, n_concepts)
     counts = counts.at[0, :].set(0.0)  # drop masked slots bucketed at cluster 0
-    total = jnp.sum(counts)
-    return _safe_div(jnp.sum(jnp.max(counts, axis=1)), total)
+    return counts

@@ -150,6 +150,44 @@ def test_cli_shard_train_evaluate(tmp_path):
     finally:
         sys.argv = old
 
+    # streamed evaluation must EXACTLY match the resident metrics computed
+    # from the materialized corpus with the same restored params
+    from multimodalworddiscovery_tpu.eval.metrics import (
+        alignment_prf,
+        boundary_prf,
+        cluster_purity,
+        word_iou,
+    )
+    from multimodalworddiscovery_tpu.segment import (
+        boundaries_from_segments,
+        segments_from_alignment,
+    )
+    from multimodalworddiscovery_tpu.utils.checkpoint import CheckpointManager
+
+    reader = ShardedCorpusReader(shard_dir)
+    corpus, gold = reader.materialize()
+    params, _ = CheckpointManager(wd / "ckpt").restore(hmm.init(corpus))
+    alignment = jax.jit(hmm.align)(params, corpus)
+    import jax.numpy as jnp
+
+    ga = jnp.asarray(gold.alignment)
+    ps, pm = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
+    gs, gm = segments_from_alignment(ga, corpus.trg, corpus.src_len)
+    pb = boundaries_from_segments(ps, pm, corpus.max_src_len)
+    gb = boundaries_from_segments(gs, gm, corpus.max_src_len)
+    expect = {
+        "alignment": alignment_prf(alignment, ga, corpus.src_mask()),
+        "word_iou": word_iou(ps, pm, gs, gm, 0.5),
+        "boundary": boundary_prf(pb, gb, tolerance=1),
+        "purity": cluster_purity(ps, pm, gs, gm, corpus.trg_vocab),
+    }
+    for fam in ("alignment", "word_iou", "boundary"):
+        for k, v in expect[fam].items():
+            np.testing.assert_allclose(
+                metrics[fam][k], float(v), rtol=1e-5, err_msg=f"{fam}.{k}"
+            )
+    np.testing.assert_allclose(metrics["purity"], float(expect["purity"]), rtol=1e-5)
+
 
 def test_cli_streamed_align_matches_materialized(tmp_path):
     """`mwd align` on a stream workdir decodes shard-by-shard; the JSON must
