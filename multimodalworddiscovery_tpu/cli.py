@@ -720,10 +720,11 @@ def _restore(workdir: Path, overrides: list[str] | None = None, cfg=None):
     return cfg, corpus, gold, mod, params
 
 
-def _align_streaming(cfg, workdir: Path, args) -> None:
-    """Out-of-core decode: align shard by shard (one compile — every shard
-    has the same padded shape), collect only the int32 alignment rows on the
-    host (tiny next to the feature arrays that stay on disk)."""
+def _decode_streaming(cfg, workdir: Path, args, with_segments: bool) -> None:
+    """Out-of-core decode: align (and optionally segment) shard by shard —
+    ONE jit reused for every shard (same padded shape); only the int32
+    alignment rows / segment triples reach the host (tiny next to the
+    feature arrays that stay on disk)."""
     from multimodalworddiscovery_tpu.data.stream import ShardedCorpusReader
 
     reader = ShardedCorpusReader(cfg.data.dir)
@@ -733,21 +734,33 @@ def _align_streaming(cfg, workdir: Path, args) -> None:
     params, _ = ckpt.restore(params)
     ckpt.close()
 
-    align_fn = jax.jit(
-        functools.partial(mod.align, **_decode_kwargs(cfg, mod, shard0))
-    )  # ONE jit, reused across shards
+    kw = _decode_kwargs(cfg, mod, shard0)
+
+    @jax.jit
+    def decode(p, shard):
+        a = mod.align(p, shard, **kw)
+        if not with_segments:
+            return a, None, None
+        segs, mask = segments_from_alignment(a, shard.trg, shard.src_len)
+        return a, segs, mask
 
     alignment = np.zeros((reader.n, reader.max_src_len), dtype=np.int32)
     src_len = np.zeros((reader.n,), dtype=np.int32)
+    segments: list[list[tuple[int, int, int]]] = []
     for k in range(reader.num_shards):
         shard = reader.load_shard(k) if k else shard0
-        a = np.asarray(align_fn(params, shard))
+        a, segs, mask = decode(params, shard)
         lo = k * reader.shard_size
         hi = min(lo + reader.shard_size, reader.n)
-        alignment[lo:hi] = a[: hi - lo]
+        alignment[lo:hi] = np.asarray(a)[: hi - lo]
         src_len[lo:hi] = np.asarray(shard.src_len)[: hi - lo]
-    out = Path(args.output or workdir / "alignment.json")
-    save_alignment_json(alignment, src_len, out)
+        if with_segments:
+            segments.extend(segments_to_host(segs, mask)[: hi - lo])
+    name = "segments.json" if with_segments else "alignment.json"
+    out = Path(args.output or workdir / name)
+    save_alignment_json(
+        alignment, src_len, out, segments=segments if with_segments else None
+    )
     print(f"wrote {out} (streamed {reader.num_shards} shards)")
 
 
@@ -757,7 +770,7 @@ def cmd_align(args) -> None:
     if getattr(args, "override", None):
         apply_overrides(cfg, args.override)
     if cfg.data.source == "stream":
-        _align_streaming(cfg, workdir, args)
+        _decode_streaming(cfg, workdir, args, with_segments=False)
         return
     cfg, corpus, _, mod, params = _restore(workdir, cfg=cfg)
     alignment = np.asarray(_align_call(cfg, mod, params, corpus))
@@ -768,7 +781,13 @@ def cmd_align(args) -> None:
 
 def cmd_segment(args) -> None:
     workdir = Path(args.workdir)
-    cfg, corpus, _, mod, params = _restore(workdir, getattr(args, "override", None))
+    cfg = _load_workdir_config(workdir)
+    if getattr(args, "override", None):
+        apply_overrides(cfg, args.override)
+    if cfg.data.source == "stream":
+        _decode_streaming(cfg, workdir, args, with_segments=True)
+        return
+    cfg, corpus, _, mod, params = _restore(workdir, cfg=cfg)
     alignment = _align_call(cfg, mod, params, corpus)
     segs, mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
     out = Path(args.output or workdir / "segments.json")
@@ -897,12 +916,15 @@ def _evaluate_streaming(cfg, workdir: Path, args) -> None:
             lo = k * reader.shard_size
             yield shard_stats(params, shard, jnp.asarray(ga[lo: lo + reader.shard_size]))
 
+    from multimodalworddiscovery_tpu.eval.metrics import nmi_from_counts
+
     acc = tree_sum_bounded(per_shard())
     results = {
         "alignment": alignment_from_stats(acc["alignment"]),
         "word_iou": word_iou_from_stats(acc["word_iou"]),
         "boundary": boundary_from_stats(acc["boundary"]),
         "purity": purity_from_counts(acc["purity"]),
+        "nmi": nmi_from_counts(acc["purity"]),
     }
     if cfg.eval.get("dtw", True) or cfg.eval.get("retrieval", True):
         print(
@@ -944,11 +966,14 @@ def cmd_evaluate(args) -> None:
     pb = boundaries_from_segments(pred_segs, pred_mask, corpus.max_src_len)
     gb = boundaries_from_segments(gold_segs, gold_mask, corpus.max_src_len)
 
+    from multimodalworddiscovery_tpu.eval import cluster_nmi
+
     results = {
         "alignment": alignment_prf(alignment, gold_alignment, corpus.src_mask()),
         "word_iou": word_iou(pred_segs, pred_mask, gold_segs, gold_mask, cfg.eval.iou_threshold),
         "boundary": boundary_prf(pb, gb, tolerance=cfg.eval.boundary_tolerance),
         "purity": cluster_purity(pred_segs, pred_mask, gold_segs, gold_mask, corpus.trg_vocab),
+        "nmi": cluster_nmi(pred_segs, pred_mask, gold_segs, gold_mask, corpus.trg_vocab),
     }
     if cfg.eval.get("dtw", True) and corpus.src.ndim == 3:
         # DTW scoring of discovered word units on acoustic frames

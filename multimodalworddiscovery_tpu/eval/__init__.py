@@ -6,6 +6,7 @@ and eval scripts, SURVEY.md §2 C11; there they are per-utterance NumPy loops).
 from multimodalworddiscovery_tpu.eval.metrics import (
     alignment_prf,
     boundary_prf,
+    cluster_nmi,
     cluster_purity,
     word_iou,
 )
@@ -15,6 +16,7 @@ from multimodalworddiscovery_tpu.eval.retrieval import recall_at_k, retrieval_sc
 __all__ = [
     "alignment_prf",
     "boundary_prf",
+    "cluster_nmi",
     "cluster_purity",
     "word_iou",
     "dtw_distance",

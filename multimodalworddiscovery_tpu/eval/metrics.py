@@ -209,6 +209,38 @@ def purity_from_counts(counts: jax.Array) -> jax.Array:
     return _safe_div(jnp.sum(jnp.max(counts, axis=1)), total)
 
 
+def cluster_nmi(
+    pred_segs: jax.Array,
+    pred_mask: jax.Array,
+    gold_segs: jax.Array,
+    gold_mask: jax.Array,
+    n_concepts: int,
+) -> jax.Array:
+    """Normalized mutual information between discovered clusters and gold
+    classes: 2·I(C;G) / (H(C)+H(G)), from the same (cluster, gold-class)
+    contingency matrix as purity — so it streams/sums across shards too.
+    Complements purity (which a degenerate one-unit-per-cluster solution
+    can game; NMI penalizes it)."""
+    return nmi_from_counts(
+        purity_counts(pred_segs, pred_mask, gold_segs, gold_mask, n_concepts)
+    )
+
+
+def nmi_from_counts(counts: jax.Array) -> jax.Array:
+    total = jnp.maximum(jnp.sum(counts), 1.0)
+    p = counts / total  # joint
+    pc = jnp.sum(p, axis=1, keepdims=True)  # cluster marginal
+    pg = jnp.sum(p, axis=0, keepdims=True)  # gold-class marginal
+
+    def xlogy(x, y):
+        return jnp.where(x > 0, x * jnp.log(jnp.maximum(y, 1e-30)), 0.0)
+
+    mi = jnp.sum(xlogy(p, p / jnp.maximum(pc * pg, 1e-30)))
+    hc = -jnp.sum(xlogy(pc, pc))
+    hg = -jnp.sum(xlogy(pg, pg))
+    return _safe_div(2.0 * mi, hc + hg)
+
+
 def purity_counts(
     pred_segs: jax.Array,
     pred_mask: jax.Array,

@@ -102,6 +102,32 @@ def cluster_purity_np(pred_segs, gold_segs, n_concepts: int) -> float:
     return float(counts.max(axis=1).sum() / total) if total else 0.0
 
 
+def cluster_nmi_np(pred_segs, gold_segs, n_concepts: int) -> float:
+    """NMI = 2 I(C;G) / (H(C)+H(G)) over the same contingency matrix as
+    purity (float64, explicit loops — the parity oracle)."""
+    counts = np.zeros((n_concepts, n_concepts))
+    for ps, gs in zip(pred_segs, gold_segs):
+        for p in ps:
+            overlaps = [(_iou(p, g), g[2]) for g in gs]
+            best = max(overlaps, default=(0.0, 0))
+            gold_class = best[1] if best[0] > 0 else 0
+            counts[p[2], gold_class] += 1
+    total = counts.sum()
+    if total == 0:
+        return 0.0
+    p = counts / total
+    pc = p.sum(axis=1)
+    pg = p.sum(axis=0)
+    mi = 0.0
+    for i in range(n_concepts):
+        for j in range(n_concepts):
+            if p[i, j] > 0:
+                mi += p[i, j] * np.log(p[i, j] / (pc[i] * pg[j]))
+    hc = -sum(x * np.log(x) for x in pc if x > 0)
+    hg = -sum(x * np.log(x) for x in pg if x > 0)
+    return float(2 * mi / (hc + hg)) if hc + hg > 0 else 0.0
+
+
 def dtw_np(x, y, metric: str = "sqeuclidean") -> float:
     """Classic O(T1*T2) DTW DP, one pair."""
     if metric == "sqeuclidean":

@@ -97,6 +97,21 @@ def test_cluster_purity_perfect(setup):
     assert float(cluster_purity(gs, gm, gs, gm, corpus.trg_vocab)) == 1.0
 
 
+def test_cluster_nmi_matches_oracle(setup):
+    from multimodalworddiscovery_tpu.eval.metrics import cluster_nmi
+
+    corpus, gold, meta, pred = setup
+    ps, pm, gs, gm = _seg_both(corpus, gold, pred)
+    got = float(cluster_nmi(ps, pm, gs, gm, corpus.trg_vocab))
+    want = om.cluster_nmi_np(
+        segments_to_host(ps, pm), segments_to_host(gs, gm), corpus.trg_vocab
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # perfect clustering: NMI = 1
+    assert float(cluster_nmi(gs, gm, gs, gm, corpus.trg_vocab)) == pytest.approx(1.0)
+    assert 0.0 <= got <= 1.0
+
+
 def test_dtw_matches_oracle():
     rng = np.random.default_rng(0)
     B, T1, T2, D = 6, 17, 23, 5

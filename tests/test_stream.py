@@ -211,6 +211,9 @@ def test_cli_streamed_align_matches_materialized(tmp_path):
         sys.argv = ["mwd", "align", "--workdir", str(wd),
                     "--output", str(tmp_path / "streamed.json")]
         cli.main()
+        sys.argv = ["mwd", "segment", "--workdir", str(wd),
+                    "--output", str(tmp_path / "streamed_segs.json")]
+        cli.main()
     finally:
         sys.argv = old
 
@@ -228,6 +231,21 @@ def test_cli_streamed_align_matches_materialized(tmp_path):
     resident = np.asarray(_jax.jit(hmm.align)(params, corpus))
     mask = np.asarray(corpus.src_mask())
     np.testing.assert_array_equal(streamed.alignment[mask], resident[mask])
+
+    # streamed segments match the resident segmentation of the same decode
+    from multimodalworddiscovery_tpu.segment import (
+        segments_from_alignment,
+        segments_to_host,
+    )
+
+    segs, smask = segments_from_alignment(
+        _jax.numpy.asarray(resident), corpus.trg, corpus.src_len
+    )
+    expected_segs = segments_to_host(segs, smask)
+    streamed_segs = load_alignment_json(
+        tmp_path / "streamed_segs.json", corpus.n, corpus.max_src_len
+    ).segments
+    assert streamed_segs == expected_segs
 
 
 def test_streaming_resume(tmp_path, shard_dir):
