@@ -35,15 +35,35 @@ def cmd_speech(args):
         lens[i] = len(w)
 
     cfg = MfccConfig(n_mfcc=args.n_mfcc, n_mels=args.n_mels)
-    feats, flens = extract_pallas(jnp.asarray(padded), jnp.asarray(lens), cfg, kind=args.kind)
-    if args.deltas:
-        feats = add_deltas(feats, flens)
-    if args.cmvn:
-        feats = cmvn(feats, flens)
-    feats = np.asarray(feats)
-    flens = np.asarray(flens)
-    np.savez(args.output, **{f"arr_{i}": feats[i, : flens[i]] for i in range(len(wavs))})
-    print(f"wrote {args.output}: {len(wavs)} utterances, dim {feats.shape[-1]}")
+
+    def pipeline(w, l):
+        f, fl = extract_pallas(w, l, cfg, kind=args.kind, interpret=args.interpret)
+        if args.deltas:
+            f = add_deltas(f, fl)
+        if args.cmvn:
+            f = cmvn(f, fl)
+        return f, fl
+
+    n = len(wavs)
+    b = args.batch_size or n
+    # process fixed-size batches padded to the GLOBAL max length: device
+    # memory is O(batch), and every batch reuses one compiled extraction
+    out: dict[str, np.ndarray] = {}
+    run = jax.jit(pipeline)
+    for lo in range(0, n, b):
+        hi = min(lo + b, n)
+        wb = np.zeros((b, max_len), np.float32)  # fixed shape incl. tail
+        lb = np.zeros((b,), np.int32)
+        wb[: hi - lo] = padded[lo:hi]
+        lb[: hi - lo] = lens[lo:hi]
+        feats, flens = run(jnp.asarray(wb), jnp.asarray(lb))
+        feats, flens = np.asarray(feats), np.asarray(flens)
+        for i in range(hi - lo):
+            out[f"arr_{lo + i}"] = feats[i, : flens[i]]
+    np.savez(args.output, **out)
+    dim = next(iter(out.values())).shape[-1]
+    print(f"wrote {args.output}: {n} utterances, dim {dim}"
+          + (f" ({-(-n // b)} batches of {b})" if args.batch_size else ""))
 
 
 def cmd_image(args):
@@ -94,6 +114,12 @@ def main():
     s.add_argument("--n-mels", type=int, default=26)
     s.add_argument("--deltas", action="store_true")
     s.add_argument("--cmvn", action="store_true")
+    s.add_argument("--batch-size", type=int, default=0,
+                   help="process this many utterances per device dispatch "
+                        "(0 = whole corpus at once); bounds device memory "
+                        "for corpora whose padded waveforms exceed HBM")
+    s.add_argument("--interpret", action="store_true",
+                   help="Pallas interpret mode (CPU runs)")
     s.set_defaults(fn=cmd_speech)
 
     i = sub.add_parser("image")
