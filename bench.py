@@ -111,12 +111,17 @@ def main() -> None:
     params = hmm.init(corpus)
     p1, lls_warm = train(params)  # warm-up / compile; also the EM trajectory
     jax.block_until_ready(p1)
-    t0 = time.perf_counter()
-    # the timed call's INPUT is the warm-up's output: a different request
-    # sequence with fresh values, so the relay cannot ack from history
-    p, lls = train(p1)
-    final_ll = float(lls[-1])  # host transfer inside the timed region
-    tpu_time = time.perf_counter() - t0
+    # best-of-3 (CLAUDE.md): a single sample can eat a multi-hundred-ms
+    # relay hiccup — observed 853k vs 4.9M utt*iter/s on back-to-back runs.
+    # Each rep's INPUT is the previous rep's OUTPUT: a different request
+    # sequence with fresh values, so the relay cannot ack from history.
+    tpu_time = 1e9
+    final_ll = np.nan
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p1, lls = train(p1)
+        final_ll = float(lls[-1])  # host transfer inside the timed region
+        tpu_time = min(tpu_time, time.perf_counter() - t0)
     tpu_throughput = N_UTTERANCES * N_ITERS_TPU / tpu_time
     # sanity: the warm-up run (from init) must improve near-monotonically
     # (fp32 EM can dip ~1e-4 relative near convergence; exact monotonicity is
