@@ -712,6 +712,11 @@ def _restore(workdir: Path, overrides: list[str] | None = None, cfg=None):
         if overrides:
             # eval-time knobs (retrieval_pool, dtw sampling, null_threshold, ...)
             apply_overrides(cfg, overrides)
+    elif overrides:
+        raise ValueError(
+            "pass EITHER a pre-built cfg (with overrides already applied) "
+            "OR overrides, not both — overrides are ignored when cfg is given"
+        )
     corpus, gold = _load_data(cfg)
     mod, params, _ = _make_model(cfg, corpus, init_only=True)
     ckpt = CheckpointManager(workdir / "ckpt")
@@ -910,9 +915,15 @@ def _evaluate_streaming(cfg, workdir: Path, args) -> None:
             "purity": purity_counts(pred_segs, pred_mask, gold_segs, gold_mask, n_concepts),
         }
 
+    from multimodalworddiscovery_tpu.data.stream import prefetched
+
     def per_shard():
-        for k in range(reader.num_shards):
-            shard = reader.load_shard(k) if k else shard0
+        loads = prefetched(
+            lambda k: reader.load_shard(k) if k else shard0,
+            reader.num_shards,
+            prefetch=int(cfg.train.get("stream_prefetch", 1)),
+        )
+        for k, shard in enumerate(loads):
             lo = k * reader.shard_size
             yield shard_stats(params, shard, jnp.asarray(ga[lo: lo + reader.shard_size]))
 

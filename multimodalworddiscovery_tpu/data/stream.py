@@ -173,29 +173,33 @@ def stream_expected_counts(
     every shard — one compile).  ``prefetch`` shards are loaded ahead on a
     reader thread.  Returns (counts, loglik) for the WHOLE corpus.
     """
+    # per-shard dispatches stay INDEPENDENT of each other so they pipeline
+    # (async dispatch overlaps executes; measured: chaining an accumulator
+    # through each call serialized the executes, ~+40 ms/shard over the
+    # remote-relay link)
+    return tree_sum_bounded(
+        count_fn(params, shard)
+        for shard in prefetched(
+            lambda k: reader.load_shard(k, sharding),
+            reader.num_shards,
+            prefetch,
+        )
+    )
+
+
+def prefetched(load, total: int, prefetch: int = 1):
+    """Yield ``load(0) .. load(total-1)`` with ``prefetch`` calls running
+    ahead on a reader thread — the I/O-overlap backbone of every streaming
+    path (single-host shards, multihost rounds, streamed decode/eval)."""
     if prefetch < 1:
         raise ValueError(f"prefetch must be >= 1, got {prefetch}")
-    k_total = reader.num_shards
-
-    def per_shard():
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            pending = [
-                ex.submit(reader.load_shard, k, sharding)
-                for k in range(min(prefetch, k_total))
-            ]
-            for k in range(k_total):
-                shard = pending.pop(0).result()
-                if k + prefetch < k_total:
-                    pending.append(
-                        ex.submit(reader.load_shard, k + prefetch, sharding)
-                    )
-                # per-shard dispatches stay INDEPENDENT of each other so
-                # they pipeline (async dispatch overlaps executes; measured:
-                # chaining an accumulator through each call serialized the
-                # executes, ~+40 ms/shard over the remote-relay link)
-                yield count_fn(params, shard)
-
-    return tree_sum_bounded(per_shard())
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = [ex.submit(load, k) for k in range(min(prefetch, total))]
+        for k in range(total):
+            item = pending.pop(0).result()
+            if k + prefetch < total:
+                pending.append(ex.submit(load, k + prefetch))
+            yield item
 
 
 @jax.jit
@@ -236,14 +240,23 @@ def tree_sum_bounded(items) -> Any:
 
 
 @_lru_cache(maxsize=64)
-def _jitted_step(mod, attr: str, kw_items: tuple):
-    """Cache the jitted per-shard step by (module, fn, kwargs) so repeated
-    ``train_streaming`` calls (benchmarks, resumed runs) reuse the SAME jit
-    object — fresh ``jax.jit(lambda ...)`` wrappers re-trace and re-compile
-    every call (measured: the streamed-EM benchmark paid a full E-step
-    compile inside every timed rep)."""
+def _jitted_step(mod, attr: str, kw_items: tuple, out_shardings=None):
+    """Cache the jitted per-shard step by (module, fn, kwargs[, sharding])
+    so repeated ``train_streaming`` calls (benchmarks, resumed runs) reuse
+    the SAME jit object — fresh ``jax.jit(lambda ...)`` wrappers re-trace
+    and re-compile every call (measured: the streamed-EM benchmark paid a
+    full E-step compile inside every timed rep).
+
+    ``out_shardings`` (hashable, e.g. a replicated NamedSharding) pins the
+    output placement — the multihost path REQUIRES replicated outputs (an
+    unconstrained m_step output could legally stay sharded over the data
+    axis, and the coordinator's host-copy checkpoint would then fail on
+    non-addressable shards)."""
     kw = dict(kw_items)
-    return jax.jit(lambda p, c: getattr(mod, attr)(p, c, **kw))
+    fn = lambda p, c: getattr(mod, attr)(p, c, **kw)  # noqa: E731
+    if out_shardings is not None:
+        return jax.jit(fn, out_shardings=out_shardings)
+    return jax.jit(fn)
 
 
 def train_streaming(

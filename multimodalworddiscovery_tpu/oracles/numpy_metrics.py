@@ -90,14 +90,24 @@ def boundary_prf_np(pred_segs, gold_segs, lengths, tolerance: int = 0) -> dict[s
     return {"precision": prec, "recall": rec, "f1": f1}
 
 
+def _best_gold_class(p, gs) -> int:
+    """Gold class of the max-IoU gold segment; FIRST segment wins ties —
+    matching the device side's jnp.argmax first-occurrence semantics
+    (a max() over (iou, class) tuples would break ties toward the LARGEST
+    class id and diverge from purity_counts on tied overlaps)."""
+    best_iou, gold_class = 0.0, 0
+    for g in gs:
+        i = _iou(p, g)
+        if i > best_iou:
+            best_iou, gold_class = i, g[2]
+    return gold_class if best_iou > 0 else 0
+
+
 def cluster_purity_np(pred_segs, gold_segs, n_concepts: int) -> float:
     counts = np.zeros((n_concepts, n_concepts))
     for ps, gs in zip(pred_segs, gold_segs):
         for p in ps:
-            overlaps = [( _iou(p, g), g[2]) for g in gs]
-            best = max(overlaps, default=(0.0, 0))
-            gold_class = best[1] if best[0] > 0 else 0
-            counts[p[2], gold_class] += 1
+            counts[p[2], _best_gold_class(p, gs)] += 1
     total = counts.sum()
     return float(counts.max(axis=1).sum() / total) if total else 0.0
 
@@ -108,10 +118,7 @@ def cluster_nmi_np(pred_segs, gold_segs, n_concepts: int) -> float:
     counts = np.zeros((n_concepts, n_concepts))
     for ps, gs in zip(pred_segs, gold_segs):
         for p in ps:
-            overlaps = [(_iou(p, g), g[2]) for g in gs]
-            best = max(overlaps, default=(0.0, 0))
-            gold_class = best[1] if best[0] > 0 else 0
-            counts[p[2], gold_class] += 1
+            counts[p[2], _best_gold_class(p, gs)] += 1
     total = counts.sum()
     if total == 0:
         return 0.0

@@ -189,8 +189,6 @@ def train_streaming_multihost(
 
     if mesh is None:
         mesh = global_mesh(axis_name)
-    if prefetch < 1:
-        raise ValueError(f"prefetch must be >= 1, got {prefetch}")
     ckw = dict(count_kwargs or {})
     mkw = dict(m_step_kwargs or {})
     n_proc = jax.process_count()
@@ -234,32 +232,29 @@ def train_streaming_multihost(
 
     from multimodalworddiscovery_tpu.data.stream import (
         _jitted_step,
+        prefetched,
         tree_sum_bounded,
     )
 
     params = replicate_to_global(params, mesh)
-    count_fn = _jitted_step(mod, "expected_counts", tuple(sorted(ckw.items())))
-    m_fn = _jitted_step(mod, "m_step", tuple(sorted(mkw.items())))
-
-    from concurrent.futures import ThreadPoolExecutor
+    # outputs pinned REPLICATED: an unconstrained m_step output could stay
+    # sharded over 'data' (GSPMD's choice), and the coordinator's host-copy
+    # checkpoint would then hit non-addressable shards
+    repl = NamedSharding(mesh, P())
+    count_fn = _jitted_step(
+        mod, "expected_counts", tuple(sorted(ckw.items())), out_shardings=repl
+    )
+    m_fn = _jitted_step(mod, "m_step", tuple(sorted(mkw.items())), out_shardings=repl)
 
     def per_round():
-        # prefetch thread mmap-reads the NEXT rounds' local shard while the
-        # device computes this one's counts (same scheme as data/stream.py —
-        # only the host file read runs on the thread; global-array assembly
-        # is a collective-adjacent call and stays on the main thread)
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            pending = [
-                ex.submit(local_arrays, r * n_proc + pid)
-                for r in range(min(prefetch, rounds))
-            ]
-            for r in range(rounds):
-                loc = pending.pop(0).result()
-                if r + prefetch < rounds:
-                    pending.append(
-                        ex.submit(local_arrays, (r + prefetch) * n_proc + pid)
-                    )
-                yield count_fn(params, round_corpus_from(loc))
+        # prefetch thread mmap-reads the NEXT round's local shard while the
+        # device computes this one's counts (only the host file read runs on
+        # the thread; global-array assembly is a collective-adjacent call
+        # and stays on the main thread)
+        for loc in prefetched(
+            lambda r: local_arrays(r * n_proc + pid), rounds, prefetch
+        ):
+            yield count_fn(params, round_corpus_from(loc))
 
     lls = []
     for it in range(num_iterations):

@@ -45,6 +45,8 @@ def cmd_speech(args):
         return f, fl
 
     n = len(wavs)
+    if args.batch_size < 0:
+        raise SystemExit(f"--batch-size must be >= 0, got {args.batch_size}")
     b = args.batch_size or n
     # process fixed-size batches padded to the GLOBAL max length: device
     # memory is O(batch), and every batch reuses one compiled extraction
