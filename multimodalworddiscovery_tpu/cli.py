@@ -1024,6 +1024,109 @@ def cmd_evaluate(args) -> None:
     print(f"wrote {out}")
 
 
+def _discover_streaming(cfg, workdir: Path, args) -> None:
+    """Out-of-core audio-only discovery: segmental k-means EM streams shards
+    (its centroid statistics are additive — segmental_kmeans.expected_counts),
+    then a per-shard discover pass writes segments and accumulates the
+    boundary/purity stats the same way streamed evaluate does."""
+    from multimodalworddiscovery_tpu.data.io import load_alignment_json
+    from multimodalworddiscovery_tpu.data.stream import (
+        ShardedCorpusReader,
+        prefetched,
+        train_streaming,
+        tree_sum_bounded,
+    )
+    from multimodalworddiscovery_tpu.eval.metrics import (
+        boundary_from_stats,
+        boundary_stats,
+        nmi_from_counts,
+        purity_counts,
+        purity_from_counts,
+    )
+    from multimodalworddiscovery_tpu.models import segmental_kmeans as skm
+
+    reader = ShardedCorpusReader(cfg.data.dir)
+    shard0 = reader.load_shard(0)
+    params = skm.init(
+        shard0, n_clusters=args.clusters, key=jax.random.PRNGKey(cfg.seed)
+    )  # centroids seeded from shard 0's candidate segments
+
+    writer = MetricsWriter(workdir / "train_metrics.jsonl")
+
+    def on_iteration(it, p, ll):
+        writer.write(it, loglik=ll)
+        print(f"iter {it:3d}  -distortion {ll:.1f}")
+
+    params, _ = train_streaming(
+        skm, params, reader, cfg.train.num_iterations,
+        prefetch=int(cfg.train.get("stream_prefetch", 1)),
+        on_iteration=on_iteration,
+    )
+    writer.close()
+
+    has_gold = (reader.directory / "gold.json").exists()
+    gold = (
+        load_alignment_json(
+            reader.directory / "gold.json", reader.n, reader.max_src_len
+        )
+        if has_gold else None
+    )
+    ga = np.zeros(
+        (reader.num_shards * reader.shard_size, reader.max_src_len), np.int32
+    )
+    if gold is not None:
+        ga[: reader.n] = gold.alignment
+    n_lbl = max(args.clusters + 2, reader.trg_vocab)
+    tol = int(cfg.eval.boundary_tolerance)
+
+    @jax.jit
+    def shard_discover(p, shard, gold_align):
+        segs, mask = skm.discover(p, shard)
+        stats = None
+        if has_gold:
+            gs, gm = segments_from_alignment(gold_align, shard.trg, shard.src_len)
+            pb = boundaries_from_segments(segs, mask, shard.max_src_len)
+            gb = boundaries_from_segments(gs, gm, shard.max_src_len)
+            stats = {
+                "boundary": boundary_stats(pb, gb, tol),
+                "purity": purity_counts(segs, mask, gs, gm, n_lbl),
+            }
+        return segs, mask, stats
+
+    recs = []
+    all_stats = []
+    loads = prefetched(
+        lambda k: reader.load_shard(k) if k else shard0, reader.num_shards,
+        prefetch=int(cfg.train.get("stream_prefetch", 1)),
+    )
+    for k, shard in enumerate(loads):
+        lo = k * reader.shard_size
+        hi = min(lo + reader.shard_size, reader.n)
+        segs, mask, stats = shard_discover(
+            params, shard, jnp.asarray(ga[lo: lo + reader.shard_size])
+        )
+        host_segs = segments_to_host(segs, mask)[: hi - lo]
+        recs.extend(
+            {"index": lo + i, "segments": [[int(a) for a in s] for s in host_segs[i]]}
+            for i in range(hi - lo)
+        )
+        if stats is not None:
+            all_stats.append(stats)
+    out = Path(args.output or workdir / "discovered_segments.json")
+    out.write_text(json.dumps(recs, indent=1))
+    print(f"wrote {out} (streamed {reader.num_shards} shards)")
+
+    if all_stats:
+        acc = tree_sum_bounded(iter(all_stats))
+        results = {
+            "boundary": {k: float(v) for k, v in boundary_from_stats(acc["boundary"]).items()},
+            "purity": float(purity_from_counts(acc["purity"])),
+            "nmi": float(nmi_from_counts(acc["purity"])),
+        }
+        (workdir / "metrics.json").write_text(json.dumps(results, indent=2))
+        print(json.dumps(results, indent=2))
+
+
 def cmd_discover(args) -> None:
     """Audio-only word discovery: segmental k-means over a continuous corpus
     (reference comparison models, SURVEY.md §2 C9).  No concepts used."""
@@ -1036,6 +1139,10 @@ def cmd_discover(args) -> None:
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     _save_config(cfg, workdir)
+
+    if cfg.data.source == "stream":
+        _discover_streaming(cfg, workdir, args)
+        return
 
     corpus, gold = _load_data(cfg)
     params = skm.init(

@@ -159,11 +159,17 @@ def init(
     )
 
 
-@jax.jit
-def em_step(
+def expected_counts(
     params: SegKMeansParams, corpus: Corpus
-) -> tuple[SegKMeansParams, dict[str, jax.Array]]:
-    """One ES-KMeans iteration: re-segment (DP) + re-assign + centroid update."""
+) -> tuple[tuple[jax.Array, jax.Array, jax.Array], jax.Array]:
+    """E-step of one ES-KMeans iteration: re-segment (DP) + re-assign, and
+    return the centroid sufficient statistics
+    ((per-cluster embedding sums [K,E], per-cluster counts [K],
+    n_segments []), -total distortion).
+
+    All three statistics are ADDITIVE across corpus shards — the property
+    the streaming / shard_map / multihost EM wrappers rely on, same as the
+    HMM family's count tensors."""
     emb = embed_all_segments(corpus.src, params.n_samples, params.max_seg_len)
     seg_cost, seg_label = _seg_costs(params, emb)
     n, t_len, L = seg_cost.shape
@@ -201,21 +207,38 @@ def em_step(
     counts = jax.ops.segment_sum(
         w.reshape(-1), lbl.reshape(-1), num_segments=k + 1
     )[:k]
-    new_centroids = jnp.where(
-        counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), params.centroids
-    )
-
     total_cost = jnp.sum(
         jnp.where(is_end, jnp.take_along_axis(seg_cost, chosen_l[:, :, None], axis=2)[:, :, 0], 0.0)
     )
-    new_params = SegKMeansParams(
+    # 'loglik' = negative distortion, for uniform CLI monotonicity displays
+    return (sums, counts, jnp.sum(is_end)), -total_cost
+
+
+def m_step(
+    params: SegKMeansParams,
+    counts: tuple[jax.Array, jax.Array, jax.Array],
+) -> SegKMeansParams:
+    """Centroid update from the (possibly shard-summed) statistics; empty
+    clusters keep their previous centroid."""
+    sums, cnt, _ = counts
+    new_centroids = jnp.where(
+        cnt[:, None] > 0, sums / jnp.maximum(cnt[:, None], 1), params.centroids
+    )
+    return SegKMeansParams(
         centroids=new_centroids.astype(params.centroids.dtype),
         n_samples=params.n_samples,
         max_seg_len=params.max_seg_len,
         min_seg_len=params.min_seg_len,
     )
-    # 'loglik' = negative distortion, for uniform CLI monotonicity displays
-    return new_params, {"loglik": -total_cost, "n_segments": jnp.sum(is_end)}
+
+
+@jax.jit
+def em_step(
+    params: SegKMeansParams, corpus: Corpus
+) -> tuple[SegKMeansParams, dict[str, jax.Array]]:
+    """One ES-KMeans iteration: re-segment (DP) + re-assign + centroid update."""
+    counts, ll = expected_counts(params, corpus)
+    return m_step(params, counts), {"loglik": ll, "n_segments": counts[2]}
 
 
 @jax.jit

@@ -215,3 +215,35 @@ def test_time_sharded_estep_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(width_ref), np.asarray(width), rtol=2e-3, atol=2e-3
     )
+
+
+def test_shard_map_em_segmental_kmeans():
+    """The ES-KMeans expected_counts/m_step split satisfies the same
+    shard_map data-parallel protocol as the HMM family."""
+    import jax
+    import numpy as np
+
+    from multimodalworddiscovery_tpu.core.mesh import make_mesh
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.models import segmental_kmeans as skm
+    from multimodalworddiscovery_tpu.parallel import (
+        make_shard_map_em_step,
+        shard_corpus,
+    )
+
+    corpus, gold, _ = make_flickr8k_mini(n_utterances=24, n_concepts=10, seed=4)
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.05, seed=0)
+    mesh = make_mesh()
+    sharded = shard_corpus(fc, mesh)
+    p0 = skm.init(fc, n_clusters=8, key=jax.random.PRNGKey(0))
+
+    step = make_shard_map_em_step(skm, mesh)
+    p_sm, st = step(p0, sharded)
+    p_ref, st_ref = jax.jit(skm.em_step)(p0, fc)
+    np.testing.assert_allclose(
+        float(st["loglik"]), float(st_ref["loglik"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_sm.centroids), np.asarray(p_ref.centroids), atol=1e-4
+    )

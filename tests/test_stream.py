@@ -92,6 +92,43 @@ def test_streaming_em_gaussian_exact(tmp_path, corpus_gold):
     )
 
 
+def test_streaming_segmental_kmeans_exact(tmp_path, corpus_gold):
+    """ES-KMeans centroid statistics are additive: streamed EM == resident,
+    and the mwd discover stream path runs e2e."""
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.models import segmental_kmeans as skm
+
+    fc, fgold, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.05, seed=1)
+    write_shards(fc, tmp_path / "s", shard_size=10, gold=fgold)
+    reader = ShardedCorpusReader(tmp_path / "s")
+    p0 = skm.init(fc, n_clusters=12, key=jax.random.PRNGKey(0))
+
+    ps, lls = train_streaming(skm, p0, reader, 3)
+    pr, lls_ref = skm.train(p0, fc, 3)
+    np.testing.assert_allclose(lls, np.asarray(lls_ref), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ps.centroids), np.asarray(pr.centroids), atol=1e-4
+    )
+
+    # CLI: streamed discover end-to-end (train + per-shard discover + metrics)
+    from multimodalworddiscovery_tpu import cli
+
+    wd = tmp_path / "wd"
+    old = sys.argv
+    try:
+        sys.argv = ["mwd", "discover", "--workdir", str(wd), "--clusters", "12",
+                    "--override", "data.source=stream",
+                    f"data.dir={tmp_path / 's'}", "train.num_iterations=3"]
+        cli.main()
+    finally:
+        sys.argv = old
+    recs = json.loads((wd / "discovered_segments.json").read_text())
+    assert len(recs) == fc.n and all(r["segments"] for r in recs[:5])
+    m = json.loads((wd / "metrics.json").read_text())
+    assert 0.0 <= m["purity"] <= 1.0 and m["boundary"]["f1"] > 0.0
+
+
 def test_streaming_with_mesh(shard_dir, corpus_gold):
     corpus, _, _ = corpus_gold
     from multimodalworddiscovery_tpu.core.mesh import make_mesh
