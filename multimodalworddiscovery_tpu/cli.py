@@ -291,6 +291,55 @@ def _load_workdir_config(workdir: Path):
     return cfg
 
 
+def _train_minibatch_streaming_cmd(cfg, args, workdir: Path, batch_size: int) -> None:
+    """Out-of-core minibatch SGD (attention / grounding / hmm_crf): shards
+    stream to the device with prefetch; minibatch steps sample within the
+    resident shard (models/minibatch.train_minibatch_streaming)."""
+    from multimodalworddiscovery_tpu.data.stream import ShardedCorpusReader
+    from multimodalworddiscovery_tpu.models.minibatch import (
+        train_minibatch_streaming,
+    )
+
+    reader = ShardedCorpusReader(cfg.data.dir)
+    shard0 = reader.load_shard(0)
+    mod, params, step = _make_model(cfg, shard0)
+
+    ckpt = CheckpointManager(workdir / "ckpt")
+    writer = MetricsWriter(
+        workdir / "train_metrics.jsonl",
+        tensorboard_dir=(workdir / "tb") if cfg.train.get("tensorboard", False) else None,
+    )
+    start = 0
+    if ckpt.latest_step() is not None and not args.fresh:
+        params, start = ckpt.restore(params)
+        start += 1
+        print(f"resumed from step {start}")
+
+    def on_step(i, p, loss):
+        it = start + i
+        writer.write(it, loglik=loss, batch_size=batch_size)
+        if it % 20 == 0 or it == cfg.train.num_iterations - 1:
+            print(f"step {it:5d}  loss {loss:.3f}")
+        if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
+            ckpt.save(it, p)
+
+    t0 = time.perf_counter()
+    params, losses = train_minibatch_streaming(
+        step, params, reader, batch_size,
+        cfg.train.num_iterations - start,
+        key=jax.random.PRNGKey(cfg.seed),
+        prefetch=int(cfg.train.get("stream_prefetch", 1)),
+        on_step=on_step,
+    )
+    ckpt.close()
+    writer.close()
+    print(
+        f"streamed {len(losses)} minibatch steps (B={batch_size}, "
+        f"{reader.num_shards} shards x {reader.shard_size}) "
+        f"in {time.perf_counter() - t0:.2f}s"
+    )
+
+
 def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
     """Out-of-core EM: the corpus never materializes — fixed-shape shards
     stream from disk (data/stream.py) with I/O prefetch, counts accumulate
@@ -300,22 +349,42 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
         train_streaming,
     )
 
+    batch_size = int(cfg.train.get("batch_size", 0))
+    if cfg.model.name in ("attention", "grounding", "hmm_crf"):
+        # gradient models: streamed MINIBATCH training (shards stream to the
+        # device; steps sample within the resident shard)
+        if not batch_size:
+            raise SystemExit(
+                "gradient models with data.source=stream need "
+                "train.batch_size (minibatch steps sample within each "
+                "streamed shard)"
+            )
+        if cfg.train.get("distributed", False):
+            raise SystemExit(
+                "data.source=stream + train.batch_size is single-host; "
+                "use train.distributed with a resident corpus for "
+                "distributed minibatch SGD"
+            )
+        _train_minibatch_streaming_cmd(cfg, args, workdir, batch_size)
+        return
     if cfg.model.name not in ("model1", "hmm", "hmm_gaussian"):
         raise SystemExit(
             "data.source=stream trains the closed-form EM aligners "
-            "(model1/hmm/hmm_gaussian); materialize the corpus "
-            "(data.source=disk) for gradient-trained models"
+            "(model1/hmm/hmm_gaussian) and the gradient models "
+            "(attention/grounding/hmm_crf, with train.batch_size); "
+            "hmm_dnn's neural M-step needs full-corpus posteriors — "
+            "materialize (data.source=disk) or use train.bucket_edges"
         )
     if (
         str(cfg.train.get("bucket_edges", "")).strip()
-        or int(cfg.train.get("batch_size", 0))
+        or batch_size
         or int(cfg.train.get("corpus_chunks", 1)) > 1
         or int(cfg.model.get("anneal_iters", 0) or 0)
     ):
         raise SystemExit(
             "data.source=stream already bounds memory by shard_size; it does "
             "not compose with bucket_edges/batch_size/corpus_chunks/"
-            "anneal_iters"
+            "anneal_iters for the EM aligners"
         )
     distributed = bool(cfg.train.get("distributed", False))
     is_coord = (not distributed) or jax.process_index() == 0

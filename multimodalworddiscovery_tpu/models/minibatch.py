@@ -102,6 +102,7 @@ def make_minibatch_step(
     mesh=None,
     axis_name: str = DATA_AXIS,
     sample: str = "global",
+    bind_corpus: bool = True,
 ):
     """jitted ``(state, key) -> (state, stats)`` sampling a fresh minibatch.
 
@@ -157,7 +158,67 @@ def make_minibatch_step(
         )
     else:
         jitted = jax.jit(step)
+    if not bind_corpus:
+        # ``(state, key, corpus) -> (state, stats)``: ONE jit reused across
+        # same-shape corpora (the streaming trainer feeds a different shard
+        # each call; ``corpus`` served only as the shape/validation template)
+        return jitted
     return lambda state, key: jitted(state, key, corpus)
+
+
+def train_minibatch_streaming(
+    step_fn: StepFn,
+    state,
+    reader,
+    batch_size: int,
+    num_steps: int,
+    key: jax.Array | None = None,
+    steps_per_shard: int | None = None,
+    prefetch: int = 1,
+    on_step=None,
+):
+    """Out-of-core minibatch SGD for the gradient models: mmap shards stream
+    to the device (data/stream.prefetched overlaps the I/O), and
+    ``steps_per_shard`` minibatch steps sample WITHIN the resident shard
+    before the next one loads — the classic big-data loader pattern.
+    Shards are visited cyclically until ``num_steps`` is reached.
+
+    Sampling is uniform within the resident shard rather than the whole
+    corpus (cross-shard uniformity would re-read the disk every step);
+    with ``steps_per_shard ~= shard_size/batch_size`` every example is seen
+    ~once per cycle, the standard approximation for corpora beyond RAM.
+
+    Returns (state, losses).  ``reader`` is a data.stream.ShardedCorpusReader.
+    """
+    from multimodalworddiscovery_tpu.data.stream import prefetched
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if steps_per_shard is None:
+        steps_per_shard = max(1, reader.shard_size // batch_size)
+    shard0 = reader.load_shard(0)
+    step = make_minibatch_step(
+        step_fn, shard0, batch_size, bind_corpus=False
+    )  # one jit; every shard has the same padded shape
+    losses: list[float] = []
+    it = 0
+    while it < num_steps:
+        for shard in prefetched(
+            lambda k: reader.load_shard(k), reader.num_shards, prefetch
+        ):
+            for _ in range(steps_per_shard):
+                if it >= num_steps:
+                    break
+                key, sub = jax.random.split(key)
+                state, stats = step(state, sub, shard)
+                loss_key = "loss" if "loss" in stats else "loglik"
+                losses.append(float(stats[loss_key]))
+                if on_step is not None:
+                    on_step(it, state, losses[-1])
+                it += 1
+            if it >= num_steps:
+                break
+    return state, losses
 
 
 def train_minibatch(

@@ -129,6 +129,40 @@ def test_streaming_segmental_kmeans_exact(tmp_path, corpus_gold):
     assert 0.0 <= m["purity"] <= 1.0 and m["boundary"]["f1"] > 0.0
 
 
+def test_streaming_minibatch_gradient_model(tmp_path, shard_dir):
+    """Out-of-core minibatch SGD: shards stream, steps sample within the
+    resident shard; library API and CLI e2e."""
+    from multimodalworddiscovery_tpu.models import attention
+    from multimodalworddiscovery_tpu.models.minibatch import (
+        train_minibatch_streaming,
+    )
+
+    reader = ShardedCorpusReader(shard_dir)
+    state = attention.init(reader.load_shard(0), dim=32, key=jax.random.PRNGKey(0))
+    state, losses = train_minibatch_streaming(
+        attention.em_step, state, reader, batch_size=4, num_steps=6,
+        key=jax.random.PRNGKey(1),
+    )
+    assert len(losses) == 6 and all(np.isfinite(l) for l in losses)
+
+    from multimodalworddiscovery_tpu import cli
+
+    wd = tmp_path / "wd"
+    old = sys.argv
+    try:
+        sys.argv = ["mwd", "train", "--workdir", str(wd),
+                    "--override", "data.source=stream",
+                    f"data.dir={shard_dir}", "model.name=attention",
+                    "model.dim=32", "train.batch_size=4",
+                    "train.num_iterations=6", "train.checkpoint_every=6"]
+        cli.main()
+    finally:
+        sys.argv = old
+    rows = [json.loads(l) for l in (wd / "train_metrics.jsonl").read_text().splitlines()]
+    assert len(rows) == 6 and all(np.isfinite(r["loglik"]) for r in rows)
+    assert (wd / "ckpt").exists()
+
+
 def test_streaming_with_mesh(shard_dir, corpus_gold):
     corpus, _, _ = corpus_gold
     from multimodalworddiscovery_tpu.core.mesh import make_mesh
