@@ -300,7 +300,15 @@ def _train_minibatch_streaming_cmd(cfg, args, workdir: Path, batch_size: int) ->
         train_minibatch_streaming,
     )
 
+    if cfg.model.get("guide", ""):
+        raise SystemExit(
+            "model.guide + data.source=stream would train the teacher on "
+            "shard 0 only (silently degraded guidance); train the teacher "
+            "with streamed EM first, then guide on a resident corpus "
+            "(data.source=disk)"
+        )
     reader = ShardedCorpusReader(cfg.data.dir)
+    mesh = make_mesh() if cfg.train.data_parallel else None
     shard0 = reader.load_shard(0)
     mod, params, step = _make_model(cfg, shard0)
 
@@ -315,11 +323,10 @@ def _train_minibatch_streaming_cmd(cfg, args, workdir: Path, batch_size: int) ->
         start += 1
         print(f"resumed from step {start}")
 
-    def on_step(i, p, loss):
-        it = start + i
+    def on_step(it, p, loss):
         writer.write(it, loglik=loss, batch_size=batch_size)
         if it % 20 == 0 or it == cfg.train.num_iterations - 1:
-            print(f"step {it:5d}  loss {loss:.3f}")
+            print(f"step {it:5d}  loglik {loss:.3f}")
         if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
             ckpt.save(it, p)
 
@@ -329,14 +336,16 @@ def _train_minibatch_streaming_cmd(cfg, args, workdir: Path, batch_size: int) ->
         cfg.train.num_iterations - start,
         key=jax.random.PRNGKey(cfg.seed),
         prefetch=int(cfg.train.get("stream_prefetch", 1)),
+        mesh=mesh, start_step=start,
         on_step=on_step,
     )
     ckpt.close()
     writer.close()
     print(
         f"streamed {len(losses)} minibatch steps (B={batch_size}, "
-        f"{reader.num_shards} shards x {reader.shard_size}) "
-        f"in {time.perf_counter() - t0:.2f}s"
+        f"{reader.num_shards} shards x {reader.shard_size}"
+        + (f", {mesh.shape} mesh" if mesh else "")
+        + f") in {time.perf_counter() - t0:.2f}s"
     )
 
 

@@ -119,8 +119,8 @@ def make_minibatch_step(
     n = corpus.n
     if batch_size > n:
         raise ValueError(f"batch_size {batch_size} > corpus size {n}")
-    if sample not in ("global", "local"):
-        raise ValueError(f"sample must be global|local, got {sample!r}")
+    if sample not in ("global", "local", "valid"):
+        raise ValueError(f"sample must be global|local|valid, got {sample!r}")
     if sample == "local" and mesh is None:
         raise ValueError("sample='local' requires a mesh")
 
@@ -141,6 +141,16 @@ def make_minibatch_step(
     def step(state, key, c):
         if sample == "local":
             batch = sample_local_batch(c, key, batch_size, mesh, axis_name)
+        elif sample == "valid":
+            # uniform over REAL rows only (with replacement): a shard padded
+            # with zero-length utterances (streaming's last shard) must not
+            # burn steps on all-padding batches or feed degenerate rows to
+            # contrastive losses.  Every shard holds >= 1 real row.
+            probs = (c.src_len > 0).astype(jnp.float32)
+            idx = jax.random.choice(
+                key, n, (batch_size,), replace=True, p=probs / jnp.sum(probs)
+            )
+            batch = gather_batch(c, idx)
         else:
             # uniform without replacement: prefix of a random permutation
             idx = jax.random.permutation(key, n)[:batch_size]
@@ -175,20 +185,33 @@ def train_minibatch_streaming(
     key: jax.Array | None = None,
     steps_per_shard: int | None = None,
     prefetch: int = 1,
+    mesh=None,
+    start_step: int = 0,
     on_step=None,
 ):
     """Out-of-core minibatch SGD for the gradient models: mmap shards stream
     to the device (data/stream.prefetched overlaps the I/O), and
     ``steps_per_shard`` minibatch steps sample WITHIN the resident shard
     before the next one loads — the classic big-data loader pattern.
-    Shards are visited cyclically until ``num_steps`` is reached.
+    Shards are visited cyclically until ``num_steps`` steps have run.
 
-    Sampling is uniform within the resident shard rather than the whole
-    corpus (cross-shard uniformity would re-read the disk every step);
-    with ``steps_per_shard ~= shard_size/batch_size`` every example is seen
-    ~once per cycle, the standard approximation for corpora beyond RAM.
+    Sampling is uniform over the resident shard's REAL rows (padding rows of
+    the last shard excluded; cross-shard uniformity would re-read the disk
+    every step); with ``steps_per_shard ~= shard_size/batch_size`` every
+    example is seen ~once per cycle, the standard approximation for corpora
+    beyond RAM.
 
-    Returns (state, losses).  ``reader`` is a data.stream.ShardedCorpusReader.
+    Deterministic resume: the step key is ``fold_in(key, global_step)`` and
+    the shard cycle position is derived from the global step, so restarting
+    from a checkpoint with ``start_step`` continues the exact schedule
+    instead of replaying shard 0 with the original key.
+
+    With ``mesh``, each shard is sharded over the data axis and gradients
+    all-reduce (state replicated) — same semantics as the resident
+    data-parallel minibatch path.
+
+    Returns (state, losses).  ``reader`` is a data.stream.ShardedCorpusReader;
+    ``on_step(global_step, state, loss)`` runs after every step.
     """
     from multimodalworddiscovery_tpu.data.stream import prefetched
 
@@ -196,28 +219,43 @@ def train_minibatch_streaming(
         key = jax.random.PRNGKey(0)
     if steps_per_shard is None:
         steps_per_shard = max(1, reader.shard_size // batch_size)
-    shard0 = reader.load_shard(0)
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from multimodalworddiscovery_tpu.core.mesh import DATA_AXIS
+
+        if reader.shard_size % mesh.shape[DATA_AXIS] != 0:
+            raise ValueError(
+                f"shard_size {reader.shard_size} must divide by the mesh's "
+                f"{mesh.shape[DATA_AXIS]} devices"
+            )
+        sharding = NamedSharding(mesh, P(DATA_AXIS))
+    shard0 = reader.load_shard(0, sharding)
     step = make_minibatch_step(
-        step_fn, shard0, batch_size, bind_corpus=False
+        step_fn, shard0, batch_size, mesh=mesh, sample="valid",
+        bind_corpus=False,
     )  # one jit; every shard has the same padded shape
+
+    stop = start_step + num_steps
+    first_block = start_step // steps_per_shard
+    last_block = max((stop - 1) // steps_per_shard, first_block)
+    blocks = list(range(first_block, last_block + 1))
+
+    def load(j):
+        k = blocks[j] % reader.num_shards
+        return shard0 if k == 0 else reader.load_shard(k, sharding)
+
     losses: list[float] = []
-    it = 0
-    while it < num_steps:
-        for shard in prefetched(
-            lambda k: reader.load_shard(k), reader.num_shards, prefetch
-        ):
-            for _ in range(steps_per_shard):
-                if it >= num_steps:
-                    break
-                key, sub = jax.random.split(key)
-                state, stats = step(state, sub, shard)
-                loss_key = "loss" if "loss" in stats else "loglik"
-                losses.append(float(stats[loss_key]))
-                if on_step is not None:
-                    on_step(it, state, losses[-1])
-                it += 1
-            if it >= num_steps:
-                break
+    it = start_step
+    for b, shard in zip(blocks, prefetched(load, len(blocks), prefetch)):
+        block_stop = min((b + 1) * steps_per_shard, stop)
+        while it < block_stop:
+            state, stats = step(state, jax.random.fold_in(key, it), shard)
+            losses.append(float(stats["loglik"]))
+            if on_step is not None:
+                on_step(it, state, losses[-1])
+            it += 1
     return state, losses
 
 
