@@ -400,10 +400,37 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
 
     reader = ShardedCorpusReader(cfg.data.dir)
     shard0 = reader.load_shard(0)
-    # params are seeded from shard 0's statistics (vocab/shape constants are
-    # corpus-wide from the manifest; data-dependent seeding like
-    # init=vq_teacher sees one shard)
     mod, params, _ = _make_model(cfg, shard0)
+    prefetch = int(cfg.train.get("stream_prefetch", 1))
+
+    if cfg.model.name == "hmm_gaussian" and str(cfg.model.get("init", "global")) in (
+        "global", "diagonal",
+    ):
+        # re-seed from WHOLE-corpus moments (additive across shards) rather
+        # than shard 0's — exact parity with the resident init.  Only
+        # init=vq_teacher still seeds from shard 0 (its k-means/teacher EM
+        # needs the frames themselves, not moments).
+        from multimodalworddiscovery_tpu.data.stream import (
+            prefetched,
+            tree_sum_bounded,
+        )
+        from multimodalworddiscovery_tpu.models import hmm_gaussian
+
+        mom_fn = jax.jit(hmm_gaussian.init_moments)
+        moments = tree_sum_bounded(
+            mom_fn(shard)
+            for shard in prefetched(
+                lambda k: reader.load_shard(k) if k else shard0,
+                reader.num_shards, prefetch,
+            )
+        )
+        params = hmm_gaussian.init_from_moments(
+            moments, max_jump=cfg.model.max_jump,
+            n_components=cfg.model.get("n_components", 2),
+            key=jax.random.PRNGKey(cfg.seed),
+            mode=str(cfg.model.get("init", "global")),
+        )
+        print("hmm_gaussian seeded from streamed whole-corpus moments")
 
     if cfg.model.name == "model1":
         ckw: dict = {}

@@ -46,23 +46,55 @@ class GaussianHMMParams:
     max_jump: int = struct.field(pytree_node=False, default=3)
 
 
-def init(
-    corpus: Corpus,
+def init_moments(corpus: Corpus, dtype=jnp.float32) -> dict[str, jax.Array]:
+    """ADDITIVE seeding statistics — summable across corpus shards, so the
+    streamed CLI can seed `init`/`init_diagonal` from the WHOLE corpus
+    instead of shard 0 (data/stream.tree_sum_bounded over per-shard calls):
+
+      fsum/fsq [D], fcnt []  raw global feature moments
+      csum [E,D], ccnt [E]   per-concept sums under the uniform DIAGONAL
+                             alignment (slot j = floor(t*Tt/Ts)) — the
+                             flat-start evidence ``init_diagonal`` uses
+    """
+    x = corpus.src  # [N, Ts, D]
+    mask = corpus.src_mask()[..., None]
+    xm = jnp.where(mask, x, 0.0).astype(dtype)
+    hi = jax.lax.Precision.HIGHEST
+
+    t_idx = jnp.arange(corpus.max_src_len)[None, :]
+    slen = jnp.maximum(corpus.src_len[:, None], 1)
+    slot = (t_idx * corpus.trg_len[:, None]) // slen
+    slot = jnp.clip(slot, 0, jnp.maximum(corpus.trg_len[:, None] - 1, 0))
+    concept = jnp.take_along_axis(corpus.trg, slot, axis=1)  # [N, Ts]
+    oh = jax.nn.one_hot(concept, corpus.trg_vocab, dtype=dtype)
+    oh = oh * corpus.src_mask().astype(dtype)[:, :, None]  # [N, Ts, E]
+    return {
+        "fsum": jnp.sum(xm, axis=(0, 1)),
+        "fsq": jnp.sum(xm * xm, axis=(0, 1)),
+        "fcnt": jnp.sum(mask.astype(dtype)),
+        "csum": jnp.einsum("nte,ntd->ed", oh, xm, precision=hi),
+        "ccnt": jnp.sum(oh, axis=(0, 1)),
+    }
+
+
+def init_from_moments(
+    moments: dict[str, jax.Array],
     max_jump: int = 3,
     n_components: int = 1,
     key: jax.Array | None = None,
+    mode: str = "global",
     dtype=jnp.float32,
 ) -> GaussianHMMParams:
-    """Means = corpus mean + per-(concept, component) jitter, vars = corpus var."""
+    """Build params from (possibly shard-summed) ``init_moments``.
+
+    mode="global" mirrors ``init`` (corpus mean + jitter), mode="diagonal"
+    mirrors ``init_diagonal`` (per-concept diagonal flat-start means)."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    x = corpus.src  # [N, Ts, D]
-    d = x.shape[-1]
-    v_trg = corpus.trg_vocab
-    mask = corpus.src_mask()[..., None]
-    total = jnp.maximum(jnp.sum(mask), 1.0)
-    mean = jnp.sum(jnp.where(mask, x, 0.0), axis=(0, 1)) / total
-    var = jnp.sum(jnp.where(mask, (x - mean) ** 2, 0.0), axis=(0, 1)) / total
+    v_trg, d = moments["csum"].shape
+    total = jnp.maximum(moments["fcnt"], 1.0)
+    mean = moments["fsum"] / total
+    var = jnp.maximum(moments["fsq"] / total - mean**2, 0.0)
     # 0.1x concept jitter (K=1-stable); extra spread only across components
     k1, k2 = jax.random.split(key)
     jitter = 0.1 * jnp.sqrt(var) * jax.random.normal(k1, (v_trg, 1, d), dtype)
@@ -73,7 +105,7 @@ def init(
     else:
         jitter = jnp.broadcast_to(jitter, (v_trg, n_components, d))
     w = 2 * max_jump + 1
-    return GaussianHMMParams(
+    params = GaussianHMMParams(
         means=(mean[None, None, :] + jitter).astype(dtype),
         log_vars=jnp.broadcast_to(
             jnp.log(var + 1e-6), (v_trg, n_components, d)
@@ -82,6 +114,34 @@ def init(
         log_jump=(-0.5 * jnp.abs(jnp.arange(w, dtype=dtype) - max_jump - 1)),
         log_p0=jnp.asarray(jnp.log(0.2), dtype=dtype),
         max_jump=max_jump,
+    )
+    if mode == "global":
+        return params
+    if mode != "diagonal":
+        raise ValueError(f"mode must be global|diagonal, got {mode!r}")
+    seen = moments["ccnt"] > 0
+    cmean = moments["csum"] / jnp.maximum(moments["ccnt"], 1.0)[:, None]
+    # unseen concepts keep the global-mean fallback
+    means = jnp.where(seen[:, None, None], cmean[:, None, :], params.means)
+    if n_components > 1:
+        k2 = jax.random.fold_in(key, 1)
+        means = means + 0.3 * jnp.sqrt(var) * jax.random.normal(
+            k2, (v_trg, n_components, d), dtype
+        )
+    return params.replace(means=means.astype(dtype))
+
+
+def init(
+    corpus: Corpus,
+    max_jump: int = 3,
+    n_components: int = 1,
+    key: jax.Array | None = None,
+    dtype=jnp.float32,
+) -> GaussianHMMParams:
+    """Means = corpus mean + per-(concept, component) jitter, vars = corpus var."""
+    return init_from_moments(
+        init_moments(corpus, dtype), max_jump=max_jump,
+        n_components=n_components, key=key, mode="global", dtype=dtype,
     )
 
 
@@ -102,39 +162,10 @@ def init_diagonal(
     the classic HMM flat-start) breaks the symmetry with corpus evidence:
     same shapes, one one-hot MXU contraction, no alignment model needed.
     """
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    base = init(corpus, max_jump=max_jump, n_components=n_components,
-                key=key, dtype=dtype)
-    x = corpus.src  # [N, Ts, D]
-    n, ts, d = x.shape
-    v_trg = corpus.trg_vocab
-    hi = jax.lax.Precision.HIGHEST
-
-    t_idx = jnp.arange(ts)[None, :]
-    slen = jnp.maximum(corpus.src_len[:, None], 1)
-    slot = (t_idx * corpus.trg_len[:, None]) // slen
-    slot = jnp.clip(slot, 0, jnp.maximum(corpus.trg_len[:, None] - 1, 0))
-    concept = jnp.take_along_axis(corpus.trg, slot, axis=1)  # [N, Ts]
-    oh = jax.nn.one_hot(concept, v_trg, dtype=dtype)
-    oh = oh * corpus.src_mask().astype(dtype)[:, :, None]  # [N, Ts, E]
-    csum = jnp.einsum("nte,ntd->ed", oh, x.astype(dtype), precision=hi)
-    ccnt = jnp.sum(oh, axis=(0, 1))  # [E]
-    seen = ccnt > 0
-    cmean = csum / jnp.maximum(ccnt, 1.0)[:, None]  # [E, D]
-    # unseen concepts keep the global-mean fallback from `init`
-    means = jnp.where(
-        seen[:, None, None], cmean[:, None, :], base.means
+    return init_from_moments(
+        init_moments(corpus, dtype), max_jump=max_jump,
+        n_components=n_components, key=key, mode="diagonal", dtype=dtype,
     )
-    if n_components > 1:
-        # spread components around the seeded mean with the same jitter
-        # scale `init` uses
-        gvar = jnp.exp(base.log_vars[0, 0])
-        k2 = jax.random.fold_in(key, 1)
-        means = means + 0.3 * jnp.sqrt(gvar) * jax.random.normal(
-            k2, (v_trg, n_components, d), dtype
-        )
-    return base.replace(means=means.astype(dtype))
 
 
 def _component_logdensity(params: GaussianHMMParams, corpus: Corpus) -> jax.Array:

@@ -73,6 +73,38 @@ def test_streaming_em_exact(shard_dir, corpus_gold, mod_name, prefetch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_streamed_gaussian_init_matches_resident(tmp_path, corpus_gold):
+    """init_from_moments(sum of per-shard init_moments) must equal the
+    resident init/init_diagonal bit-for-not-quite (same key; only float
+    summation order differs)."""
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu.data.stream import tree_sum_bounded
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.models import hmm_gaussian
+
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    write_shards(fc, tmp_path, shard_size=8)  # 30 -> 4 shards, last padded
+    reader = ShardedCorpusReader(tmp_path)
+    moments = tree_sum_bounded(
+        hmm_gaussian.init_moments(reader.load_shard(k))
+        for k in range(reader.num_shards)
+    )
+    key = jax.random.PRNGKey(3)
+    for mode, ref_fn in (("global", hmm_gaussian.init),
+                         ("diagonal", hmm_gaussian.init_diagonal)):
+        got = hmm_gaussian.init_from_moments(
+            moments, n_components=2, key=key, mode=mode
+        )
+        want = ref_fn(fc, n_components=2, key=key)
+        np.testing.assert_allclose(
+            np.asarray(got.means), np.asarray(want.means), atol=1e-4,
+            err_msg=mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.log_vars), np.asarray(want.log_vars), atol=1e-4
+        )
+
+
 def test_streaming_em_gaussian_exact(tmp_path, corpus_gold):
     corpus, gold, _ = corpus_gold
     from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
