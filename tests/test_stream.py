@@ -212,6 +212,20 @@ def test_streaming_with_mesh(shard_dir, corpus_gold):
     )
 
 
+def test_stream_degenerate_single_utterance(tmp_path):
+    """One utterance, one (mostly padding) shard: streamed EM still matches
+    resident, and the reader round-trips the degenerate corpus."""
+    corpus, _, _ = make_flickr8k_mini(n_utterances=1, n_concepts=5, n_phones=8, seed=0)
+    write_shards(corpus, tmp_path, shard_size=4)
+    reader = ShardedCorpusReader(tmp_path)
+    assert reader.num_shards == 1 and reader.n == 1
+    ps, lls = train_streaming(hmm, hmm.init(reader.load_shard(0)), reader, 2)
+    pr, lls_ref = jax.jit(lambda p, c: hmm.train(p, c, 2))(hmm.init(corpus), corpus)
+    np.testing.assert_allclose(lls, np.asarray(lls_ref), rtol=1e-5)
+    full, _ = reader.materialize()
+    np.testing.assert_array_equal(np.asarray(full.src), np.asarray(corpus.src))
+
+
 def test_stream_counts_match_single_call(shard_dir, corpus_gold):
     corpus, _, _ = corpus_gold
     reader = ShardedCorpusReader(shard_dir)
