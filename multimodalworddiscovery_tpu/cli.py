@@ -403,32 +403,57 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
     mod, params, _ = _make_model(cfg, shard0)
     prefetch = int(cfg.train.get("stream_prefetch", 1))
 
-    if cfg.model.name == "hmm_gaussian" and str(cfg.model.get("init", "global")) in (
-        "global", "diagonal",
+    ckpt = CheckpointManager(workdir / "ckpt")
+    will_resume = ckpt.latest_step() is not None and not args.fresh
+
+    if (
+        not will_resume  # the restore below would discard the seed anyway
+        and cfg.model.name == "hmm_gaussian"
+        and str(cfg.model.get("init", "global")) in ("global", "diagonal")
     ):
         # re-seed from WHOLE-corpus moments (additive across shards) rather
         # than shard 0's — exact parity with the resident init.  Only
         # init=vq_teacher still seeds from shard 0 (its k-means/teacher EM
-        # needs the frames themselves, not moments).
+        # needs the frames themselves, not moments).  Squared sums are taken
+        # about shard 0's mean (the same shift on every shard/process) for
+        # two-pass-grade variance stability.
         from multimodalworddiscovery_tpu.data.stream import (
-            prefetched,
+            stream_expected_counts,
             tree_sum_bounded,
         )
         from multimodalworddiscovery_tpu.models import hmm_gaussian
 
-        mom_fn = jax.jit(hmm_gaussian.init_moments)
-        moments = tree_sum_bounded(
-            mom_fn(shard)
-            for shard in prefetched(
-                lambda k: reader.load_shard(k) if k else shard0,
-                reader.num_shards, prefetch,
-            )
+        shift = hmm_gaussian.feature_shift(shard0)
+        mom_fn = jax.jit(
+            lambda _, c: (hmm_gaussian.init_moments(c, shift), jnp.float32(0.0))
         )
+        if cfg.train.get("distributed", False):
+            # each process scans only ITS shard subset; the (tiny) moment
+            # pytrees are summed across processes on the host
+            from jax.experimental import multihost_utils
+
+            pid, n_proc = jax.process_index(), jax.process_count()
+            mine = [
+                mom_fn(None, reader.load_shard(k))[0]
+                for k in range(pid, reader.num_shards, n_proc)
+            ]
+            local = (
+                tree_sum_bounded(iter(mine)) if mine
+                else jax.tree.map(jnp.zeros_like, mom_fn(None, shard0)[0])
+            )
+            moments = jax.tree.map(
+                lambda x: multihost_utils.process_allgather(np.asarray(x)).sum(axis=0),
+                local,
+            )
+        else:
+            moments, _ = stream_expected_counts(
+                mom_fn, None, reader, prefetch=prefetch
+            )
         params = hmm_gaussian.init_from_moments(
             moments, max_jump=cfg.model.max_jump,
             n_components=cfg.model.get("n_components", 2),
             key=jax.random.PRNGKey(cfg.seed),
-            mode=str(cfg.model.get("init", "global")),
+            mode=str(cfg.model.get("init", "global")), shift=shift,
         )
         print("hmm_gaussian seeded from streamed whole-corpus moments")
 
@@ -451,13 +476,12 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
     else:
         mesh = make_mesh() if cfg.train.data_parallel else None
 
-    ckpt = CheckpointManager(workdir / "ckpt")
     writer = MetricsWriter(
         workdir / "train_metrics.jsonl",
         tensorboard_dir=(workdir / "tb") if cfg.train.get("tensorboard", False) else None,
     )
     start = 0
-    if ckpt.latest_step() is not None and not args.fresh:
+    if will_resume:
         params, start = ckpt.restore(params)
         start += 1
         if is_coord:

@@ -46,19 +46,40 @@ class GaussianHMMParams:
     max_jump: int = struct.field(pytree_node=False, default=3)
 
 
-def init_moments(corpus: Corpus, dtype=jnp.float32) -> dict[str, jax.Array]:
+def feature_shift(corpus: Corpus, dtype=jnp.float32) -> jax.Array:
+    """Masked per-dim feature mean of (a shard of) the corpus — the shift
+    point for ``init_moments``' squared sums.  Any shard's mean works; it
+    only needs to be CLOSE to the corpus mean (and identical across shards
+    of one run)."""
+    mask = corpus.src_mask()[..., None]
+    xm = jnp.where(mask, corpus.src, 0.0).astype(dtype)
+    return jnp.sum(xm, axis=(0, 1)) / jnp.maximum(jnp.sum(mask.astype(dtype)), 1.0)
+
+
+def init_moments(
+    corpus: Corpus, shift: jax.Array | float = 0.0, dtype=jnp.float32
+) -> dict[str, jax.Array]:
     """ADDITIVE seeding statistics — summable across corpus shards, so the
     streamed CLI can seed `init`/`init_diagonal` from the WHOLE corpus
     instead of shard 0 (data/stream.tree_sum_bounded over per-shard calls):
 
-      fsum/fsq [D], fcnt []  raw global feature moments
-      csum [E,D], ccnt [E]   per-concept sums under the uniform DIAGONAL
-                             alignment (slot j = floor(t*Tt/Ts)) — the
-                             flat-start evidence ``init_diagonal`` uses
+      fsum [D], fcnt []      raw global feature sums / count
+      fsq [D]                sum of (x - shift)^2 — squared sums are taken
+                             about ``shift`` (pass a ``feature_shift``!):
+                             a raw one-pass E[x^2]-mean^2 catastrophically
+                             cancels in float32 for features with
+                             |mean|/std beyond ~1e3 (var clamps to 0, zero
+                             jitter, degenerate seeding).  With
+                             shift ~= mean this is the stable two-pass
+                             variance.  Use the SAME shift for every shard.
+      csum [E,D], ccnt [E]   per-concept raw sums under the uniform
+                             DIAGONAL alignment (slot j = floor(t*Tt/Ts)) —
+                             the flat-start evidence ``init_diagonal`` uses
     """
     x = corpus.src  # [N, Ts, D]
     mask = corpus.src_mask()[..., None]
     xm = jnp.where(mask, x, 0.0).astype(dtype)
+    xc = jnp.where(mask, x - shift, 0.0).astype(dtype)
     hi = jax.lax.Precision.HIGHEST
 
     t_idx = jnp.arange(corpus.max_src_len)[None, :]
@@ -70,7 +91,7 @@ def init_moments(corpus: Corpus, dtype=jnp.float32) -> dict[str, jax.Array]:
     oh = oh * corpus.src_mask().astype(dtype)[:, :, None]  # [N, Ts, E]
     return {
         "fsum": jnp.sum(xm, axis=(0, 1)),
-        "fsq": jnp.sum(xm * xm, axis=(0, 1)),
+        "fsq": jnp.sum(xc * xc, axis=(0, 1)),
         "fcnt": jnp.sum(mask.astype(dtype)),
         "csum": jnp.einsum("nte,ntd->ed", oh, xm, precision=hi),
         "ccnt": jnp.sum(oh, axis=(0, 1)),
@@ -83,18 +104,22 @@ def init_from_moments(
     n_components: int = 1,
     key: jax.Array | None = None,
     mode: str = "global",
+    shift: jax.Array | float = 0.0,
     dtype=jnp.float32,
 ) -> GaussianHMMParams:
     """Build params from (possibly shard-summed) ``init_moments``.
 
-    mode="global" mirrors ``init`` (corpus mean + jitter), mode="diagonal"
-    mirrors ``init_diagonal`` (per-concept diagonal flat-start means)."""
+    ``shift`` must be the value the moments were taken with.  mode="global"
+    mirrors ``init`` (corpus mean + jitter), mode="diagonal" mirrors
+    ``init_diagonal`` (per-concept diagonal flat-start means)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     v_trg, d = moments["csum"].shape
     total = jnp.maximum(moments["fcnt"], 1.0)
     mean = moments["fsum"] / total
-    var = jnp.maximum(moments["fsq"] / total - mean**2, 0.0)
+    # E[(x-shift)^2] - (mean-shift)^2: exact two-pass variance when
+    # shift == mean, and numerically stable whenever shift ~= mean
+    var = jnp.maximum(moments["fsq"] / total - (mean - shift) ** 2, 0.0)
     # 0.1x concept jitter (K=1-stable); extra spread only across components
     k1, k2 = jax.random.split(key)
     jitter = 0.1 * jnp.sqrt(var) * jax.random.normal(k1, (v_trg, 1, d), dtype)
@@ -139,9 +164,11 @@ def init(
     dtype=jnp.float32,
 ) -> GaussianHMMParams:
     """Means = corpus mean + per-(concept, component) jitter, vars = corpus var."""
+    shift = feature_shift(corpus, dtype)  # exact two-pass variance
     return init_from_moments(
-        init_moments(corpus, dtype), max_jump=max_jump,
-        n_components=n_components, key=key, mode="global", dtype=dtype,
+        init_moments(corpus, shift, dtype), max_jump=max_jump,
+        n_components=n_components, key=key, mode="global", shift=shift,
+        dtype=dtype,
     )
 
 
@@ -162,9 +189,11 @@ def init_diagonal(
     the classic HMM flat-start) breaks the symmetry with corpus evidence:
     same shapes, one one-hot MXU contraction, no alignment model needed.
     """
+    shift = feature_shift(corpus, dtype)
     return init_from_moments(
-        init_moments(corpus, dtype), max_jump=max_jump,
-        n_components=n_components, key=key, mode="diagonal", dtype=dtype,
+        init_moments(corpus, shift, dtype), max_jump=max_jump,
+        n_components=n_components, key=key, mode="diagonal", shift=shift,
+        dtype=dtype,
     )
 
 

@@ -83,26 +83,34 @@ def test_streamed_gaussian_init_matches_resident(tmp_path, corpus_gold):
     from multimodalworddiscovery_tpu.models import hmm_gaussian
 
     fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    # large constant offset: a raw one-pass E[x^2]-mean^2 variance would
+    # catastrophically cancel in fp32; the shard-0 shift must keep it stable
+    fc = fc.replace(src=fc.src + 3000.0)
     write_shards(fc, tmp_path, shard_size=8)  # 30 -> 4 shards, last padded
     reader = ShardedCorpusReader(tmp_path)
+    shift = hmm_gaussian.feature_shift(reader.load_shard(0))
     moments = tree_sum_bounded(
-        hmm_gaussian.init_moments(reader.load_shard(k))
+        hmm_gaussian.init_moments(reader.load_shard(k), shift)
         for k in range(reader.num_shards)
     )
     key = jax.random.PRNGKey(3)
     for mode, ref_fn in (("global", hmm_gaussian.init),
                          ("diagonal", hmm_gaussian.init_diagonal)):
         got = hmm_gaussian.init_from_moments(
-            moments, n_components=2, key=key, mode=mode
+            moments, n_components=2, key=key, mode=mode, shift=shift
         )
         want = ref_fn(fc, n_components=2, key=key)
+        # means sit near 3000: compare at fp32 ulp-level RELATIVE tolerance
         np.testing.assert_allclose(
-            np.asarray(got.means), np.asarray(want.means), atol=1e-4,
-            err_msg=mode,
+            np.asarray(got.means), np.asarray(want.means), rtol=1e-5,
+            atol=1e-2, err_msg=mode,
         )
+        # the offset must NOT have destroyed the variances (the raw
+        # one-pass formula collapsed them to log(1e-6) = -13.8 here)
         np.testing.assert_allclose(
-            np.asarray(got.log_vars), np.asarray(want.log_vars), atol=1e-4
+            np.asarray(got.log_vars), np.asarray(want.log_vars), atol=1e-2
         )
+        assert np.all(np.asarray(want.log_vars) > -5), "variance collapsed"
 
 
 def test_streaming_em_gaussian_exact(tmp_path, corpus_gold):
