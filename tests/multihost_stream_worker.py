@@ -10,6 +10,7 @@ Usage: python multihost_stream_worker.py <pid> <nproc> <port> <shard_dir>
 """
 
 import os
+import pathlib
 import sys
 
 pid, nproc, port, shard_dir = (
@@ -47,3 +48,26 @@ np.testing.assert_allclose(
     np.asarray(params.log_emit), np.asarray(ref.log_emit), atol=1e-4
 )
 print(f"PARITY OK {lls[-1]:.6f}", flush=True)
+
+# --- distributed streamed hmm_gaussian via the CLI: exercises the
+# partitioned whole-corpus re-seed (process-allgathered moments) + the
+# collective checkpoint path on a REAL 2-process run ---
+frames_dir = sys.argv[5] if len(sys.argv) > 5 else None
+if frames_dir:
+    from multimodalworddiscovery_tpu import cli
+
+    wd = str(pathlib.Path(frames_dir).parent / "gauss_wd")
+    old = sys.argv
+    sys.argv = [
+        "mwd", "train", "--workdir", wd,
+        "--override", "data.source=stream", f"data.dir={frames_dir}",
+        "model.name=hmm_gaussian", "model.init=diagonal",
+        "model.feat_dim=8", "train.num_iterations=2",
+        "train.data_parallel=true", "train.distributed=true",
+        "train.checkpoint_every=2",
+    ]
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    print("GAUSS OK", flush=True)

@@ -138,18 +138,25 @@ def test_two_process_streaming_em(tmp_path):
     from multimodalworddiscovery_tpu.data import make_flickr8k_mini
     from multimodalworddiscovery_tpu.data.stream import write_shards
 
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
     corpus, gold, _ = make_flickr8k_mini(
         n_utterances=20, n_concepts=10, n_phones=16, seed=5
     )
     shard_dir = tmp_path / "shards"
     assert write_shards(corpus, shard_dir, shard_size=4, gold=gold) == 5
+    # frames shards for the distributed hmm_gaussian leg (3 shards over 2
+    # processes: the partitioned re-seed sees an uneven split)
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    frames_dir = tmp_path / "frames"
+    assert write_shards(fc, frames_dir, shard_size=8) == 3
 
     worker = WORKER.parent / "multihost_stream_worker.py"
     port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), "2", str(port),
-             str(shard_dir)],
+             str(shard_dir), str(frames_dir)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=str(REPO),
             env={**os.environ,
@@ -169,6 +176,9 @@ def test_two_process_streaming_em(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"stream worker {i} failed:\n{out[-4000:]}"
         assert "PARITY OK" in out, f"stream worker {i}:\n{out[-4000:]}"
+        assert "GAUSS OK" in out, f"stream worker {i} gaussian leg:\n{out[-4000:]}"
+    assert "seeded from streamed whole-corpus moments" in outs[0]
+    assert (tmp_path / "gauss_wd" / "ckpt").exists()
 
 
 def test_two_process_minibatch(tmp_path):
