@@ -61,8 +61,18 @@ def sample_local_batch(
     This is the pod-scale sampling scheme: a globally-uniform gather from a
     cross-host-sharded corpus would make GSPMD exchange corpus rows over DCN
     every step (or worse, all-gather the operand).  Stratified-by-shard is
-    statistically equivalent for SGD when shards are i.i.d. slices of the
-    corpus (they are: utterance order carries no meaning here).
+    statistically equivalent for SGD when shards are uniform random subsets
+    of the corpus — a property the WRITER must supply, not an assumption:
+    real corpora are ordered (by image/speaker/length), so shard with
+    ``data.stream.write_shards(..., shuffle=seed)`` (or load slices of an
+    order-free corpus).
+
+    Zero-length PADDING rows (``global_corpus_from_local`` pads uneven
+    process slices) sort strictly after real rows in the per-device draw, so
+    a device only ever emits padding when its shard holds fewer than
+    batch_size/D real rows.  (Per-process padding is at most the per-process
+    device count, so only a pathological split — a process whose entire tail
+    device is padding — can still leak padded rows into a batch.)
     """
     n_dev = mesh.shape[axis_name]
     if batch_size % n_dev:
@@ -81,7 +91,16 @@ def sample_local_batch(
     def shard_sample(c_shard: Corpus, k):
         d = jax.lax.axis_index(axis_name)
         n_local = c_shard.src.shape[0]
-        idx = jax.random.permutation(jax.random.fold_in(k, d), n_local)[:b_local]
+        # real rows (src_len > 0) sort strictly before the zero-length padding
+        # rows that global_corpus_from_local adds for uneven process slices;
+        # within each group the random keys give a uniform permutation — so
+        # this is uniform-without-replacement over the shard's REAL rows
+        # whenever enough exist (mirrors sample='valid''s padding exclusion:
+        # degenerate all-zero rows dilute batches and feed constant rows into
+        # contrastive losses)
+        u = jax.random.uniform(jax.random.fold_in(k, d), (n_local,))
+        pad_penalty = jnp.where(c_shard.src_len > 0, 0.0, 2.0)
+        idx = jnp.argsort(u + pad_penalty)[:b_local]
         return gather_batch(c_shard, idx)
 
     from jax.sharding import PartitionSpec as P
@@ -199,7 +218,10 @@ def train_minibatch_streaming(
     the last shard excluded; cross-shard uniformity would re-read the disk
     every step); with ``steps_per_shard ~= shard_size/batch_size`` every
     example is seen ~once per cycle, the standard approximation for corpora
-    beyond RAM.
+    beyond RAM.  This is unbiased only when shards are uniform random
+    subsets: shard ORDERED corpora with ``write_shards(..., shuffle=seed)``
+    or steps_per_shard consecutive batches all come from one contiguous
+    corpus slice (convergence-parity test: tests/test_stream.py).
 
     Deterministic resume: the step key is ``fold_in(key, global_step)`` and
     the shard cycle position is derived from the global step, so restarting

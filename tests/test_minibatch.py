@@ -144,6 +144,25 @@ def test_sample_local_batch_stays_on_shard():
     assert not np.array_equal(src, np.asarray(b3.src))
 
 
+def test_sample_local_batch_skips_padding_rows():
+    """sample='local' must prefer REAL rows over the zero-length padding rows
+    that global_corpus_from_local adds for uneven process slices (padding
+    dilutes batches / feeds constant rows into contrastive losses)."""
+    from multimodalworddiscovery_tpu.core.mesh import make_mesh
+    from multimodalworddiscovery_tpu.models.minibatch import sample_local_batch
+    from multimodalworddiscovery_tpu.parallel import shard_corpus
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=44, seed=9)
+    padded = corpus.pad_to(48)  # tail device gets 2 real + 4 padding rows
+    mesh = make_mesh()
+    sharded = shard_corpus(padded, mesh)
+    for seed in range(4):
+        batch = sample_local_batch(sharded, jax.random.PRNGKey(seed), 16, mesh)
+        # 2 rows/device requested, >= 2 real rows on every device: every
+        # sampled row must be real
+        assert np.all(np.asarray(batch.src_len) > 0), seed
+
+
 def test_minibatch_local_sampling_trains():
     from multimodalworddiscovery_tpu.core.mesh import make_mesh
     from multimodalworddiscovery_tpu.parallel import shard_corpus
