@@ -57,7 +57,8 @@ def feature_shift(corpus: Corpus, dtype=jnp.float32) -> jax.Array:
 
 
 def init_moments(
-    corpus: Corpus, shift: jax.Array | float = 0.0, dtype=jnp.float32
+    corpus: Corpus, shift: jax.Array | float = 0.0, dtype=jnp.float32,
+    with_diagonal: bool = True,
 ) -> dict[str, jax.Array]:
     """ADDITIVE seeding statistics — summable across corpus shards, so the
     streamed CLI can seed `init`/`init_diagonal` from the WHOLE corpus
@@ -74,7 +75,14 @@ def init_moments(
                              variance.  Use the SAME shift for every shard.
       csum [E,D], ccnt [E]   per-concept raw sums under the uniform
                              DIAGONAL alignment (slot j = floor(t*Tt/Ts)) —
-                             the flat-start evidence ``init_diagonal`` uses
+                             the flat-start evidence ``init_diagonal`` uses.
+                             ``with_diagonal=False`` skips the [N,Ts,E]
+                             one-hot contraction that produces them (returns
+                             zeros of the same shapes, so the pytree
+                             structure — and shard-summability — is
+                             unchanged): mode="global" seeding never reads
+                             them, and the contraction's peak memory scales
+                             with trg_vocab.
     """
     x = corpus.src  # [N, Ts, D]
     mask = corpus.src_mask()[..., None]
@@ -82,19 +90,26 @@ def init_moments(
     xc = jnp.where(mask, x - shift, 0.0).astype(dtype)
     hi = jax.lax.Precision.HIGHEST
 
-    t_idx = jnp.arange(corpus.max_src_len)[None, :]
-    slen = jnp.maximum(corpus.src_len[:, None], 1)
-    slot = (t_idx * corpus.trg_len[:, None]) // slen
-    slot = jnp.clip(slot, 0, jnp.maximum(corpus.trg_len[:, None] - 1, 0))
-    concept = jnp.take_along_axis(corpus.trg, slot, axis=1)  # [N, Ts]
-    oh = jax.nn.one_hot(concept, corpus.trg_vocab, dtype=dtype)
-    oh = oh * corpus.src_mask().astype(dtype)[:, :, None]  # [N, Ts, E]
+    d = x.shape[-1]
+    if with_diagonal:
+        t_idx = jnp.arange(corpus.max_src_len)[None, :]
+        slen = jnp.maximum(corpus.src_len[:, None], 1)
+        slot = (t_idx * corpus.trg_len[:, None]) // slen
+        slot = jnp.clip(slot, 0, jnp.maximum(corpus.trg_len[:, None] - 1, 0))
+        concept = jnp.take_along_axis(corpus.trg, slot, axis=1)  # [N, Ts]
+        oh = jax.nn.one_hot(concept, corpus.trg_vocab, dtype=dtype)
+        oh = oh * corpus.src_mask().astype(dtype)[:, :, None]  # [N, Ts, E]
+        csum = jnp.einsum("nte,ntd->ed", oh, xm, precision=hi)
+        ccnt = jnp.sum(oh, axis=(0, 1))
+    else:
+        csum = jnp.zeros((corpus.trg_vocab, d), dtype)
+        ccnt = jnp.zeros((corpus.trg_vocab,), dtype)
     return {
         "fsum": jnp.sum(xm, axis=(0, 1)),
         "fsq": jnp.sum(xc * xc, axis=(0, 1)),
         "fcnt": jnp.sum(mask.astype(dtype)),
-        "csum": jnp.einsum("nte,ntd->ed", oh, xm, precision=hi),
-        "ccnt": jnp.sum(oh, axis=(0, 1)),
+        "csum": csum,
+        "ccnt": ccnt,
     }
 
 
@@ -166,7 +181,8 @@ def init(
     """Means = corpus mean + per-(concept, component) jitter, vars = corpus var."""
     shift = feature_shift(corpus, dtype)  # exact two-pass variance
     return init_from_moments(
-        init_moments(corpus, shift, dtype), max_jump=max_jump,
+        init_moments(corpus, shift, dtype, with_diagonal=False),
+        max_jump=max_jump,
         n_components=n_components, key=key, mode="global", shift=shift,
         dtype=dtype,
     )
@@ -511,9 +527,19 @@ def teacher_responsibilities(teacher_gamma: jax.Array, corpus: Corpus) -> jax.Ar
     return jnp.einsum("nts,nsc->ntc", teacher_gamma, onehot)
 
 
+def _kmeans_assign(cb: jax.Array, fl: jax.Array) -> jax.Array:
+    """argmin_m ||x - c_m||^2 == argmin_m (|c_m|^2 - 2 x.c_m): one MXU matmul."""
+    hi = jax.lax.Precision.HIGHEST
+    score = (
+        -2.0 * jnp.einsum("nd,md->nm", fl, cb, precision=hi)
+        + jnp.sum(cb**2, axis=-1)[None, :]
+    )
+    return jnp.argmin(score, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("n_codes", "num_iterations"))
-def _kmeans_codes(cb0, flat, wflat, *, n_codes, num_iterations):
-    """Lloyd's k-means sweeps + final assignment, [NT, D] frames flat.
+def _kmeans_fit(cb0, flat, wflat, *, n_codes, num_iterations):
+    """Lloyd's k-means sweeps over [NT, D] flat frames -> fitted codebook.
 
     Module-level jit with the frame matrix as an ARGUMENT: closed-over
     concrete arrays are baked into the lowered module as literals, and at
@@ -522,16 +548,9 @@ def _kmeans_codes(cb0, flat, wflat, *, n_codes, num_iterations):
     tests/test_hmm_gaussian.py pins the lowered-module size."""
     hi = jax.lax.Precision.HIGHEST
 
-    def assign(cb, fl):
-        score = (
-            -2.0 * jnp.einsum("nd,md->nm", fl, cb, precision=hi)
-            + jnp.sum(cb**2, axis=-1)[None, :]
-        )
-        return jnp.argmin(score, axis=-1)
-
     def body(carry, _):
         cb, fl, wf = carry
-        a = assign(cb, fl)
+        a = _kmeans_assign(cb, fl)
         oh = jax.nn.one_hot(a, n_codes, dtype=jnp.float32) * wf[:, None]
         sums = jnp.einsum("nm,nd->md", oh, fl, precision=hi)
         cnt = jnp.sum(oh, axis=0)
@@ -545,7 +564,15 @@ def _kmeans_codes(cb0, flat, wflat, *, n_codes, num_iterations):
     (cb, _, _), _ = jax.lax.scan(
         body, (cb0, flat, wflat), None, length=num_iterations
     )
-    return assign(cb, flat)
+    return cb
+
+
+@functools.partial(jax.jit, static_argnames=("n_codes", "num_iterations"))
+def _kmeans_codes(cb0, flat, wflat, *, n_codes, num_iterations):
+    """Lloyd's sweeps + final assignment (see ``_kmeans_fit``)."""
+    cb = _kmeans_fit(cb0, flat, wflat, n_codes=n_codes,
+                     num_iterations=num_iterations)
+    return _kmeans_assign(cb, flat)
 
 
 def quantize_frames(
@@ -682,3 +709,186 @@ def seed_from_teacher(
             )
         gp = m_step(gp, total)
     return gp.replace(log_jump=teacher.log_jump, log_p0=teacher.log_p0)
+
+
+def _reservoir_frames(reader, n_sample: int, seed: int = 0):
+    """Uniform sample of up to ``n_sample`` masked frames across ALL shards
+    of a ``data.stream.ShardedCorpusReader`` corpus, without materializing
+    the frame matrix: every frame gets an iid uniform sort key and the
+    n_sample smallest keys win (the random-sort-key reservoir — exactly
+    uniform, single pass, O(n_sample + shard) host memory).  Deterministic
+    in ``seed``.  Returns a [M, D] numpy array, M <= n_sample."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    keys = buf = None
+    for k in range(reader.num_shards):
+        src = np.load(reader.directory / f"src_{k}.npy", mmap_mode="r")
+        slen = np.load(reader.directory / f"src_len_{k}.npy", mmap_mode="r")
+        t = src.shape[1]
+        mask = np.arange(t)[None, :] < np.asarray(slen)[:, None]
+        flat = np.asarray(src)[mask]  # [frames_k, D]
+        u = rng.random(flat.shape[0])
+        ck = u if keys is None else np.concatenate([keys, u])
+        cb = flat if buf is None else np.concatenate([buf, flat])
+        if ck.shape[0] > n_sample:
+            top = np.argpartition(ck, n_sample - 1)[:n_sample]
+            keys, buf = ck[top], cb[top]
+        else:
+            keys, buf = ck, cb
+    return buf
+
+
+def quantize_shards_streaming(
+    reader,
+    out_dir,
+    n_codes: int = 64,
+    num_iterations: int = 10,
+    key: jax.Array | None = None,
+    n_sample: int = 65536,
+) -> jax.Array:
+    """Out-of-core ``quantize_frames``: fit the k-means codebook on a
+    cross-shard frame reservoir (``_reservoir_frames``), then assign every
+    shard's frames and write a PARALLEL DISCRETE shard directory (``src`` =
+    int32 code ids, ``src_vocab`` = n_codes; lengths/targets/gold copied) —
+    the corpus a discrete-HMM teacher streams over in the out-of-core
+    VQ-teacher recipe.  Returns the fitted [n_codes, D] codebook.
+
+    The only protocol difference vs the resident ``quantize_frames`` is the
+    codebook fit: Lloyd's sweeps run on a >=64k-frame uniform sample instead
+    of every frame (the assignment step still covers every frame exactly).
+    """
+    import json as _json
+    import shutil
+    from pathlib import Path
+
+    import numpy as np
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    frames = _reservoir_frames(reader, n_sample)
+    if frames.shape[0] < n_codes:
+        raise ValueError(
+            f"corpus has only {frames.shape[0]} real frames < {n_codes} codes"
+        )
+    flat = jnp.asarray(frames)
+    idx0 = jax.random.choice(key, flat.shape[0], (n_codes,), replace=False)
+    cb = _kmeans_fit(
+        flat[idx0], flat, jnp.ones((flat.shape[0],), jnp.float32),
+        n_codes=n_codes, num_iterations=num_iterations,
+    )
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    assign = jax.jit(lambda c, f: _kmeans_assign(c, f))
+    for k in range(reader.num_shards):
+        src = np.asarray(
+            np.load(reader.directory / f"src_{k}.npy", mmap_mode="r")
+        )
+        codes = np.asarray(
+            assign(cb, jnp.asarray(src.reshape(-1, src.shape[-1])))
+        ).reshape(src.shape[:2]).astype(np.int32)
+        np.save(out / f"src_{k}.npy", codes)
+        for field in ("src_len", "trg", "trg_len"):
+            shutil.copyfile(
+                reader.directory / f"{field}_{k}.npy", out / f"{field}_{k}.npy"
+            )
+    manifest = _json.loads((reader.directory / "manifest.json").read_text())
+    manifest["src_vocab"] = int(n_codes)
+    manifest["name"] = manifest.get("name", "corpus") + "-vqcodes"
+    (out / "manifest.json").write_text(_json.dumps(manifest))
+    if (reader.directory / "gold.json").exists():
+        shutil.copyfile(reader.directory / "gold.json", out / "gold.json")
+    return cb
+
+
+def init_vq_teacher_streaming(
+    reader,
+    code_dir,
+    max_jump: int = 3,
+    n_components: int = 1,
+    key: jax.Array | None = None,
+    dtype=jnp.float32,
+    *,
+    n_codes: int = 64,
+    teacher_iters: int = 10,
+    seed_rounds: int = 3,
+    use_pallas: bool = False,
+    prefetch: int = 1,
+    n_sample: int = 65536,
+) -> GaussianHMMParams:
+    """Fully OUT-OF-CORE ``init_vq_teacher``: the flagship dense-region
+    recipe with no resident corpus anywhere (closes round-3 VERDICT item 2 /
+    ROADMAP known-limitation 6, which seeded from shard 0 only):
+
+      1. codebook from a cross-shard frame reservoir; every shard quantized
+         to a parallel discrete shard dir (``quantize_shards_streaming``);
+      2. discrete-HMM teacher trained by EXACT streamed EM over the code
+         shards (``data.stream.train_streaming`` — counts are additive);
+      3. base Gaussian params from streamed whole-corpus moments (identical
+         protocol to the resident ``init``: same key, same jitter);
+      4. ``seed_rounds`` rounds of streamed pinned-assignment GMM EM: the
+         teacher's posteriors over each code shard are paired with the same
+         rows' frame shard, counts summed across shards, one m_step/round;
+      5. the teacher's learned transitions copied over.
+
+    Every stage is additive-across-shards, so the result is exactly the
+    resident recipe up to (a) float addition order and (b) the codebook
+    being fit on a >=``n_sample`` frame sample instead of all frames.
+    """
+    from multimodalworddiscovery_tpu.data.stream import (
+        ShardedCorpusReader,
+        prefetched,
+        train_streaming,
+        tree_sum_bounded,
+    )
+    from multimodalworddiscovery_tpu.models import hmm as dhmm
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_init, k_vq = jax.random.split(key)
+
+    # base params from streamed whole-corpus moments (mode="global" — same
+    # as the resident init(); shard-0 shift for two-pass-grade variance)
+    shard0 = reader.load_shard(0)
+    shift = feature_shift(shard0)
+    mom_fn = jax.jit(lambda c: init_moments(c, shift, with_diagonal=False))
+    moments = tree_sum_bounded(
+        mom_fn(s)
+        for s in prefetched(reader.load_shard, reader.num_shards, prefetch)
+    )
+    base = init_from_moments(
+        moments, max_jump=max_jump, n_components=n_components, key=k_init,
+        mode="global", shift=shift, dtype=dtype,
+    )
+
+    quantize_shards_streaming(
+        reader, code_dir, n_codes=n_codes, key=k_vq, n_sample=n_sample
+    )
+    code_reader = ShardedCorpusReader(code_dir)
+    tp = dhmm.init(code_reader.load_shard(0), max_jump=max_jump)  # vocab-only
+    tp, _ = train_streaming(
+        dhmm, tp, code_reader, teacher_iters,
+        count_kwargs={"use_pallas": use_pallas}, prefetch=prefetch,
+    )
+
+    zero_w = jnp.zeros((2 * max_jump + 3,), dtype)
+
+    @jax.jit
+    def seed_counts_shard(gp, tp, fshard, fcode):
+        gamma = dhmm.posteriors(tp, fcode)
+        r = teacher_responsibilities(gamma, fshard)
+        return counts_from_responsibilities(gp, fshard, r, zero_w)
+
+    gp = base
+    for _ in range(max(int(seed_rounds), 1)):
+        total = tree_sum_bounded(
+            seed_counts_shard(
+                gp, tp, fshard, code_reader.load_shard(k)
+            )
+            for k, fshard in enumerate(
+                prefetched(reader.load_shard, reader.num_shards, prefetch)
+            )
+        )
+        gp = m_step(gp, total)
+    return gp.replace(log_jump=tp.log_jump, log_p0=tp.log_p0)
