@@ -52,9 +52,21 @@ FIELDS = ("src", "src_len", "trg", "trg_len")
 
 def write_shards(
     corpus: Corpus, directory: str | Path, shard_size: int, name: str = "corpus",
-    gold=None,
+    gold=None, shuffle: int | None = None,
 ) -> int:
     """Split a (host- or device-resident) corpus into fixed-shape shards.
+
+    ``shuffle`` (an int seed) applies ONE global utterance permutation at
+    write time — recorded in the manifest as ``shuffle_seed`` — so each shard
+    is a uniform random subset of the corpus.  Real corpora are usually
+    ORDERED (by image, speaker, length: Flickr8k files are), and streamed
+    minibatch SGD samples within the resident shard
+    (models/minibatch.train_minibatch_streaming): without shuffling, every
+    batch for ``steps_per_shard`` consecutive steps comes from one contiguous
+    corpus slice, which biases SGD (convergence-parity test:
+    tests/test_stream.py).  Gold annotations are permuted identically.
+    Streamed EM is order-invariant (counts are additive), so ``shuffle``
+    matters only for the minibatch paths.
 
     For corpora too large to ever materialize, build shard files directly in
     this layout (they are plain ``np.save`` arrays) and write the manifest;
@@ -65,6 +77,15 @@ def write_shards(
     d = Path(directory)
     d.mkdir(parents=True, exist_ok=True)
     n = corpus.n
+    perm = None
+    if shuffle is not None:
+        perm = np.random.default_rng(shuffle).permutation(n)
+        take = lambda x: np.asarray(x)[perm]  # noqa: E731
+        corpus = Corpus(
+            src=take(corpus.src), src_len=take(corpus.src_len),
+            trg=take(corpus.trg), trg_len=take(corpus.trg_len),
+            src_vocab=corpus.src_vocab, trg_vocab=corpus.trg_vocab,
+        )
     num_shards = max(1, -(-n // shard_size))
     padded = corpus.pad_to(num_shards * shard_size)
     arrays = {
@@ -86,13 +107,19 @@ def write_shards(
         "max_trg_len": corpus.max_trg_len,
         "src_vocab": corpus.src_vocab,
         "trg_vocab": corpus.trg_vocab,
+        "shuffle_seed": shuffle,
     }))
     if gold is not None:
         from multimodalworddiscovery_tpu.data.io import save_alignment_json
 
+        ga = np.asarray(gold.alignment)
+        segs = gold.segments
+        if perm is not None:
+            ga = ga[perm]
+            if segs is not None:
+                segs = [segs[i] for i in perm]
         save_alignment_json(
-            gold.alignment, np.asarray(corpus.src_len), d / "gold.json",
-            segments=gold.segments,
+            ga, np.asarray(corpus.src_len), d / "gold.json", segments=segs,
         )
     return num_shards
 
@@ -110,6 +137,9 @@ class ShardedCorpusReader:
         self.max_trg_len: int = m["max_trg_len"]
         self.src_vocab: int = m["src_vocab"]
         self.trg_vocab: int = m["trg_vocab"]
+        # seed of the write-time utterance permutation (None = corpus order;
+        # manifests predating the shuffle option lack the key)
+        self.shuffle_seed = m.get("shuffle_seed")
 
     def load_shard(self, k: int, sharding=None) -> Corpus:
         """Shard ``k`` as a device-resident Corpus.
@@ -240,7 +270,8 @@ def tree_sum_bounded(items) -> Any:
 
 
 @_lru_cache(maxsize=64)
-def _jitted_step(mod, attr: str, kw_items: tuple, out_shardings=None):
+def _jitted_step(mod, attr: str, kw_items: tuple, out_shardings=None,
+                 scaled: bool = False):
     """Cache the jitted per-shard step by (module, fn, kwargs[, sharding])
     so repeated ``train_streaming`` calls (benchmarks, resumed runs) reuse
     the SAME jit object — fresh ``jax.jit(lambda ...)`` wrappers re-trace
@@ -253,7 +284,13 @@ def _jitted_step(mod, attr: str, kw_items: tuple, out_shardings=None):
     axis, and the coordinator's host-copy checkpoint would then fail on
     non-addressable shards)."""
     kw = dict(kw_items)
-    fn = lambda p, c: getattr(mod, attr)(p, c, **kw)  # noqa: E731
+    if scaled:
+        # deterministic-annealing E-step: the emission temperature is a
+        # TRACED operand, so one compile serves the whole beta ramp (a
+        # static emit_scale kwarg would recompile per temperature)
+        fn = lambda p, c, s: getattr(mod, attr)(p, c, emit_scale=s, **kw)  # noqa: E731
+    else:
+        fn = lambda p, c: getattr(mod, attr)(p, c, **kw)  # noqa: E731
     if out_shardings is not None:
         return jax.jit(fn, out_shardings=out_shardings)
     return jax.jit(fn)
@@ -269,6 +306,7 @@ def train_streaming(
     mesh=None,
     prefetch: int = 1,
     on_iteration: Callable[[int, Any, float], None] | None = None,
+    scale_schedule=None,
 ):
     """Exact out-of-core EM for the closed-form aligners (model1 / hmm /
     hmm_gaussian): stream shards from disk every iteration, one M-step per
@@ -276,6 +314,11 @@ def train_streaming(
     device mesh ('data' axis) and the per-shard E-step runs data-parallel
     (GSPMD inserts the psum) — disk -> host -> every chip, no chip ever
     holds more than shard_size / n_devices utterances.
+
+    ``scale_schedule`` (a [num_iterations] float array) runs deterministic
+    annealing: iteration i's E-step gets ``emit_scale=scale_schedule[i]``
+    as a traced operand, so the full beta ramp reuses ONE compiled E-step
+    (hmm_gaussian only — the sole model with an emission temperature).
 
     Returns (params, [loglik per iteration]).
     """
@@ -294,12 +337,22 @@ def train_streaming(
             )
         sharding = NamedSharding(mesh, P(DATA_AXIS))
 
-    count_fn = _jitted_step(mod, "expected_counts", tuple(sorted(ckw.items())))
+    scaled = scale_schedule is not None
+    count_fn = _jitted_step(
+        mod, "expected_counts", tuple(sorted(ckw.items())), scaled=scaled
+    )
     m_fn = _jitted_step(mod, "m_step", tuple(sorted(mkw.items())))
     lls = []
     for it in range(num_iterations):
+        if scaled:
+            import jax.numpy as jnp
+
+            s = jnp.float32(scale_schedule[it])
+            fn = lambda p, c: count_fn(p, c, s)  # noqa: E731  (count_fn cached)
+        else:
+            fn = count_fn
         counts, ll = stream_expected_counts(
-            count_fn, params, reader, sharding=sharding, prefetch=prefetch
+            fn, params, reader, sharding=sharding, prefetch=prefetch
         )
         params = m_fn(params, counts)
         lls.append(float(ll))

