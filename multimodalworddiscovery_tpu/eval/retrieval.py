@@ -235,19 +235,51 @@ def retrieval_scores_model1_pooled(
     )
 
 
+def ranks_from_pooled(pool_scores: jax.Array) -> jax.Array:
+    """[N, C] pooled scores (column 0 = the true pairing) -> [N] ranks
+    (number of distractors scoring strictly higher).  The per-query rank is
+    the streamable sufficient statistic of every pooled retrieval metric:
+    recall@k and median-rank are functions of the concatenated rank vector,
+    so out-of-core evaluation accumulates one int per query across shards."""
+    true = pool_scores[:, :1]
+    return jnp.sum(pool_scores[:, 1:] > true, axis=1)
+
+
+def recall_from_ranks(
+    ranks, pool_size: int, ks: tuple[int, ...] = (1, 5, 10),
+    direction: str = "c2i",
+):
+    """Recall@k / median-rank from a 1-D rank vector (``ranks_from_pooled``,
+    possibly concatenated across shards)."""
+    ranks = jnp.asarray(ranks)
+    out: dict[str, jax.Array] = {}
+    for k in ks:
+        out[f"recall@{k}_{direction}"] = jnp.mean((ranks < k).astype(jnp.float32))
+    out[f"median_rank_{direction}"] = jnp.median(ranks + 1).astype(jnp.float32)
+    out["pool_size"] = jnp.asarray(float(pool_size))
+    return out
+
+
 def recall_at_k_pooled(
     pool_scores: jax.Array, ks: tuple[int, ...] = (1, 5, 10),
     direction: str = "c2i",
 ) -> dict[str, jax.Array]:
     """Recall@k from [N, C] pooled scores (column 0 = the true pairing)."""
-    true = pool_scores[:, :1]
-    rank = jnp.sum(pool_scores[:, 1:] > true, axis=1)
-    out: dict[str, jax.Array] = {}
-    for k in ks:
-        out[f"recall@{k}_{direction}"] = jnp.mean((rank < k).astype(jnp.float32))
-    out[f"median_rank_{direction}"] = jnp.median(rank + 1).astype(jnp.float32)
-    out["pool_size"] = jnp.asarray(float(pool_scores.shape[1]))
-    return out
+    return recall_from_ranks(
+        ranks_from_pooled(pool_scores), pool_scores.shape[1], ks, direction
+    )
+
+
+def dense_candidate_pools(n: int) -> jax.Array:
+    """[N, N] exhaustive candidate pools: row i = [i, i+1, ..., i-1] (mod n)
+    — every other row as a distractor, true pairing in column 0.  The
+    within-shard DENSE retrieval protocol of streamed evaluation: pooled
+    scoring with these pools ranks each query against its ENTIRE shard,
+    which on a single-shard corpus reproduces resident dense N x N recall
+    exactly (same competitor set per query; strict-inequality ranks make the
+    self-pairing column placement irrelevant)."""
+    i = jnp.arange(n)[:, None]
+    return (i + jnp.arange(n)[None, :]) % n
 
 
 def recall_at_k(scores: jax.Array, ks: tuple[int, ...] = (1, 5, 10)) -> dict[str, jax.Array]:

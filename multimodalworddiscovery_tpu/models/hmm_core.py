@@ -238,6 +238,69 @@ def forward_associative(
     return alphas, logz
 
 
+def forward_blocked(
+    log_init: jax.Array,
+    log_trans: jax.Array,
+    log_emit: jax.Array,
+    src_len: jax.Array,
+    block: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Blocked log-semiring forward — the single-chip MFU-lever CANDIDATE of
+    round-3 VERDICT item 3 (measured verdict: scripts/bench_assoc.py +
+    docs/PERFORMANCE.md).
+
+    Time is split into blocks of ``block`` steps.  Within each block the
+    [S, S] step matrices compose into all prefix products by an associative
+    scan (MXU-dense log-semiring matmuls, O(log block) depth); the
+    sequential recursion then runs only across the T/block boundaries
+    (vector steps), and within-block alphas are recovered with one
+    vector-matrix contraction per step that PARALLELIZES over blocks.
+
+    Work: O(T N S^3) (the scan forward is O(T N S^2)); sequential depth:
+    O(T/block + log block) (vs T).  This trades an S-fold FLOP increase for
+    removing the per-step latency floor — worthwhile only if the sequential
+    scan is latency-bound and the MXU has >= S-fold headroom.  Numerically
+    equivalent to ``forward`` (same masking; identity matrices freeze steps
+    past src_len).
+    """
+    from multimodalworddiscovery_tpu.core.logsemiring import log_matmul
+
+    n, ts, s = log_emit.shape
+    m = step_matrices(log_trans, log_emit, src_len)  # [Ts-1, N, S, S]
+    nsteps = ts - 1
+    nb = -(-nsteps // block)
+    pad = nb * block - nsteps
+    if pad:
+        eye = jnp.where(jnp.eye(s, dtype=bool), 0.0, NEG_INF)
+        m = jnp.concatenate(
+            [m, jnp.broadcast_to(eye, (pad, n, s, s))], axis=0
+        )
+    mb = m.reshape(nb, block, n, s, s)
+
+    # all within-block prefix products, tree depth log(block)
+    prefixes = jax.lax.associative_scan(log_matmul, mb, axis=1)
+    totals = prefixes[:, -1]  # [nb, N, S, S] whole-block products
+
+    alpha0 = log_init + log_emit[:, 0]  # [N, S]
+
+    def boundary(alpha, total):
+        nxt = masked_logsumexp(alpha[:, :, None] + total, axis=1)
+        return nxt, alpha
+
+    _, bounds = jax.lax.scan(boundary, alpha0, totals)  # [nb, N, S]
+
+    # within-block recovery: alpha at block b, offset j (global t = b*block +
+    # j + 1) = bound_alpha_b (x) prefix_{b,j} — batched over (nb, block)
+    rest = masked_logsumexp(
+        bounds[:, None, :, :, None] + prefixes, axis=3
+    )  # [nb, block, N, S]
+    rest = rest.reshape(nb * block, n, s)[:nsteps]
+    alphas = jnp.concatenate([alpha0[None], rest], axis=0)
+    logz = masked_logsumexp(alphas[-1], axis=-1)
+    logz = jnp.where(src_len > 0, logz, 0.0)
+    return alphas, logz
+
+
 def estep(
     log_jump: jax.Array,
     log_p0: jax.Array,

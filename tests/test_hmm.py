@@ -184,6 +184,31 @@ def test_forward_associative_matches_sequential(mini):
             )
 
 
+@pytest.mark.parametrize("block", [4, 16, 64])
+def test_forward_blocked_matches_sequential(mini, block):
+    """forward_blocked (the MFU-lever candidate: MXU-dense per-block matrix
+    products, sequential only across block boundaries) must match the scan
+    forward for any block size, including blocks that don't divide Ts-1 and
+    blocks longer than the sequence."""
+    corpus, _, _ = mini
+    params = hmm.init(corpus)
+    log_init, log_trans, log_emit = hmm._machinery(params, corpus)
+    a1, z1 = hmm_core.forward(log_init, log_trans, log_emit, corpus.src_len)
+    a2, z2 = hmm_core.forward_blocked(
+        log_init, log_trans, log_emit, corpus.src_len, block=block
+    )
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), rtol=1e-4)
+    sl = np.asarray(corpus.src_len)
+    smask = np.asarray(hmm_core.state_mask(corpus))
+    a1, a2 = np.asarray(a1), np.asarray(a2)
+    for i in range(0, corpus.n, 7):
+        for t in range(sl[i]):
+            np.testing.assert_allclose(
+                a1[t, i][smask[i]], a2[t, i][smask[i]], rtol=1e-3, atol=1e-3,
+                err_msg=f"utt {i} t {t}",
+            )
+
+
 def test_viterbi_factored_matches_dense():
     """Factored-transition Viterbi (no [N,S,S] tensor, int8 backpointers)
     must reproduce the dense decoder's paths."""
