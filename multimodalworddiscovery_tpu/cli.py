@@ -294,7 +294,10 @@ def _load_workdir_config(workdir: Path):
 def _train_minibatch_streaming_cmd(cfg, args, workdir: Path, batch_size: int) -> None:
     """Out-of-core minibatch SGD (attention / grounding / hmm_crf): shards
     stream to the device with prefetch; minibatch steps sample within the
-    resident shard (models/minibatch.train_minibatch_streaming)."""
+    resident shard (models/minibatch.train_minibatch_streaming).  With
+    train.distributed, every PROCESS streams its own shard subset and each
+    device samples locally (parallel/multihost.
+    train_minibatch_streaming_multihost)."""
     from multimodalworddiscovery_tpu.data.stream import ShardedCorpusReader
     from multimodalworddiscovery_tpu.models.minibatch import (
         train_minibatch_streaming,
@@ -307,8 +310,15 @@ def _train_minibatch_streaming_cmd(cfg, args, workdir: Path, batch_size: int) ->
             "with streamed EM first, then guide on a resident corpus "
             "(data.source=disk)"
         )
+    distributed = bool(cfg.train.get("distributed", False))
+    is_coord = (not distributed) or jax.process_index() == 0
     reader = ShardedCorpusReader(cfg.data.dir)
-    mesh = make_mesh() if cfg.train.data_parallel else None
+    if distributed:
+        from multimodalworddiscovery_tpu.parallel import multihost
+
+        mesh = multihost.global_mesh()
+    else:
+        mesh = make_mesh() if cfg.train.data_parallel else None
     shard0 = reader.load_shard(0)
     mod, params, step = _make_model(cfg, shard0)
 
@@ -321,32 +331,46 @@ def _train_minibatch_streaming_cmd(cfg, args, workdir: Path, batch_size: int) ->
     if ckpt.latest_step() is not None and not args.fresh:
         params, start = ckpt.restore(params)
         start += 1
-        print(f"resumed from step {start}")
+        if is_coord:
+            print(f"resumed from step {start}")
 
     def on_step(it, p, loss):
-        writer.write(it, loglik=loss, batch_size=batch_size)
-        if it % 20 == 0 or it == cfg.train.num_iterations - 1:
-            print(f"step {it:5d}  loglik {loss:.3f}")
+        if is_coord:
+            writer.write(it, loglik=loss, batch_size=batch_size)
+            if it % 20 == 0 or it == cfg.train.num_iterations - 1:
+                print(f"step {it:5d}  loglik {loss:.3f}")
         if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
-            ckpt.save(it, p)
+            # collective under jax.distributed (see cmd_train)
+            ckpt.save(it, jax.tree.map(_host_local_copy, p) if distributed else p)
 
     t0 = time.perf_counter()
-    params, losses = train_minibatch_streaming(
-        step, params, reader, batch_size,
-        cfg.train.num_iterations - start,
-        key=jax.random.PRNGKey(cfg.seed),
-        prefetch=int(cfg.train.get("stream_prefetch", 1)),
-        mesh=mesh, start_step=start,
-        on_step=on_step,
-    )
+    if distributed:
+        params, losses = multihost.train_minibatch_streaming_multihost(
+            step, params, reader, batch_size,
+            cfg.train.num_iterations - start,
+            key=jax.random.PRNGKey(cfg.seed),
+            prefetch=int(cfg.train.get("stream_prefetch", 1)),
+            mesh=mesh, start_step=start,
+            on_step=on_step,
+        )
+    else:
+        params, losses = train_minibatch_streaming(
+            step, params, reader, batch_size,
+            cfg.train.num_iterations - start,
+            key=jax.random.PRNGKey(cfg.seed),
+            prefetch=int(cfg.train.get("stream_prefetch", 1)),
+            mesh=mesh, start_step=start,
+            on_step=on_step,
+        )
     ckpt.close()
     writer.close()
-    print(
-        f"streamed {len(losses)} minibatch steps (B={batch_size}, "
-        f"{reader.num_shards} shards x {reader.shard_size}"
-        + (f", {mesh.shape} mesh" if mesh else "")
-        + f") in {time.perf_counter() - t0:.2f}s"
-    )
+    if is_coord:
+        print(
+            f"streamed {len(losses)} minibatch steps (B={batch_size}, "
+            f"{reader.num_shards} shards x {reader.shard_size}"
+            + (f", {mesh.shape} mesh" if mesh else "")
+            + f") in {time.perf_counter() - t0:.2f}s"
+        )
 
 
 def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
@@ -368,43 +392,84 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
                 "train.batch_size (minibatch steps sample within each "
                 "streamed shard)"
             )
-        if cfg.train.get("distributed", False):
-            raise SystemExit(
-                "data.source=stream + train.batch_size is single-host; "
-                "use train.distributed with a resident corpus for "
-                "distributed minibatch SGD"
-            )
         _train_minibatch_streaming_cmd(cfg, args, workdir, batch_size)
         return
-    if cfg.model.name not in ("model1", "hmm", "hmm_gaussian"):
+    if cfg.model.name not in ("model1", "hmm", "hmm_gaussian", "hmm_dnn"):
         raise SystemExit(
-            "data.source=stream trains the closed-form EM aligners "
-            "(model1/hmm/hmm_gaussian) and the gradient models "
-            "(attention/grounding/hmm_crf, with train.batch_size); "
-            "hmm_dnn's neural M-step needs full-corpus posteriors — "
-            "materialize (data.source=disk) or use train.bucket_edges"
+            "data.source=stream trains the EM aligners "
+            "(model1/hmm/hmm_gaussian/hmm_dnn) and the gradient models "
+            "(attention/grounding/hmm_crf, with train.batch_size)"
+        )
+    if cfg.model.name == "hmm_dnn" and (
+        cfg.train.get("distributed", False) or cfg.train.data_parallel
+    ):
+        raise SystemExit(
+            "streamed hmm_dnn runs single-device: its incremental neural "
+            "M-step CHAINS optimizer state through the shards (each shard's "
+            "gradient step uses the previous shard's weights), which has no "
+            "data-parallel decomposition the way additive counts do.  Use "
+            "train.bucket_edges or train.corpus_chunks for a data-parallel "
+            "hmm_dnn, or stream without the mesh"
         )
     if (
         str(cfg.train.get("bucket_edges", "")).strip()
         or batch_size
         or int(cfg.train.get("corpus_chunks", 1)) > 1
-        or int(cfg.model.get("anneal_iters", 0) or 0)
     ):
         raise SystemExit(
             "data.source=stream already bounds memory by shard_size; it does "
-            "not compose with bucket_edges/batch_size/corpus_chunks/"
-            "anneal_iters for the EM aligners"
+            "not compose with bucket_edges/batch_size/corpus_chunks "
+            "for the EM aligners"
+        )
+    n_anneal = int(cfg.model.get("anneal_iters", 0) or 0)
+    if n_anneal and cfg.model.name != "hmm_gaussian":
+        raise SystemExit(
+            "model.anneal_iters (deterministic annealing) requires "
+            "model.name=hmm_gaussian"
         )
     distributed = bool(cfg.train.get("distributed", False))
     is_coord = (not distributed) or jax.process_index() == 0
 
     reader = ShardedCorpusReader(cfg.data.dir)
     shard0 = reader.load_shard(0)
-    mod, params, _ = _make_model(cfg, shard0)
+    # streamed vq_teacher seeding happens below over ALL shards — resident
+    # seeding on shard 0 here would be both wasted work and wrong
+    stream_vq_seed = (
+        cfg.model.name == "hmm_gaussian"
+        and str(cfg.model.get("init", "global")) == "vq_teacher"
+    )
+    mod, params, _ = _make_model(cfg, shard0, init_only=stream_vq_seed)
     prefetch = int(cfg.train.get("stream_prefetch", 1))
 
     ckpt = CheckpointManager(workdir / "ckpt")
     will_resume = ckpt.latest_step() is not None and not args.fresh
+
+    if stream_vq_seed and not will_resume:
+        if distributed:
+            raise SystemExit(
+                "init=vq_teacher does not compose with train.distributed: "
+                "the seeding pipeline (codebook reservoir, teacher EM, "
+                "emission fit) is single-process.  Seed + checkpoint on one "
+                "host (it streams — no resident corpus needed), then resume "
+                "the EM with train.distributed"
+            )
+        from multimodalworddiscovery_tpu.models import hmm_gaussian
+
+        params = hmm_gaussian.init_vq_teacher_streaming(
+            reader, workdir / "vq_codes",
+            max_jump=cfg.model.max_jump,
+            n_components=cfg.model.get("n_components", 2),
+            key=jax.random.PRNGKey(cfg.seed),
+            n_codes=cfg.model.get("vq_codes", 64),
+            teacher_iters=cfg.model.get("teacher_iters", 10),
+            seed_rounds=cfg.model.get("seed_rounds", 3),
+            use_pallas=_resolve_use_pallas(cfg, shard0),
+            prefetch=prefetch,
+        )
+        print(
+            "hmm_gaussian seeded from the streamed VQ-teacher recipe "
+            f"(code shards in {workdir / 'vq_codes'})"
+        )
 
     if (
         not will_resume  # the restore below would discard the seed anyway
@@ -412,11 +477,11 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
         and str(cfg.model.get("init", "global")) in ("global", "diagonal")
     ):
         # re-seed from WHOLE-corpus moments (additive across shards) rather
-        # than shard 0's — exact parity with the resident init.  Only
-        # init=vq_teacher still seeds from shard 0 (its k-means/teacher EM
-        # needs the frames themselves, not moments).  Squared sums are taken
-        # about shard 0's mean (the same shift on every shard/process) for
-        # two-pass-grade variance stability.
+        # than shard 0's — exact parity with the resident init.
+        # (init=vq_teacher takes the streamed seeding pipeline above
+        # instead.)  Squared sums are taken about shard 0's mean (the same
+        # shift on every shard/process) for two-pass-grade variance
+        # stability.
         from multimodalworddiscovery_tpu.data.stream import (
             stream_expected_counts,
             tree_sum_bounded,
@@ -424,8 +489,14 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
         from multimodalworddiscovery_tpu.models import hmm_gaussian
 
         shift = hmm_gaussian.feature_shift(shard0)
+        # init=global never reads the diagonal evidence — skip its [N,Ts,E]
+        # one-hot contraction per shard (peak memory scales with trg_vocab)
+        with_diag = str(cfg.model.get("init", "global")) == "diagonal"
         mom_fn = jax.jit(
-            lambda _, c: (hmm_gaussian.init_moments(c, shift), jnp.float32(0.0))
+            lambda _, c: (
+                hmm_gaussian.init_moments(c, shift, with_diagonal=with_diag),
+                jnp.float32(0.0),
+            )
         )
         if cfg.train.get("distributed", False):
             # each process scans only ITS shard subset; the (tiny) moment
@@ -487,6 +558,22 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
         if is_coord:
             print(f"resumed from iteration {start}")
 
+    scale_schedule = None
+    if n_anneal:
+        # same beta ramp as the resident path; sliced at `start` so a
+        # resumed run continues the exact temperature schedule
+        beta0 = float(cfg.model.get("anneal_beta0", 0.25))
+        total = cfg.train.num_iterations
+        scale_schedule = np.concatenate(
+            [np.linspace(beta0, 1.0, max(n_anneal, 1)),
+             np.ones(max(total - n_anneal, 0))]
+        )[:total][start:]
+        if is_coord:
+            print(
+                f"deterministic annealing: emission temperature "
+                f"{beta0:g} -> 1 over {n_anneal} iterations (streamed)"
+            )
+
     def on_iteration(i, p, ll):
         it = start + i
         if is_coord:
@@ -503,6 +590,15 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
             mod, params, reader, cfg.train.num_iterations - start,
             mesh=mesh, count_kwargs=ckw, m_step_kwargs=mkw,
             prefetch=int(cfg.train.get("stream_prefetch", 1)),
+            on_iteration=on_iteration, scale_schedule=scale_schedule,
+        )
+    elif cfg.model.name == "hmm_dnn":
+        # incremental generalized EM: per-shard neural updates, exact pooled
+        # prior/transition counts (models/hmm_dnn.train_streaming)
+        params, lls = mod.train_streaming(
+            params, reader, cfg.train.num_iterations - start,
+            use_pallas=ckw["use_pallas"], dot_dtype=ckw["dot_dtype"],
+            prefetch=int(cfg.train.get("stream_prefetch", 1)),
             on_iteration=on_iteration,
         )
     else:
@@ -510,7 +606,7 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
             mod, params, reader, cfg.train.num_iterations - start,
             count_kwargs=ckw, m_step_kwargs=mkw, mesh=mesh,
             prefetch=int(cfg.train.get("stream_prefetch", 1)),
-            on_iteration=on_iteration,
+            on_iteration=on_iteration, scale_schedule=scale_schedule,
         )
     ckpt.close()
     writer.close()
@@ -529,6 +625,25 @@ def cmd_train(args) -> None:
 
     distributed = bool(cfg.train.get("distributed", False))
     if distributed:
+        if (
+            cfg.data.source == "stream"
+            and cfg.model.name == "hmm_gaussian"
+            and str(cfg.model.get("init", "global")) == "vq_teacher"
+        ):
+            # filesystem-only resume probe — this must fire BEFORE
+            # jax.distributed.initialize (which a test/process cannot undo)
+            ckpt_dir = Path(args.workdir) / "ckpt"
+            has_ckpt = ckpt_dir.exists() and any(
+                p.name.isdigit() for p in ckpt_dir.iterdir()
+            )
+            if args.fresh or not has_ckpt:
+                raise SystemExit(
+                    "init=vq_teacher does not compose with train.distributed: "
+                    "the seeding pipeline (codebook reservoir, teacher EM, "
+                    "emission fit) is single-process.  Seed + checkpoint on "
+                    "one host (it streams — no resident corpus needed), then "
+                    "resume the EM with train.distributed"
+                )
         # must run before the first backend touch — including the profiler
         # trace below, which initializes the backend (jax.distributed
         # refuses to initialize after that).  multihost.initialize is
@@ -591,11 +706,13 @@ def cmd_train(args) -> None:
             "model.anneal_iters does not compose with train.bucket_edges; "
             "use train.corpus_chunks for memory instead"
         )
-    if distributed and edges:
+    if distributed and edges and cfg.model.name == "hmm_dnn":
         raise SystemExit(
-            "train.distributed does not compose with train.bucket_edges "
-            "(per-bucket meshes do not span hosts); use the full-corpus, "
-            "chunked, streamed, or minibatch paths"
+            "train.distributed + train.bucket_edges supports the closed-form "
+            "EM aligners only: hmm_dnn's neural M-step consumes per-bucket "
+            "POSTERIORS (sharded activations — pooling them would ship "
+            "O(corpus) across hosts every iteration).  Use single-host "
+            "bucketed EM or the chunked path for hmm_dnn"
         )
 
     ckpt = CheckpointManager(workdir / "ckpt")
@@ -605,37 +722,56 @@ def cmd_train(args) -> None:
     )
 
     if edges:
-        # --- exact length-bucketed EM (optionally data-parallel) ---
+        # --- exact length-bucketed EM (optionally data-parallel, optionally
+        # spanning hosts: parallel/multihost.train_bucketed_multihost) ---
         from multimodalworddiscovery_tpu.models.bucketed import train_bucketed
 
-        mesh = make_mesh() if cfg.train.data_parallel else None
         smoothing = (
             cfg.model.smoothing if cfg.model.name in ("model1", "hmm") else 1e-6
+        )
+        use_pallas = (
+            _resolve_use_pallas(cfg, corpus)
+            if cfg.model.name != "model1" else False
         )
         t0 = time.perf_counter()
 
         def on_iteration(it, p, ll):
-            writer.write(it, loglik=ll)
-            print(f"iter {it:4d}  loglik {ll:.2f}")
+            if is_coord:
+                writer.write(it, loglik=ll)
+                print(f"iter {it:4d}  loglik {ll:.2f}")
             if (it + 1) % cfg.train.checkpoint_every == 0 or it == cfg.train.num_iterations - 1:
-                ckpt.save(it, p)
+                # collective under jax.distributed (see the EM loop below)
+                ckpt.save(
+                    it,
+                    jax.tree.map(_host_local_copy, p) if distributed else p,
+                )
 
-        params, _ = train_bucketed(
-            mod, params, corpus, edges, cfg.train.num_iterations,
-            smoothing=smoothing, mesh=mesh,
-            use_pallas=(
-                _resolve_use_pallas(cfg, corpus)
-                if cfg.model.name != "model1" else False
-            ),
-            on_iteration=on_iteration,
-        )
+        if distributed:
+            from multimodalworddiscovery_tpu.parallel import multihost
+
+            mesh = multihost.global_mesh()
+            lo, hi = multihost.process_slice(corpus.n)
+            local = jax.tree.map(lambda x: x[lo:hi], corpus)
+            params, _ = multihost.train_bucketed_multihost(
+                mod, params, local, edges, cfg.train.num_iterations,
+                smoothing=smoothing, mesh=mesh, use_pallas=use_pallas,
+                on_iteration=on_iteration,
+            )
+        else:
+            mesh = make_mesh() if cfg.train.data_parallel else None
+            params, _ = train_bucketed(
+                mod, params, corpus, edges, cfg.train.num_iterations,
+                smoothing=smoothing, mesh=mesh, use_pallas=use_pallas,
+                on_iteration=on_iteration,
+            )
         ckpt.close()
         writer.close()
-        print(
-            f"bucketed EM ({len(edges) + 1} buckets"
-            + (f", {mesh.shape} mesh" if mesh else "")
-            + f") in {time.perf_counter() - t0:.2f}s"
-        )
+        if is_coord:
+            print(
+                f"bucketed EM ({len(edges) + 1} buckets"
+                + (f", {mesh.shape} mesh" if mesh else "")
+                + f") in {time.perf_counter() - t0:.2f}s"
+            )
         return
 
     chunks = int(cfg.train.get("corpus_chunks", 1))
@@ -828,10 +964,13 @@ def cmd_shard(args) -> None:
     if cfg.data.source == "stream":
         raise SystemExit("source corpus must be synthetic or disk, not stream")
     corpus, gold = _load_data(cfg)
-    n = write_shards(corpus, args.output, args.shard_size, gold=gold)
+    n = write_shards(
+        corpus, args.output, args.shard_size, gold=gold, shuffle=args.shuffle
+    )
+    note = f", shuffled (seed {args.shuffle})" if args.shuffle is not None else ""
     print(
         f"wrote {n} shards x {args.shard_size} utterances "
-        f"({corpus.n} total) to {args.output}"
+        f"({corpus.n} total{note}) to {args.output}"
     )
 
 
@@ -878,11 +1017,19 @@ def _decode_streaming(cfg, workdir: Path, args, with_segments: bool) -> None:
         segs, mask = segments_from_alignment(a, shard.trg, shard.src_len)
         return a, segs, mask
 
+    from multimodalworddiscovery_tpu.data.stream import prefetched
+
     alignment = np.zeros((reader.n, reader.max_src_len), dtype=np.int32)
     src_len = np.zeros((reader.n,), dtype=np.int32)
     segments: list[list[tuple[int, int, int]]] = []
-    for k in range(reader.num_shards):
-        shard = reader.load_shard(k) if k else shard0
+    # prefetch overlaps the next shard's disk+H2D with this shard's decode,
+    # matching the streamed train/evaluate/discover paths
+    loads = prefetched(
+        lambda k: reader.load_shard(k) if k else shard0,
+        reader.num_shards,
+        prefetch=int(cfg.train.get("stream_prefetch", 1)),
+    )
+    for k, shard in enumerate(loads):
         a, segs, mask = decode(params, shard)
         lo = k * reader.shard_size
         hi = min(lo + reader.shard_size, reader.n)
@@ -934,24 +1081,44 @@ def cmd_segment(args) -> None:
     print(f"wrote {out}")
 
 
+_RETRIEVAL_MODELS = (
+    "model1", "hmm", "hmm_gaussian", "hmm_dnn", "hmm_crf", "grounding",
+)
+
+
+def _pooled_scores(cfg, mod, params, corpus, cand, direction: str):
+    """[Nq, C] pooled pair scores for the configured model — the one scoring
+    dispatch shared by resident pooled retrieval and the streamed
+    within-shard protocol."""
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        retrieval_scores_hmm_family_pooled,
+        retrieval_scores_model1_pooled,
+    )
+
+    name = cfg.model.name
+    if name == "model1":
+        return retrieval_scores_model1_pooled(
+            params, corpus, cand, direction=direction
+        )
+    if name in ("hmm", "hmm_gaussian", "hmm_dnn", "hmm_crf"):
+        return retrieval_scores_hmm_family_pooled(
+            mod, params, corpus, cand, direction=direction
+        )
+    return mod.retrieval_scores_pooled(params, corpus, cand, direction=direction)
+
+
 def _retrieval_metrics(cfg, mod, params, corpus) -> dict:
     """recall@k — dense N x N by default, or over candidate pools when
     eval.retrieval_pool > 0 (the scalable protocol; VERDICT round-1 weak #5)."""
     from multimodalworddiscovery_tpu.eval.retrieval import (
         recall_at_k,
         recall_at_k_pooled,
+        retrieval_scores_hmm_family,
         retrieval_scores_model1,
-        retrieval_scores_model1_pooled,
         sample_candidate_pools,
     )
 
-    from multimodalworddiscovery_tpu.eval.retrieval import (
-        retrieval_scores_hmm_family,
-        retrieval_scores_hmm_family_pooled,
-    )
-
     name = cfg.model.name
-    hmm_family = ("hmm", "hmm_gaussian", "hmm_dnn", "hmm_crf")
     pool = int(cfg.eval.get("retrieval_pool", 0))
     if pool:
         cand = sample_candidate_pools(
@@ -959,34 +1126,62 @@ def _retrieval_metrics(cfg, mod, params, corpus) -> dict:
         )
         out: dict = {}
         for direction in ("c2i", "i2c"):
-            if name == "model1":
-                scores = retrieval_scores_model1_pooled(
-                    params, corpus, cand, direction=direction
-                )
-            elif name in hmm_family:
-                scores = retrieval_scores_hmm_family_pooled(
-                    mod, params, corpus, cand, direction=direction
-                )
-            else:
-                scores = mod.retrieval_scores_pooled(
-                    params, corpus, cand, direction=direction
-                )
+            scores = _pooled_scores(cfg, mod, params, corpus, cand, direction)
             out.update(recall_at_k_pooled(scores, direction=direction))
         return out
     if name == "model1":
         scores = retrieval_scores_model1(params, corpus)
-    elif name in hmm_family:
+    elif name in ("hmm", "hmm_gaussian", "hmm_dnn", "hmm_crf"):
         scores = retrieval_scores_hmm_family(mod, params, corpus)
     else:
         scores = mod.retrieval_scores(params, corpus)
     return recall_at_k(scores)
 
 
+def _streamed_dtw(cfg, res: dict, ga: np.ndarray) -> dict:
+    """Score a reservoir sample of utterances (``_evaluate_streaming``'s
+    ``res`` buffers) with the SAME DTW metrics as the resident path.  Rows
+    are re-ordered by global utterance index so the result is a pure function
+    of the sampled SET (when the sample covers the whole corpus, this matches
+    resident DTW on the same utterances to float tolerance)."""
+    from multimodalworddiscovery_tpu.eval.dtw import (
+        cluster_dtw_coherence,
+        dtw_to_gold,
+    )
+
+    order = np.argsort(res["idx"])
+    feats = jnp.asarray(res["src"][order])
+    src_len = jnp.asarray(res["src_len"][order])
+    trg = jnp.asarray(res["trg"][order])
+    pred_align = jnp.asarray(res["pred"][order])
+    gold_align = jnp.asarray(ga[res["idx"][order]])
+
+    pred_segs, pred_mask = segments_from_alignment(pred_align, trg, src_len)
+    gold_segs, gold_mask = segments_from_alignment(gold_align, trg, src_len)
+    max_len = int(cfg.eval.get("dtw_max_seg_len", 32))
+    k_seg = min(pred_segs.shape[1], int(cfg.eval.get("dtw_segments", 8)))
+    ps, pm = pred_segs[:, :k_seg], pred_mask[:, :k_seg]
+    gs, gm = gold_segs[:, :k_seg], gold_mask[:, :k_seg]
+    coh = cluster_dtw_coherence(feats, ps, pm, max_len)
+    return dict(coh, to_gold=dtw_to_gold(feats, ps, pm, gs, gm, max_len))
+
+
 def _evaluate_streaming(cfg, workdir: Path, args) -> None:
-    """Out-of-core evaluation: every metric family decomposes into additive
-    per-utterance sufficient statistics (eval/metrics.py ``*_stats`` /
-    ``*_from_stats``), so the shards stream through one jitted
-    decode+stats step and only tiny count pytrees accumulate."""
+    """Out-of-core evaluation — EVERY metric family, no resident corpus:
+
+    - alignment/word-IoU/boundary/purity/NMI decompose into additive
+      per-utterance sufficient statistics (eval/metrics.py ``*_stats`` /
+      ``*_from_stats``) accumulated as tiny count pytrees;
+    - retrieval runs the WITHIN-SHARD pooled protocol: each query is ranked
+      against candidates from its own shard (dense = the whole shard when
+      eval.retrieval_pool=0, else sampled pools), and the per-query ranks —
+      the streamable sufficient statistic — concatenate across shards.  On a
+      single-shard corpus the dense variant equals resident dense recall
+      exactly (tests/test_cli.py pins it);
+    - DTW coherence/to-gold scores a RESERVOIR sample of utterances drawn
+      uniformly across all shards (the resident path already scores a capped
+      sample — eval.dtw_utterances — so sampling is the protocol, only the
+      draw becomes corpus-wide instead of prefix-of-corpus)."""
     from multimodalworddiscovery_tpu.data.io import load_alignment_json
     from multimodalworddiscovery_tpu.data.stream import (
         ShardedCorpusReader,
@@ -1042,11 +1237,43 @@ def _evaluate_streaming(cfg, workdir: Path, args) -> None:
             "word_iou": word_iou_stats(pred_segs, pred_mask, gold_segs, gold_mask, thr),
             "boundary": boundary_stats(pb, gb, tol),
             "purity": purity_counts(pred_segs, pred_mask, gold_segs, gold_mask, n_concepts),
-        }
+        }, alignment
 
     from multimodalworddiscovery_tpu.data.stream import prefetched
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        dense_candidate_pools,
+        ranks_from_pooled,
+        recall_from_ranks,
+        sample_candidate_pools,
+    )
+
+    do_retrieval = bool(cfg.eval.retrieval) and cfg.model.name in _RETRIEVAL_MODELS
+    do_dtw = bool(cfg.eval.get("dtw", True)) and shard0.src.ndim == 3
+    pool_cfg = int(cfg.eval.get("retrieval_pool", 0))
+    ranks: dict[str, list[np.ndarray]] = {"c2i": [], "i2c": []}
+    retrieval_skipped = 0
+
+    @functools.partial(jax.jit, static_argnames=("direction",))
+    def pooled_ranks(p, sub, cand, direction):
+        return ranks_from_pooled(_pooled_scores(cfg, mod, p, sub, cand, direction))
+
+    # DTW reservoir (Algorithm R, seeded): uniform over the WHOLE corpus
+    k_utt = min(reader.n, int(cfg.eval.get("dtw_utterances", 64)))
+    if do_dtw:
+        rng = np.random.default_rng(cfg.seed)
+        feat_dim = shard0.src.shape[-1]
+        res = {
+            "idx": np.zeros(k_utt, np.int64),
+            "src": np.zeros((k_utt, reader.max_src_len, feat_dim), np.dtype(shard0.src.dtype)),
+            "src_len": np.zeros(k_utt, np.int32),
+            "trg": np.zeros((k_utt, reader.max_trg_len), np.int32),
+            "trg_len": np.zeros(k_utt, np.int32),
+            "pred": np.zeros((k_utt, reader.max_src_len), np.int32),
+        }
+        seen = 0
 
     def per_shard():
+        nonlocal retrieval_skipped, seen
         loads = prefetched(
             lambda k: reader.load_shard(k) if k else shard0,
             reader.num_shards,
@@ -1054,7 +1281,53 @@ def _evaluate_streaming(cfg, workdir: Path, args) -> None:
         )
         for k, shard in enumerate(loads):
             lo = k * reader.shard_size
-            yield shard_stats(params, shard, jnp.asarray(ga[lo: lo + reader.shard_size]))
+            nv = min(reader.shard_size, reader.n - lo)  # valid (non-pad) rows
+            stats, alignment = shard_stats(
+                params, shard, jnp.asarray(ga[lo: lo + reader.shard_size])
+            )
+
+            if do_retrieval:
+                sub = jax.tree.map(lambda v: v[:nv], shard)
+                if pool_cfg == 0:
+                    cand = dense_candidate_pools(nv)
+                elif nv >= pool_cfg:
+                    cand = sample_candidate_pools(
+                        nv, pool_cfg, jax.random.fold_in(jax.random.PRNGKey(cfg.seed), k)
+                    )
+                else:
+                    cand = None  # tail shard smaller than the pool
+                    retrieval_skipped += nv
+                if cand is not None:
+                    for direction in ("c2i", "i2c"):
+                        ranks[direction].append(
+                            np.asarray(pooled_ranks(params, sub, cand, direction))
+                        )
+
+            if do_dtw:
+                # mmap row reads — the features never transit device->host
+                src_mm = np.load(reader.directory / f"src_{k}.npy", mmap_mode="r")
+                slen_mm = np.load(reader.directory / f"src_len_{k}.npy", mmap_mode="r")
+                trg_mm = np.load(reader.directory / f"trg_{k}.npy", mmap_mode="r")
+                tlen_mm = np.load(reader.directory / f"trg_len_{k}.npy", mmap_mode="r")
+                align_host = None
+                for j in range(nv):
+                    slot = seen if seen < k_utt else None
+                    if slot is None:
+                        r = int(rng.integers(0, seen + 1))
+                        slot = r if r < k_utt else None
+                    seen += 1
+                    if slot is None:
+                        continue
+                    if align_host is None:
+                        align_host = np.asarray(alignment)
+                    res["idx"][slot] = lo + j
+                    res["src"][slot] = src_mm[j]
+                    res["src_len"][slot] = slen_mm[j]
+                    res["trg"][slot] = trg_mm[j]
+                    res["trg_len"][slot] = tlen_mm[j]
+                    res["pred"][slot] = align_host[j]
+
+            yield stats
 
     from multimodalworddiscovery_tpu.eval.metrics import nmi_from_counts
 
@@ -1066,12 +1339,31 @@ def _evaluate_streaming(cfg, workdir: Path, args) -> None:
         "purity": purity_from_counts(acc["purity"]),
         "nmi": nmi_from_counts(acc["purity"]),
     }
-    if cfg.eval.get("dtw", True) or cfg.eval.get("retrieval", True):
-        print(
-            "note: DTW and retrieval need the resident corpus and are "
-            "skipped in streamed evaluation (materialize with "
-            "data.source=disk to get them)"
+
+    if do_dtw:
+        results["dtw"] = _streamed_dtw(cfg, res, ga)
+        if k_utt < reader.n:
+            print(
+                f"dtw: scored a {k_utt}/{reader.n}-utterance reservoir "
+                "sample (eval.dtw_utterances)"
+            )
+    if do_retrieval and any(ranks.values()):
+        pool_size = pool_cfg if pool_cfg else reader.shard_size
+        for direction in ("c2i", "i2c"):
+            r = np.concatenate(ranks[direction])
+            results.setdefault("retrieval", {}).update(
+                jax.tree.map(float, recall_from_ranks(r, pool_size, direction=direction))
+            )
+        proto = (
+            "dense within-shard" if pool_cfg == 0
+            else f"within-shard pools (C={pool_cfg})"
         )
+        note = (
+            f"; {retrieval_skipped} tail rows skipped (shard smaller than "
+            "the pool)" if retrieval_skipped else ""
+        )
+        print(f"retrieval: {proto} protocol over {reader.num_shards} shards{note}")
+
     results = _to_jsonable(jax.tree.map(lambda x: float(x), results))
     out = Path(args.output or workdir / "metrics.json")
     out.write_text(json.dumps(results, indent=2))
@@ -1141,9 +1433,7 @@ def cmd_evaluate(args) -> None:
             coh, to_gold=dtw_to_gold(feats, ps, pm, gs, gm, max_len)
         )
 
-    if cfg.eval.retrieval and cfg.model.name in (
-        "model1", "hmm", "hmm_gaussian", "hmm_dnn", "hmm_crf", "grounding",
-    ):
+    if cfg.eval.retrieval and cfg.model.name in _RETRIEVAL_MODELS:
         results["retrieval"] = _retrieval_metrics(cfg, mod, params, corpus)
 
     results = _to_jsonable(jax.tree.map(lambda x: float(x), results))
@@ -1535,6 +1825,12 @@ def main() -> None:
     p_shard.add_argument("--config", default=None, help="python config file")
     p_shard.add_argument("--output", required=True, help="shard directory")
     p_shard.add_argument("--shard-size", type=int, required=True)
+    p_shard.add_argument(
+        "--shuffle", type=int, default=None, metavar="SEED",
+        help="permute utterances once at write time (recorded in the "
+             "manifest).  Recommended for ORDERED corpora feeding streamed "
+             "minibatch SGD, which samples within the resident shard",
+    )
     p_shard.add_argument("--override", nargs="*", default=[])
     p_shard.set_defaults(fn=cmd_shard)
 

@@ -57,3 +57,25 @@ checksum = np.float64(sum(float(jax.numpy.sum(x)) for x in leaves))
 all_sums = multihost_utils.process_allgather(checksum)
 assert np.allclose(all_sums, all_sums[0], rtol=0, atol=0), all_sums
 print(f"PARITY OK {losses[-1]:.6f} {checksum:.6f}", flush=True)
+
+# --- streamed x distributed minibatch (VERDICT r4 item 4a): each process
+# streams its own shard subset, devices sample locally within the round
+# corpus, state must stay bit-identical across processes ---
+shard_dir = sys.argv[4] if len(sys.argv) > 4 else None
+if shard_dir:
+    from multimodalworddiscovery_tpu.data.stream import ShardedCorpusReader
+
+    reader = ShardedCorpusReader(shard_dir)
+    st0 = attention.init(
+        reader.load_shard(0), dim=32, key=jax.random.PRNGKey(1)
+    )
+    st, losses2 = multihost.train_minibatch_streaming_multihost(
+        attention.em_step, st0, reader, batch_size=8, num_steps=6,
+        key=jax.random.PRNGKey(7), mesh=mesh,
+    )
+    assert len(losses2) == 6 and all(l == l for l in losses2), losses2
+    leaves2 = jax.tree_util.tree_leaves(st)
+    checksum2 = np.float64(sum(float(jax.numpy.sum(x)) for x in leaves2))
+    all2 = multihost_utils.process_allgather(checksum2)
+    assert np.allclose(all2, all2[0], rtol=0, atol=0), all2
+    print(f"STREAMMB OK {losses2[-1]:.6f} {checksum2:.6f}", flush=True)

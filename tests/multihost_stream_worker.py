@@ -71,3 +71,33 @@ if frames_dir:
     finally:
         sys.argv = old
     print("GAUSS OK", flush=True)
+
+    # --- streamed x distributed minibatch SGD via the CLI (the gradient-
+    # model cell of the scaling matrix, VERDICT r4 item 4a) ---
+    wd2 = str(pathlib.Path(frames_dir).parent / "attn_wd")
+    sys.argv = [
+        "mwd", "train", "--workdir", wd2,
+        "--override", "data.source=stream", f"data.dir={shard_dir}",
+        "model.name=attention", "model.dim=16", "train.batch_size=8",
+        "train.num_iterations=4", "train.data_parallel=true",
+        "train.distributed=true", "train.checkpoint_every=4",
+    ]
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    print("ATTN STREAMMB OK", flush=True)
+
+# --- bucketed EM spanning hosts (VERDICT r4 item 4b): static per-process
+# buckets, per-bucket global assembly; must equal resident full EM exactly
+# (bucketed EM is exact) ---
+lo, hi = multihost.process_slice(full.n)
+local = jax.tree.map(lambda x: x[lo:hi], full)
+pb, lls_b = multihost.train_bucketed_multihost(
+    hmm, hmm.init(full), local, [10], 3
+)
+np.testing.assert_allclose(lls_b, np.asarray(lls_ref), rtol=1e-5)
+np.testing.assert_allclose(
+    np.asarray(pb.log_emit), np.asarray(ref.log_emit), atol=1e-4
+)
+print("BUCKET OK", flush=True)

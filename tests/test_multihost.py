@@ -17,6 +17,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 WORKER = pathlib.Path(__file__).parent / "multihost_worker.py"
 REPO = WORKER.parent.parent
@@ -28,6 +29,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_em_parity():
     port = _free_port()
     procs = [
@@ -59,6 +61,7 @@ def test_two_process_em_parity():
     np.testing.assert_allclose(lls[0], lls[1], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_two_process_cli_train(tmp_path):
     """`mwd train --override train.distributed=true` as two real OS
     processes sharing a workdir: coordinator writes config/metrics/ckpt,
@@ -131,6 +134,7 @@ def test_two_process_cli_train(tmp_path):
     assert (dist_dir / "ckpt").exists() and (dist_dir / "config.json").exists()
 
 
+@pytest.mark.slow
 def test_two_process_streaming_em(tmp_path):
     """Pod-scale out-of-core EM: two OS processes, each streaming its own
     shard subset (5 shards -> 3 rounds, uneven tail), must match resident
@@ -177,18 +181,33 @@ def test_two_process_streaming_em(tmp_path):
         assert p.returncode == 0, f"stream worker {i} failed:\n{out[-4000:]}"
         assert "PARITY OK" in out, f"stream worker {i}:\n{out[-4000:]}"
         assert "GAUSS OK" in out, f"stream worker {i} gaussian leg:\n{out[-4000:]}"
+        assert "ATTN STREAMMB OK" in out, f"stream worker {i} minibatch leg:\n{out[-4000:]}"
+        assert "BUCKET OK" in out, f"stream worker {i} bucketed leg:\n{out[-4000:]}"
     assert "seeded from streamed whole-corpus moments" in outs[0]
     assert (tmp_path / "gauss_wd" / "ckpt").exists()
+    assert (tmp_path / "attn_wd" / "ckpt").exists()
 
 
+@pytest.mark.slow
 def test_two_process_minibatch(tmp_path):
     """Distributed minibatch SGD for the gradient models: local sampling,
-    all-reduced gradients, state bit-identical across processes."""
+    all-reduced gradients, state bit-identical across processes — resident
+    AND streamed (each process streams its own shard subset)."""
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.data.stream import write_shards
+
+    corpus, _, _ = make_flickr8k_mini(
+        n_utterances=32, n_concepts=10, n_phones=16, seed=1
+    )
+    shard_dir = tmp_path / "shards"
+    assert write_shards(corpus, shard_dir, shard_size=8, shuffle=2) == 4
+
     worker = WORKER.parent / "multihost_minibatch_worker.py"
     port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", str(port)],
+            [sys.executable, str(worker), str(i), "2", str(port),
+             str(shard_dir)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=str(REPO),
             env={**os.environ,
@@ -208,9 +227,11 @@ def test_two_process_minibatch(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"minibatch worker {i} failed:\n{out[-4000:]}"
         assert "PARITY OK" in out, f"minibatch worker {i}:\n{out[-4000:]}"
-    # both processes report the identical loss and checksum
-    tails = [o.split("PARITY OK")[1].split()[:2] for o in outs]
-    assert tails[0] == tails[1], tails
+        assert "STREAMMB OK" in out, f"minibatch worker {i} streamed leg:\n{out[-4000:]}"
+    # both processes report the identical loss and checksum (both legs)
+    for tag in ("PARITY OK", "STREAMMB OK"):
+        tails = [o.split(tag)[1].split()[:2] for o in outs]
+        assert tails[0] == tails[1], (tag, tails)
 
 
 def test_process_slice_partition():
@@ -221,3 +242,50 @@ def test_process_slice_partition():
         assert spans[0][0] == 0 and spans[-1][1] == n
         for (a, b), (c, d) in zip(spans, spans[1:]):
             assert b == c and b - a >= d - c >= 0
+
+
+def test_bucket_local_static_structure():
+    """Static bucketing for multi-host: fixed bucket count, edge-padded time
+    axes, full row coverage, empty buckets padded to one zero-count row."""
+    import jax
+
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.parallel.multihost import (
+        bucket_local_static,
+    )
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=20, seed=3)
+    edges = [6, 10, corpus.max_src_len + 5]  # last clips to max_src_len
+    buckets = bucket_local_static(corpus, edges)
+    assert len(buckets) == len(edges) + 1
+    tss = [b.max_src_len for b, _ in buckets]
+    assert tss == [6, 10, corpus.max_src_len, corpus.max_src_len]
+    covered = np.concatenate([idx for _, idx in buckets])
+    np.testing.assert_array_equal(np.sort(covered), np.arange(20))
+    # the final bucket is empty (everything fits earlier edges) -> one
+    # zero-length padding row
+    last, last_idx = buckets[-1]
+    assert len(last_idx) == 0 and last.n == 1
+    assert int(jax.numpy.sum(last.src_len)) == 0
+
+
+def test_train_bucketed_multihost_single_process_parity():
+    """train_bucketed_multihost on a 1-process 8-device mesh must equal
+    resident full-corpus EM exactly (bucketed EM is exact; the multi-process
+    leg lives in the 2-process stream worker)."""
+    import jax
+
+    from multimodalworddiscovery_tpu.data import make_flickr8k_mini
+    from multimodalworddiscovery_tpu.models import hmm
+    from multimodalworddiscovery_tpu.parallel import multihost
+
+    corpus, _, _ = make_flickr8k_mini(n_utterances=24, seed=7)
+    p0 = hmm.init(corpus)
+    pb, lls_b = multihost.train_bucketed_multihost(
+        hmm, p0, corpus, [10], 3, mesh=multihost.global_mesh()
+    )
+    ref, lls_ref = jax.jit(lambda p, c: hmm.train(p, c, 3))(p0, corpus)
+    np.testing.assert_allclose(lls_b, np.asarray(lls_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pb.log_emit), np.asarray(ref.log_emit), atol=1e-4
+    )

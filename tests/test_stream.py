@@ -132,6 +132,7 @@ def test_streaming_em_gaussian_exact(tmp_path, corpus_gold):
     )
 
 
+@pytest.mark.slow
 def test_streaming_segmental_kmeans_exact(tmp_path, corpus_gold):
     """ES-KMeans centroid statistics are additive: streamed EM == resident,
     and the mwd discover stream path runs e2e."""
@@ -171,6 +172,7 @@ def test_streaming_segmental_kmeans_exact(tmp_path, corpus_gold):
     assert 0.0 <= m["purity"] <= 1.0 and m["boundary"]["f1"] > 0.0
 
 
+@pytest.mark.slow
 def test_streaming_minibatch_gradient_model(tmp_path, shard_dir):
     """Out-of-core minibatch SGD: shards stream, steps sample within the
     resident shard; library API and CLI e2e."""
@@ -247,6 +249,7 @@ def test_stream_counts_match_single_call(shard_dir, corpus_gold):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_cli_shard_train_evaluate(tmp_path):
     """mwd shard -> train (data.source=stream) -> align/evaluate e2e."""
     from multimodalworddiscovery_tpu import cli
@@ -316,6 +319,7 @@ def test_cli_shard_train_evaluate(tmp_path):
     np.testing.assert_allclose(metrics["purity"], float(expect["purity"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_cli_streamed_align_matches_materialized(tmp_path):
     """`mwd align` on a stream workdir decodes shard-by-shard; the JSON must
     equal what a resident decode of the materialized corpus produces."""
@@ -375,6 +379,7 @@ def test_cli_streamed_align_matches_materialized(tmp_path):
     assert streamed_segs == expected_segs
 
 
+@pytest.mark.slow
 def test_streaming_resume(tmp_path, shard_dir):
     """Checkpoint mid-run, retrain: resumes from the saved iteration."""
     from multimodalworddiscovery_tpu import cli
@@ -393,3 +398,367 @@ def test_streaming_resume(tmp_path, shard_dir):
         assert [r["step"] for r in rows] == [0, 1, 2, 3]
     finally:
         sys.argv = old
+
+
+def _run_cli(argv):
+    from multimodalworddiscovery_tpu import cli
+
+    old = sys.argv
+    try:
+        sys.argv = argv
+        cli.main()
+    finally:
+        sys.argv = old
+
+
+@pytest.mark.slow
+def test_streamed_evaluate_dense_retrieval_parity(tmp_path):
+    """Single-shard streamed evaluation's dense within-shard retrieval must
+    EXACTLY reproduce resident dense N x N recall (same competitor set per
+    query), and streamed DTW with a full-coverage reservoir must match the
+    resident DTW metrics on the same utterances."""
+    shard_dir = tmp_path / "shards"
+    wd = tmp_path / "wd"
+    _run_cli(["mwd", "shard", "--output", str(shard_dir), "--shard-size", "24",
+              "--override", "data.n_utterances=24", "data.n_concepts=10",
+              "data.continuous=true", "data.feat_dim=8"])
+    _run_cli(["mwd", "train", "--workdir", str(wd),
+              "--override", "data.source=stream", f"data.dir={shard_dir}",
+              "model.name=hmm_gaussian", "train.num_iterations=3",
+              "train.checkpoint_every=3"])
+    _run_cli(["mwd", "evaluate", "--workdir", str(wd)])
+    metrics = json.loads((wd / "metrics.json").read_text())
+    assert "retrieval" in metrics and "dtw" in metrics
+
+    from multimodalworddiscovery_tpu.eval.dtw import (
+        cluster_dtw_coherence,
+        dtw_to_gold,
+    )
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        recall_at_k,
+        retrieval_scores_hmm_family,
+    )
+    from multimodalworddiscovery_tpu.segment import segments_from_alignment
+    from multimodalworddiscovery_tpu.utils.checkpoint import CheckpointManager
+
+    reader = ShardedCorpusReader(shard_dir)
+    corpus, gold = reader.materialize()
+    params, _ = CheckpointManager(wd / "ckpt").restore(
+        hmm_gaussian.init(corpus, n_components=2)
+    )
+
+    # resident dense N x N recall — the streamed within-shard dense pools
+    # cover the same competitor set, so recall/median must agree exactly
+    dense = recall_at_k(retrieval_scores_hmm_family(hmm_gaussian, params, corpus))
+    for key in ("recall@1_c2i", "recall@5_c2i", "median_rank_c2i",
+                "recall@1_i2c", "recall@5_i2c", "median_rank_i2c"):
+        np.testing.assert_allclose(
+            metrics["retrieval"][key], float(dense[key]), atol=1e-7, err_msg=key
+        )
+
+    # resident DTW on the full corpus (reservoir covers all 24 utterances)
+    import jax.numpy as jnp
+
+    alignment = jax.jit(hmm_gaussian.align)(params, corpus)
+    ga = jnp.asarray(gold.alignment)
+    ps, pm = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
+    gs, gm = segments_from_alignment(ga, corpus.trg, corpus.src_len)
+    k_seg = min(ps.shape[1], 8)
+    coh = cluster_dtw_coherence(corpus.src, ps[:, :k_seg], pm[:, :k_seg], 32)
+    to_gold = dtw_to_gold(
+        corpus.src, ps[:, :k_seg], pm[:, :k_seg], gs[:, :k_seg], gm[:, :k_seg], 32
+    )
+    for key in ("within", "across", "ratio"):
+        np.testing.assert_allclose(
+            metrics["dtw"][key], float(coh[key]), rtol=1e-4, err_msg=key
+        )
+    np.testing.assert_allclose(metrics["dtw"]["to_gold"], float(to_gold), rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_streamed_evaluate_pooled_multishard(tmp_path):
+    """Multi-shard streamed evaluation with sampled within-shard pools: all
+    retrieval + DTW families present, ranks sane, tail rows skipped loudly
+    when the last shard is smaller than the pool."""
+    shard_dir = tmp_path / "shards"
+    wd = tmp_path / "wd"
+    _run_cli(["mwd", "shard", "--output", str(shard_dir), "--shard-size", "8",
+              "--override", "data.n_utterances=28", "data.n_concepts=10",
+              "data.continuous=true", "data.feat_dim=8"])
+    _run_cli(["mwd", "train", "--workdir", str(wd),
+              "--override", "data.source=stream", f"data.dir={shard_dir}",
+              "model.name=hmm_gaussian", "train.num_iterations=2",
+              "train.checkpoint_every=2"])
+    _run_cli(["mwd", "evaluate", "--workdir", str(wd),
+              "--override", "eval.retrieval_pool=6", "eval.dtw_utterances=10"])
+    metrics = json.loads((wd / "metrics.json").read_text())
+    r = metrics["retrieval"]
+    assert r["pool_size"] == 6.0
+    for d in ("c2i", "i2c"):
+        assert 0.0 <= r[f"recall@1_{d}"] <= r[f"recall@5_{d}"] <= 1.0
+        assert 1.0 <= r[f"median_rank_{d}"] <= 6.0
+    d = metrics["dtw"]
+    assert d["within"] >= 0 and d["across"] > 0 and d["to_gold"] >= 0
+
+
+@pytest.mark.slow
+def test_streamed_minibatch_shuffle_convergence_parity(tmp_path):
+    """De-biased streamed minibatch SGD on an intentionally ORDERED corpus:
+    with write_shards(shuffle=seed), streamed training (which samples within
+    the resident shard) must converge like resident minibatch SGD.  Without
+    the shuffle every steps_per_shard consecutive batches come from one
+    contiguous, concept-correlated corpus slice."""
+    import jax.numpy as jnp
+
+    from multimodalworddiscovery_tpu.data.corpus import Corpus
+    from multimodalworddiscovery_tpu.models import attention
+    from multimodalworddiscovery_tpu.models.minibatch import (
+        train_minibatch,
+        train_minibatch_streaming,
+    )
+
+    corpus, _, _ = make_flickr8k_mini(
+        n_utterances=96, n_concepts=10, n_phones=16, seed=5
+    )
+    # sort by the first concept id -> contiguous slices are concept-correlated
+    order = np.argsort(np.asarray(corpus.trg)[:, 0], kind="stable")
+    take = lambda x: jnp.asarray(np.asarray(x)[order])  # noqa: E731
+    ordered = Corpus(
+        src=take(corpus.src), src_len=take(corpus.src_len),
+        trg=take(corpus.trg), trg_len=take(corpus.trg_len),
+        src_vocab=corpus.src_vocab, trg_vocab=corpus.trg_vocab,
+    )
+
+    state0 = attention.init(ordered, dim=32, key=jax.random.PRNGKey(0))
+    ll0 = float(attention.loglik(state0, ordered))
+    n_steps, bs = 72, 8
+
+    res_state, _ = train_minibatch(
+        attention.em_step, state0, ordered, bs, n_steps,
+        key=jax.random.PRNGKey(1),
+    )
+    ll_res = float(attention.loglik(res_state, ordered))
+
+    d = tmp_path / "shards"
+    write_shards(ordered, d, shard_size=24, shuffle=7)
+    reader = ShardedCorpusReader(d)
+    assert reader.shuffle_seed == 7
+    str_state, _ = train_minibatch_streaming(
+        attention.em_step, state0, reader, bs, n_steps,
+        key=jax.random.PRNGKey(1),
+    )
+    ll_str = float(attention.loglik(str_state, ordered))
+
+    # both must have improved materially, and the improvements must match
+    gain_res, gain_str = ll_res - ll0, ll_str - ll0
+    assert gain_res > 0 and gain_str > 0
+    assert abs(gain_str - gain_res) <= 0.2 * abs(gain_res), (ll0, ll_res, ll_str)
+
+
+def test_write_shards_shuffle_permutes_gold_consistently(tmp_path):
+    """shuffle=seed permutes the corpus AND the gold annotations with the
+    same permutation, and the manifest records the seed."""
+    corpus, gold, _ = make_flickr8k_mini(n_utterances=20, seed=11)
+    d = tmp_path / "shards"
+    write_shards(corpus, d, shard_size=8, gold=gold, shuffle=3)
+    reader = ShardedCorpusReader(d)
+    assert reader.shuffle_seed == 3
+    shuffled, g2 = reader.materialize()
+
+    perm = np.random.default_rng(3).permutation(20)
+    np.testing.assert_array_equal(
+        np.asarray(shuffled.src), np.asarray(corpus.src)[perm]
+    )
+    np.testing.assert_array_equal(g2.alignment, gold.alignment[perm])
+    assert g2.segments == [gold.segments[i] for i in perm]
+
+
+def test_quantize_shards_streaming_roundtrip(tmp_path, corpus_gold):
+    """Streamed quantization writes a parallel discrete shard dir: codes in
+    range, lengths/targets copied, manifest vocab = n_codes."""
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    write_shards(fc, tmp_path / "f", shard_size=8)
+    reader = ShardedCorpusReader(tmp_path / "f")
+    cb = hmm_gaussian.quantize_shards_streaming(
+        reader, tmp_path / "c", n_codes=16, key=jax.random.PRNGKey(4)
+    )
+    assert cb.shape == (16, 8)
+    cr = ShardedCorpusReader(tmp_path / "c")
+    assert cr.src_vocab == 16 and cr.num_shards == reader.num_shards
+    cc, _ = cr.materialize()
+    codes = np.asarray(cc.src)
+    assert codes.dtype == np.int32 and codes.min() >= 0 and codes.max() < 16
+    np.testing.assert_array_equal(np.asarray(cc.trg), np.asarray(fc.trg))
+    np.testing.assert_array_equal(
+        np.asarray(cc.src_len), np.asarray(fc.src_len)
+    )
+    real = codes[np.asarray(fc.src_mask())]
+    assert len(np.unique(real)) >= 8
+
+
+@pytest.mark.slow
+def test_streamed_vq_teacher_anneal_matches_resident_recipe(tmp_path):
+    """The flagship out-of-core recipe (VERDICT r3 item 2): data.source=stream
+    + init=vq_teacher + anneal_iters trains end-to-end through the CLI and
+    reaches the RESIDENT recipe's frame accuracy within tolerance on the
+    dense-region corpus where flat starts fail."""
+    from multimodalworddiscovery_tpu import cli
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.utils.checkpoint import CheckpointManager
+
+    pc, pg, _ = make_flickr8k_mini(
+        n_utterances=80, n_concepts=50, min_concepts=8, max_concepts=12,
+        seed=11,
+    )
+    fc, fg, _ = phones_to_frames(pc, pg, feat_dim=16, seed=11)
+    wm = np.asarray(fc.src_mask()) & (fg.alignment > 0)
+
+    def acc(p):
+        pred = np.asarray(hmm_gaussian.align(p, fc))
+        return float((pred == fg.alignment)[wm].mean())
+
+    # resident recipe (the shipped stretch-config protocol)
+    key = jax.random.PRNGKey(0)
+    pv = hmm_gaussian.init_vq_teacher(
+        fc, max_jump=3, key=key, n_codes=32, teacher_iters=8, seed_rounds=2,
+        n_components=2,
+    )
+    pv, _ = jax.jit(
+        lambda p: hmm_gaussian.train(p, fc, 8, anneal=(0.25, 4))
+    )(pv)
+    a_resident = acc(pv)
+
+    # streamed recipe through the CLI (4 shards; same hyperparameters)
+    write_shards(fc, tmp_path / "s", shard_size=20, gold=fg)
+    wd = tmp_path / "wd"
+    old = sys.argv
+    try:
+        sys.argv = ["mwd", "train", "--workdir", str(wd),
+                    "--override", "data.source=stream",
+                    f"data.dir={tmp_path / 's'}",
+                    "model.name=hmm_gaussian", "model.init=vq_teacher",
+                    "model.vq_codes=32", "model.teacher_iters=8",
+                    "model.seed_rounds=2", "model.anneal_iters=4",
+                    "train.num_iterations=8", "train.checkpoint_every=8"]
+        cli.main()
+    finally:
+        sys.argv = old
+    assert (wd / "vq_codes" / "manifest.json").exists()
+
+    ps, _ = CheckpointManager(wd / "ckpt").restore(
+        hmm_gaussian.init(fc, n_components=2, max_jump=3)
+    )
+    a_streamed = acc(ps)
+    # both must beat the measured flat-start plateau and agree within
+    # tolerance (codebooks differ: resident fits on all frames, streamed on
+    # a cross-shard reservoir — same protocol otherwise)
+    assert a_streamed > 0.40, (a_streamed, a_resident)
+    assert abs(a_streamed - a_resident) < 0.10, (a_streamed, a_resident)
+
+
+def test_streamed_vq_teacher_rejects_distributed(tmp_path, corpus_gold):
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu import cli
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, seed=0)
+    write_shards(fc, tmp_path / "s", shard_size=8)
+    import argparse
+
+    with pytest.raises(SystemExit, match="vq_teacher"):
+        cli.cmd_train(argparse.Namespace(
+            config=None, workdir=str(tmp_path / "wd"), fresh=False,
+            override=["data.source=stream", f"data.dir={tmp_path / 's'}",
+                      "model.name=hmm_gaussian", "model.init=vq_teacher",
+                      "train.distributed=true", "train.data_parallel=true"],
+        ))
+
+
+def test_streaming_annealed_em_exact(tmp_path, corpus_gold):
+    """scale_schedule plumbing: annealed streamed EM is EXACT vs the resident
+    annealed train (same beta ramp; counts additive, one compile for the
+    whole ramp)."""
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    write_shards(fc, tmp_path, shard_size=10)
+    reader = ShardedCorpusReader(tmp_path)
+    key = jax.random.PRNGKey(0)
+    sched = np.concatenate([np.linspace(0.3, 1.0, 3), np.ones(1)])
+
+    p0 = hmm_gaussian.init(fc, key=key)
+    ps, lls = train_streaming(
+        hmm_gaussian, p0, reader, 4, scale_schedule=sched
+    )
+    pr, lls_ref = jax.jit(
+        lambda p, c: hmm_gaussian.train(p, c, 4, anneal=(0.3, 3))
+    )(hmm_gaussian.init(fc, key=key), fc)
+    np.testing.assert_allclose(lls, np.asarray(lls_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ps.means), np.asarray(pr.means), atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_streaming_hmm_dnn_generalized_em(tmp_path, corpus_gold):
+    """Streamed hmm_dnn (incremental generalized EM): the closed-form counts
+    pool exactly; the per-shard neural updates must converge like the
+    resident trainer (parity in decode accuracy, not bit-exactness — the
+    resident n_sgd steps descend the POOLED CE)."""
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.models import hmm_dnn
+
+    fc, fg, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    write_shards(fc, tmp_path / "s", shard_size=10, gold=fg)
+    reader = ShardedCorpusReader(tmp_path / "s")
+    wm = np.asarray(fc.src_mask()) & (fg.alignment > 0)
+
+    def acc(p):
+        pred = np.asarray(jax.jit(hmm_dnn.align)(p, fc))
+        return float((pred == fg.alignment)[wm].mean())
+
+    p0 = hmm_dnn.init(fc, hidden=64, key=jax.random.PRNGKey(0))
+    pr, lls_ref = jax.jit(lambda p: hmm_dnn.train(p, fc, 5))(p0)
+    ps, lls = hmm_dnn.train_streaming(p0, reader, 5)
+    assert len(lls) == 5 and lls[-1] > lls[0]  # training signal improves
+    a_res, a_str = acc(pr), acc(ps)
+    # incremental EM takes num_shards x n_sgd MLP updates per iteration vs
+    # the resident n_sgd, so at a fixed iteration budget it can be AHEAD
+    # (measured here: 0.55 streamed vs 0.37 resident after 5 iters); the
+    # parity requirement is that streaming never trails materially
+    assert a_str > 0.5, (a_str, a_res)
+    assert a_str >= a_res - 0.05, (a_str, a_res)
+
+    # CLI e2e: train + evaluate out-of-core
+    from multimodalworddiscovery_tpu import cli
+
+    wd = tmp_path / "wd"
+    old = sys.argv
+    try:
+        sys.argv = ["mwd", "train", "--workdir", str(wd),
+                    "--override", "data.source=stream",
+                    f"data.dir={tmp_path / 's'}", "model.name=hmm_dnn",
+                    "model.hidden=64", "train.num_iterations=3",
+                    "train.checkpoint_every=3"]
+        cli.main()
+        sys.argv = ["mwd", "evaluate", "--workdir", str(wd)]
+        cli.main()
+    finally:
+        sys.argv = old
+    m = json.loads((wd / "metrics.json").read_text())
+    assert 0.0 <= m["alignment"]["f1"] <= 1.0 and "retrieval" in m
+
+    # the mesh composition is rejected loudly (chained optimizer state)
+    import argparse
+
+    with pytest.raises(SystemExit, match="hmm_dnn"):
+        cli.cmd_train(argparse.Namespace(
+            config=None, workdir=str(tmp_path / "wd2"), fresh=False,
+            override=["data.source=stream", f"data.dir={tmp_path / 's'}",
+                      "model.name=hmm_dnn", "train.data_parallel=true"],
+        ))
