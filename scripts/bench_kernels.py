@@ -11,6 +11,7 @@ Usage: python scripts/bench_kernels.py [--out bench/results.jsonl]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 from pathlib import Path
@@ -438,10 +439,42 @@ def bench_model1_align(out):
             _record(out, **rec)
 
 
+def _xla_flops(jitted_fn, *args) -> float | None:
+    """FLOPs of one compiled call from XLA's own cost analysis — the
+    auditable FLOP model for the gradient families (VERDICT round-3 item 6;
+    no hand-derived transformer arithmetic to drift out of sync with the
+    code).  Returns None when the backend exposes no analysis."""
+    def analyze(*a):
+        ca = jitted_fn.lower(*a).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        val = float(ca.get("flops", 0.0))
+        return val if val > 0 else None
+
+    try:
+        return analyze(*args)
+    except Exception:
+        pass
+    try:
+        # remote-plugin backends may not expose cost_analysis: lower the
+        # same SHAPES for the local CPU backend (FLOP counts are a property
+        # of the HLO, not the chip)
+        shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), args
+        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            return analyze(*shapes)
+    except Exception:
+        return None
+
+
 def bench_models(out):
-    """TPU throughput for the remaining model families (VERDICT round-2
-    item 5): attention (minibatch steps/s at B=512), grounding (contrastive
-    minibatch steps/s), segmental k-means (EM iters/s + discover utt/s).
+    """TPU throughput for the gradient model families: attention (minibatch
+    steps/s at B=512), grounding (contrastive minibatch steps/s), hmm_crf
+    (end-to-end differentiable aligner steps/s), segmental k-means (EM
+    iters/s + discover utt/s).  Gradient rows carry flops_per_sec /
+    pct_peak_mxu from XLA's cost analysis of one compiled step (VERDICT
+    round-3 item 6).
 
     Replay-proof protocol: reps steps fused in ONE lax.scan dispatch with the
     model state threaded through the carry (the relay cannot ack-without-
@@ -451,7 +484,7 @@ def bench_models(out):
     from multimodalworddiscovery_tpu.data import make_flickr8k_mini
     from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
     from multimodalworddiscovery_tpu.models import (
-        attention, grounding, segmental_kmeans,
+        attention, grounding, hmm_crf, segmental_kmeans,
     )
     from multimodalworddiscovery_tpu.models.minibatch import gather_batch
 
@@ -466,7 +499,7 @@ def bench_models(out):
         def body(s, k):
             idx = jax.random.permutation(k, n)[:batch]
             s2, stats = step_fn(s, gather_batch(c, idx))
-            return s2, stats["loss"]
+            return s2, stats.get("loss", stats.get("loglik"))
 
         run = jax.jit(lambda s, ks: jax.lax.scan(body, s, ks))
         ks = jax.random.split(jax.random.PRNGKey(0), reps)
@@ -479,10 +512,21 @@ def bench_models(out):
             _, losses = run(s1, ks)
             _ = float(losses[-1])
             dt = min(dt, (time.perf_counter() - t) / reps)
-        _record(out, kernel=name, batch=batch, N=n,
-                ms_per_step=round(dt * 1e3, 3),
-                steps_per_sec=round(1 / dt, 1),
-                utt_per_sec=round(batch / dt), **extra)
+        rec = dict(kernel=name, batch=batch, N=n,
+                   ms_per_step=round(dt * 1e3, 3),
+                   steps_per_sec=round(1 / dt, 1),
+                   utt_per_sec=round(batch / dt), **extra)
+        # FLOP model: XLA cost analysis of ONE compiled step (fwd+bwd+Adam).
+        # Default matmul precision on TPU f32 runs the MXU's bf16 passes, so
+        # the bf16 ceiling is the honest denominator.
+        fl = _xla_flops(jax.jit(body), s1, ks[0])
+        if fl:
+            rec.update(
+                flops_per_step=round(fl),
+                flops_per_sec=round(fl / dt),
+                pct_peak_mxu_bf16=round(100 * fl / dt / V5E_PEAK_BF16_FLOPS, 3),
+            )
+        _record(out, **rec)
 
     # --- attention aligner: B=512 minibatch AdamW steps (config #3/#4
     # protocol; the 40k-utterance CRF experiment used the same batch) ---
@@ -498,6 +542,23 @@ def bench_models(out):
     bench_minibatch(
         "grounding_minibatch_step", grounding.em_step, gr_state, corpus,
         batch=256, dim=128,
+    )
+
+    # --- hmm_crf: end-to-end differentiable aligner (n_sgd Adam steps
+    # through the exact CRF marginal per call + closed-form transition
+    # M-step) on continuous frames, minibatched like the neural models ---
+    crf_tok, crf_gold, _ = make_flickr8k_mini(
+        n_utterances=2048, n_concepts=60, n_phones=48,
+        min_concepts=3, max_concepts=6, seed=4,
+    )
+    crf_fc, _, _ = phones_to_frames(
+        crf_tok, crf_gold, feat_dim=13, noise=0.1, seed=4
+    )
+    crf_state = hmm_crf.init_e2e(crf_fc, key=jax.random.PRNGKey(3))
+    bench_minibatch(
+        "hmm_crf_minibatch_step",
+        functools.partial(hmm_crf.em_step, learn_transitions=True),
+        crf_state, crf_fc, batch=256,
     )
 
     # --- segmental k-means: full-corpus EM iterations + discover, on a
