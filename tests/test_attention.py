@@ -29,6 +29,7 @@ def test_shapes_and_masking(mini):
     np.testing.assert_allclose(row_sums, 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_loss_decreases(mini):
     corpus, _, _ = mini
     state = attention.init(corpus)
@@ -38,6 +39,7 @@ def test_loss_decreases(mini):
     assert lls[-1] > lls[0] + 10, (lls[0], lls[-1])
 
 
+@pytest.mark.slow
 def test_alignment_better_than_chance(mini):
     corpus, gold, _ = mini
     state = attention.init(corpus)
@@ -63,6 +65,7 @@ def test_align_works_on_continuous_features(mini):
     assert np.isfinite(float(stats["loss"]))
 
 
+@pytest.mark.slow
 def test_guided_attention_beats_plain(mini):
     """HMM-posterior-guided attention (DNN-HMM-DNN hybrid style) should align
     much better than plain CE attention."""
@@ -93,6 +96,7 @@ def test_guided_attention_beats_plain(mini):
     assert acc_guided > acc_plain + 0.1, (acc_plain, acc_guided)
 
 
+@pytest.mark.slow
 def test_subsampled_attention_on_frames():
     """Conv-subsampled encoder (ASR-style) on acoustic frames: shapes map
     back to frame resolution and training improves alignment."""

@@ -36,6 +36,7 @@ def get_config():
 @pytest.mark.parametrize(
     "model", ["model1", "hmm", "hmm_gaussian", "attention", "hmm_dnn", "hmm_crf"]
 )
+@pytest.mark.slow
 def test_full_cli_pipeline(tmp_path, model, capsys):
     continuous = model in ("hmm_gaussian", "hmm_dnn", "hmm_crf")
     cfg_path = _write_config(
@@ -202,6 +203,7 @@ def test_train_from_disk_corpus(tmp_path):
     assert metrics["alignment"]["f1"] > 0.6, metrics
 
 
+@pytest.mark.slow
 def test_guided_attention_cli(tmp_path, capsys):
     cfg_path = _write_config(
         tmp_path, CFG_TMPL.format(model="attention", retrieval=False, continuous=False)
@@ -216,6 +218,7 @@ def test_guided_attention_cli(tmp_path, capsys):
     cli.cmd_evaluate(_ns(workdir=str(wd), output=None))
 
 
+@pytest.mark.slow
 def test_cmd_preprocess_flickr8k(tmp_path, capsys):
     (tmp_path / "Flickr8k.token.txt").write_text(
         "1.jpg#0\tA dog chases the ball\n2.jpg#0\tA cat sits on grass\n"
@@ -293,6 +296,7 @@ def test_train_minibatch_cli(tmp_path, capsys):
     assert (wd / "alignment.json").exists()
 
 
+@pytest.mark.slow
 def test_train_guided_attention_data_parallel(tmp_path, capsys):
     """Round-1 excluded guided attention from data_parallel; the guide is now
     computed inside the sharded step, so the combination must train."""
@@ -311,6 +315,7 @@ def test_train_guided_attention_data_parallel(tmp_path, capsys):
     assert len(lines) == 3
 
 
+@pytest.mark.slow
 def test_train_guided_minibatch_gaussian_teacher(tmp_path, capsys):
     """self_train recipe knobs from config: Gaussian teacher + guided student
     + minibatching, on the continuous corpus."""
@@ -405,6 +410,7 @@ def test_train_corpus_chunks_cli(tmp_path, capsys):
         )
 
 
+@pytest.mark.slow
 def test_train_gaussian_vq_teacher_annealed(tmp_path, capsys):
     """model.init=vq_teacher + model.anneal_iters drive the productionized
     dense-region recipe end-to-end: seeded init, annealed EM (traced

@@ -50,6 +50,7 @@ def test_golden_metrics(name, mod, iters):
         assert abs(got[k] - want) < 0.02, (name, k, got[k], want)
 
 
+@pytest.mark.slow
 def test_golden_dtw_coherence():
     """DTW cluster coherence of the GOLD segmentation on the frozen
     continuous corpus (pure data + metric determinism; SURVEY.md §3.5)."""

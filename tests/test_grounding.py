@@ -13,6 +13,7 @@ def mini():
     return make_flickr8k_mini(n_utterances=80, seed=31)
 
 
+@pytest.mark.slow
 def test_loss_decreases(mini):
     corpus, _, _ = mini
     state = grounding.init(corpus)
@@ -22,6 +23,7 @@ def test_loss_decreases(mini):
     assert lls[-1] > lls[0], (lls[0], lls[-1])
 
 
+@pytest.mark.slow
 def test_retrieval_improves_over_training(mini):
     corpus, _, _ = mini
     state = grounding.init(corpus)
