@@ -993,11 +993,10 @@ def _restore(workdir: Path, overrides: list[str] | None = None, cfg=None):
     return cfg, corpus, gold, mod, params
 
 
-def _decode_streaming(cfg, workdir: Path, args, with_segments: bool) -> None:
-    """Out-of-core decode: align (and optionally segment) shard by shard —
-    ONE jit reused for every shard (same padded shape); only the int32
-    alignment rows / segment triples reach the host (tiny next to the
-    feature arrays that stay on disk)."""
+def _restore_streaming(cfg, workdir: Path):
+    """(reader, shard0, mod, params) for a streamed workdir: the parameter
+    TEMPLATE comes from shard 0 (every shard shares shapes/vocabs — manifest
+    constants), then the checkpoint restore overwrites it."""
     from multimodalworddiscovery_tpu.data.stream import ShardedCorpusReader
 
     reader = ShardedCorpusReader(cfg.data.dir)
@@ -1006,7 +1005,15 @@ def _decode_streaming(cfg, workdir: Path, args, with_segments: bool) -> None:
     ckpt = CheckpointManager(workdir / "ckpt")
     params, _ = ckpt.restore(params)
     ckpt.close()
+    return reader, shard0, mod, params
 
+
+def _decode_streaming(cfg, workdir: Path, args, with_segments: bool) -> None:
+    """Out-of-core decode: align (and optionally segment) shard by shard —
+    ONE jit reused for every shard (same padded shape); only the int32
+    alignment rows / segment triples reach the host (tiny next to the
+    feature arrays that stay on disk)."""
+    reader, shard0, mod, params = _restore_streaming(cfg, workdir)
     kw = _decode_kwargs(cfg, mod, shard0)
 
     @jax.jit
@@ -1198,7 +1205,7 @@ def _evaluate_streaming(cfg, workdir: Path, args) -> None:
         word_iou_stats,
     )
 
-    reader = ShardedCorpusReader(cfg.data.dir)
+    reader, shard0, mod, params = _restore_streaming(cfg, workdir)
     gold_path = reader.directory / "gold.json"
     if not gold_path.exists():
         raise SystemExit(f"no gold annotations ({gold_path}) in the shard dir")
@@ -1209,12 +1216,6 @@ def _evaluate_streaming(cfg, workdir: Path, args) -> None:
         (reader.num_shards * reader.shard_size, reader.max_src_len), np.int32
     )
     ga[: reader.n] = gold.alignment
-
-    shard0 = reader.load_shard(0)
-    mod, params, _ = _make_model(cfg, shard0, init_only=True)
-    ckpt = CheckpointManager(workdir / "ckpt")
-    params, _ = ckpt.restore(params)
-    ckpt.close()
 
     kw = _decode_kwargs(cfg, mod, shard0)
     tol = int(cfg.eval.boundary_tolerance)
@@ -1605,6 +1606,87 @@ def cmd_discover(args) -> None:
         print(json.dumps(results, indent=2))
 
 
+def _retrieve_streaming(cfg, workdir: Path, args) -> None:
+    """Out-of-core retrieval: the same within-shard pooled protocol as
+    streamed evaluation (dense = the whole shard when no pool is set), with
+    top-k rankings reported as GLOBAL utterance indices."""
+    from multimodalworddiscovery_tpu.data.stream import prefetched
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        dense_candidate_pools,
+        ranks_from_pooled,
+        recall_from_ranks,
+        sample_candidate_pools,
+    )
+
+    if cfg.model.name not in _RETRIEVAL_MODELS:
+        raise SystemExit(f"retrieval not supported for model {cfg.model.name!r}")
+    reader, shard0, mod, params = _restore_streaming(cfg, workdir)
+
+    pool_cfg = int(
+        getattr(args, "pool", 0) or cfg.eval.get("retrieval_pool", 0) or 0
+    )
+
+    @functools.partial(jax.jit, static_argnames=("direction",))
+    def pooled(p, sub, cand, direction):
+        scores = _pooled_scores(cfg, mod, p, sub, cand, direction)
+        return scores, ranks_from_pooled(scores)
+
+    ranks: dict[str, list[np.ndarray]] = {"c2i": [], "i2c": []}
+    rankings: list[dict] = []
+    skipped = 0
+    loads = prefetched(
+        lambda k: reader.load_shard(k) if k else shard0,
+        reader.num_shards,
+        prefetch=int(cfg.train.get("stream_prefetch", 1)),
+    )
+    for k, shard in enumerate(loads):
+        lo = k * reader.shard_size
+        nv = min(reader.shard_size, reader.n - lo)
+        sub = jax.tree.map(lambda v: v[:nv], shard)
+        if pool_cfg == 0:
+            cand = dense_candidate_pools(nv)
+        elif nv >= pool_cfg:
+            cand = sample_candidate_pools(
+                nv, pool_cfg, jax.random.fold_in(jax.random.PRNGKey(cfg.seed), k)
+            )
+        else:
+            skipped += nv
+            continue
+        for direction in ("c2i", "i2c"):
+            scores, r = pooled(params, sub, cand, direction)
+            ranks[direction].append(np.asarray(r))
+            if direction == "c2i" and pool_cfg == 0:
+                s = np.asarray(scores)
+                cn = np.asarray(cand)
+                order = np.argsort(-s, axis=1)[:, : args.top_k]
+                for i in range(nv):
+                    rankings.append({
+                        "caption": lo + i,
+                        "top_images": (lo + cn[i, order[i]]).tolist(),
+                        "scores": [round(float(s[i, j]), 3) for j in order[i]],
+                    })
+
+    pool_size = pool_cfg if pool_cfg else reader.shard_size
+    metrics: dict = {}
+    for direction in ("c2i", "i2c"):
+        r = np.concatenate(ranks[direction])
+        metrics.update({
+            k: round(float(v), 4)
+            for k, v in recall_from_ranks(r, pool_size, direction=direction).items()
+        })
+    payload: dict = {"recall": metrics, "protocol": (
+        "dense within-shard" if pool_cfg == 0
+        else f"within-shard pools (C={pool_cfg})"
+    )}
+    if rankings:
+        payload["rankings"] = rankings
+    out = Path(args.output or workdir / "retrieval.json")
+    out.write_text(json.dumps(payload, indent=1))
+    print(json.dumps(metrics, indent=2))
+    note = f"; {skipped} tail rows skipped" if skipped else ""
+    print(f"wrote {out} (streamed {reader.num_shards} shards{note})")
+
+
 def cmd_retrieve(args) -> None:
     """Cross-modal retrieval: rank images for every caption (and captions for
     every image) by alignment score; dump top-k + recall metrics
@@ -1616,7 +1698,11 @@ def cmd_retrieve(args) -> None:
     )
 
     workdir = Path(args.workdir)
-    cfg, corpus, _, mod, params = _restore(workdir)
+    cfg = _load_workdir_config(workdir)
+    if cfg.data.source == "stream":
+        _retrieve_streaming(cfg, workdir, args)
+        return
+    cfg, corpus, _, mod, params = _restore(workdir, cfg=cfg)
     if args.pool:
         cfg.eval.retrieval_pool = args.pool
     if int(cfg.eval.get("retrieval_pool", 0)):
@@ -1695,7 +1781,12 @@ def cmd_export(args) -> None:
     """Export trained model parameters as a plain .npz (the reference's
     printModel-style artifact: inspectable tables, no orbax needed)."""
     workdir = Path(args.workdir)
-    cfg, corpus, _, mod, params = _restore(workdir)
+    cfg = _load_workdir_config(workdir)
+    if cfg.data.source == "stream":
+        # export needs only the parameter template — never the corpus
+        _, _, mod, params = _restore_streaming(cfg, workdir)
+    else:
+        cfg, corpus, _, mod, params = _restore(workdir, cfg=cfg)
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays = {}
     for path, leaf in flat:
@@ -1709,6 +1800,41 @@ def cmd_export(args) -> None:
     print(f"wrote {out}: " + ", ".join(f"{k}{v.shape}" for k, v in list(arrays.items())[:6]))
 
 
+def _lexicon_counts_streaming(cfg, workdir: Path):
+    """Out-of-core lexicon: decode shard by shard (one jit), count phone
+    sequences per concept on the host — the counters are O(lexicon), so the
+    human-readable payoff of word discovery never needs the resident
+    corpus."""
+    from collections import Counter, defaultdict
+
+    from multimodalworddiscovery_tpu.data.stream import prefetched
+
+    reader, shard0, mod, params = _restore_streaming(cfg, workdir)
+    kw = _decode_kwargs(cfg, mod, shard0)
+
+    @jax.jit
+    def decode(p, shard):
+        a = mod.align(p, shard, **kw)
+        return segments_from_alignment(a, shard.trg, shard.src_len)
+
+    by_concept: dict[int, Counter] = defaultdict(Counter)
+    loads = prefetched(
+        lambda k: reader.load_shard(k) if k else shard0,
+        reader.num_shards,
+        prefetch=int(cfg.train.get("stream_prefetch", 1)),
+    )
+    for k, shard in enumerate(loads):
+        nv = min(reader.shard_size, reader.n - k * reader.shard_size)
+        segs, mask = decode(params, shard)
+        host_segs = segments_to_host(segs, mask)[:nv]
+        src = np.load(reader.directory / f"src_{k}.npy", mmap_mode="r")
+        for i, utt_segs in enumerate(host_segs):
+            for s, e, c in utt_segs:
+                word = " ".join(str(int(p)) for p in src[i, s:e])
+                by_concept[c][word] += 1
+    return by_concept
+
+
 def cmd_lexicon(args) -> None:
     """Dump the discovered lexicon: for each concept, the most frequent
     phone sequences among its discovered word segments (the human-readable
@@ -1716,17 +1842,21 @@ def cmd_lexicon(args) -> None:
     from collections import Counter, defaultdict
 
     workdir = Path(args.workdir)
-    cfg, corpus, gold, mod, params = _restore(workdir)
-    alignment = _align_call(cfg, mod, params, corpus)
-    segs, mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
-    host_segs = segments_to_host(segs, mask)
-    src = np.asarray(corpus.src)
+    cfg = _load_workdir_config(workdir)
+    if cfg.data.source == "stream":
+        by_concept = _lexicon_counts_streaming(cfg, workdir)
+    else:
+        cfg, corpus, gold, mod, params = _restore(workdir, cfg=cfg)
+        alignment = _align_call(cfg, mod, params, corpus)
+        segs, mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
+        host_segs = segments_to_host(segs, mask)
+        src = np.asarray(corpus.src)
 
-    by_concept: dict[int, Counter] = defaultdict(Counter)
-    for i, utt_segs in enumerate(host_segs):
-        for s, e, c in utt_segs:
-            word = " ".join(str(int(p)) for p in src[i, s:e])
-            by_concept[c][word] += 1
+        by_concept: dict[int, Counter] = defaultdict(Counter)
+        for i, utt_segs in enumerate(host_segs):
+            for s, e, c in utt_segs:
+                word = " ".join(str(int(p)) for p in src[i, s:e])
+                by_concept[c][word] += 1
 
     out = {}
     for c in sorted(by_concept):
@@ -1748,8 +1878,32 @@ def cmd_plot(args) -> None:
     )
 
     workdir = Path(args.workdir)
-    cfg, corpus, gold, mod, params = _restore(workdir)
+    cfg = _load_workdir_config(workdir)
     i = args.utterance
+    if cfg.data.source == "stream":
+        # out-of-core: only the shard holding the requested utterance loads
+        from multimodalworddiscovery_tpu.data.io import load_alignment_json
+
+        reader, shard0, mod, params = _restore_streaming(cfg, workdir)
+        if not 0 <= i < reader.n:
+            raise SystemExit(f"utterance {i} out of range (corpus has {reader.n})")
+        k = i // reader.shard_size
+        corpus = reader.load_shard(k) if k else shard0
+        gold = None
+        if (reader.directory / "gold.json").exists():
+            import types
+
+            gold_full = load_alignment_json(
+                reader.directory / "gold.json", reader.n, reader.max_src_len
+            )
+            lo = (i // reader.shard_size) * reader.shard_size
+            gold = types.SimpleNamespace(segments=[
+                gold_full.segments[lo + j] if lo + j < reader.n else []
+                for j in range(reader.shard_size)
+            ])  # indexed by the SHARD-LOCAL row below
+        i = i % reader.shard_size
+    else:
+        cfg, corpus, gold, mod, params = _restore(workdir, cfg=cfg)
     alignment = _align_call(cfg, mod, params, corpus)
     segs, mask = segments_from_alignment(alignment, corpus.trg, corpus.src_len)
     seg_list = segments_to_host(segs, mask)[i]

@@ -762,3 +762,82 @@ def test_streaming_hmm_dnn_generalized_em(tmp_path, corpus_gold):
             override=["data.source=stream", f"data.dir={tmp_path / 's'}",
                       "model.name=hmm_dnn", "train.data_parallel=true"],
         ))
+
+
+@pytest.mark.slow
+def test_streamed_lexicon_retrieve_export_plot(tmp_path):
+    """Every remaining CLI payoff command works OUT-OF-CORE: lexicon counts
+    per shard (parity vs the resident lexicon), retrieve runs the
+    within-shard protocol with GLOBAL ranking indices, export needs no
+    corpus, plot loads only the target utterance's shard."""
+    shard_dir = tmp_path / "shards"
+    wd = tmp_path / "wd"
+    _run_cli(["mwd", "shard", "--output", str(shard_dir), "--shard-size", "8",
+              "--override", "data.n_utterances=20", "data.n_concepts=10"])
+    _run_cli(["mwd", "train", "--workdir", str(wd),
+              "--override", "data.source=stream", f"data.dir={shard_dir}",
+              "model.name=hmm", "train.num_iterations=3",
+              "train.checkpoint_every=3"])
+
+    import argparse
+
+    from multimodalworddiscovery_tpu import cli
+
+    # --- lexicon: streamed counters must equal the resident lexicon ---
+    cli.cmd_lexicon(argparse.Namespace(
+        workdir=str(wd), top_k=5, output=str(tmp_path / "lex_stream.json")
+    ))
+    lex_stream = json.loads((tmp_path / "lex_stream.json").read_text())
+    assert lex_stream, "empty streamed lexicon"
+
+    # resident reference: decode the materialized corpus with the restored
+    # params and recount
+    from collections import Counter, defaultdict
+
+    from multimodalworddiscovery_tpu.segment import (
+        segments_from_alignment,
+        segments_to_host,
+    )
+    from multimodalworddiscovery_tpu.utils.checkpoint import CheckpointManager
+
+    reader = ShardedCorpusReader(shard_dir)
+    corpus, _ = reader.materialize()
+    params, _ = CheckpointManager(wd / "ckpt").restore(hmm.init(corpus))
+    segs, mask = segments_from_alignment(
+        jax.jit(hmm.align)(params, corpus), corpus.trg, corpus.src_len
+    )
+    src = np.asarray(corpus.src)
+    by_c: dict = defaultdict(Counter)
+    for i, utt_segs in enumerate(segments_to_host(segs, mask)):
+        for s, e, c in utt_segs:
+            by_c[c][" ".join(str(int(p)) for p in src[i, s:e])] += 1
+    want = {
+        str(c): [{"phones": w, "count": n} for w, n in by_c[c].most_common(5)]
+        for c in sorted(by_c)
+    }
+    assert lex_stream == want
+
+    # --- retrieve: streamed within-shard dense protocol, global indices ---
+    cli.cmd_retrieve(argparse.Namespace(
+        workdir=str(wd), top_k=3, pool=0,
+        output=str(tmp_path / "ret_stream.json"),
+    ))
+    ret = json.loads((tmp_path / "ret_stream.json").read_text())
+    assert ret["protocol"] == "dense within-shard"
+    assert 1.0 <= ret["recall"]["median_rank_c2i"] <= 8.0
+    rows = ret["rankings"]
+    assert len(rows) == 20
+    # a caption in shard 2 ranks only images of shard 2 (global ids 16..19)
+    row = next(r for r in rows if r["caption"] == 17)
+    assert all(16 <= j < 20 for j in row["top_images"]), row
+
+    # --- export: params only, no corpus materialization ---
+    cli.cmd_export(argparse.Namespace(workdir=str(wd), output=None))
+    import numpy as _np
+
+    npz = _np.load(wd / "model.npz")
+    assert any("log_emit" in k for k in npz.files), npz.files
+
+    # --- plot: loads only the target utterance's shard ---
+    cli.cmd_plot(argparse.Namespace(workdir=str(wd), utterance=17, output=None))
+    assert (wd / "plots" / "segmentation_1.png").exists()  # 17 -> local row 1
