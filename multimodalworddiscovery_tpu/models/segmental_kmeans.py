@@ -199,8 +199,9 @@ def expected_counts(
     k = params.centroids.shape[0]
     lbl = jnp.where(is_end, chosen_label, k)  # discard slot k
     # one-hot MXU contractions, not segment_sum scatters (CLAUDE.md EM-count
-    # rule; measured 41.2 -> 38.9 ms/iter at N=2000, K=64 on TPU — the DP
-    # re-segmentation dominates this step, so the win is modest here).
+    # rule); the DP re-segmentation dominates this step, so the rewrite's
+    # win is modest — current measurement lives in bench/results.jsonl
+    # ("segkmeans_em", best-of-3), quoted in README's model table.
     # Non-end rows land in the discarded slot k, so no explicit weighting.
     hi = jax.lax.Precision.HIGHEST
     oh = jax.nn.one_hot(lbl.reshape(-1), k + 1, dtype=emb.dtype)  # [NT, K+1]
