@@ -1145,6 +1145,41 @@ def _retrieval_metrics(cfg, mod, params, corpus) -> dict:
     return recall_at_k(scores)
 
 
+def _check_stream_pool(pool_cfg: int, reader) -> None:
+    """Loud upfront rejection when NO shard can fill the configured pool —
+    the within-shard protocol draws a query's distractors from its own
+    shard, so a pool larger than every shard would silently produce no
+    retrieval at all (round-4 review finding)."""
+    feasible = reader.shard_size if reader.num_shards > 1 else reader.n
+    if pool_cfg > feasible:
+        raise SystemExit(
+            f"eval.retrieval_pool={pool_cfg} exceeds the within-shard "
+            f"candidate supply ({feasible} rows per shard): lower the pool, "
+            f"re-shard with a larger --shard-size, or materialize "
+            f"(data.source=disk) for cross-corpus pools"
+        )
+
+
+def _shard_pool(pool_cfg: int, nv: int, seed: int, k: int):
+    """Candidate pools for shard k's ``nv`` valid rows: dense within-shard
+    when pool_cfg == 0, sampled pools otherwise; None when the (tail) shard
+    is smaller than the pool.  The ONE pool-selection dispatch shared by
+    streamed evaluate and streamed retrieve (so the two commands always
+    report identical retrieval numbers for the same workdir)."""
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        dense_candidate_pools,
+        sample_candidate_pools,
+    )
+
+    if pool_cfg == 0:
+        return dense_candidate_pools(nv)
+    if nv >= pool_cfg:
+        return sample_candidate_pools(
+            nv, pool_cfg, jax.random.fold_in(jax.random.PRNGKey(seed), k)
+        )
+    return None
+
+
 def _streamed_dtw(cfg, res: dict, ga: np.ndarray) -> dict:
     """Score a reservoir sample of utterances (``_evaluate_streaming``'s
     ``res`` buffers) with the SAME DTW metrics as the resident path.  Rows
@@ -1242,15 +1277,15 @@ def _evaluate_streaming(cfg, workdir: Path, args) -> None:
 
     from multimodalworddiscovery_tpu.data.stream import prefetched
     from multimodalworddiscovery_tpu.eval.retrieval import (
-        dense_candidate_pools,
         ranks_from_pooled,
         recall_from_ranks,
-        sample_candidate_pools,
     )
 
     do_retrieval = bool(cfg.eval.retrieval) and cfg.model.name in _RETRIEVAL_MODELS
     do_dtw = bool(cfg.eval.get("dtw", True)) and shard0.src.ndim == 3
     pool_cfg = int(cfg.eval.get("retrieval_pool", 0))
+    if do_retrieval:
+        _check_stream_pool(pool_cfg, reader)
     ranks: dict[str, list[np.ndarray]] = {"c2i": [], "i2c": []}
     retrieval_skipped = 0
 
@@ -1289,16 +1324,10 @@ def _evaluate_streaming(cfg, workdir: Path, args) -> None:
 
             if do_retrieval:
                 sub = jax.tree.map(lambda v: v[:nv], shard)
-                if pool_cfg == 0:
-                    cand = dense_candidate_pools(nv)
-                elif nv >= pool_cfg:
-                    cand = sample_candidate_pools(
-                        nv, pool_cfg, jax.random.fold_in(jax.random.PRNGKey(cfg.seed), k)
-                    )
-                else:
-                    cand = None  # tail shard smaller than the pool
+                cand = _shard_pool(pool_cfg, nv, cfg.seed, k)
+                if cand is None:  # tail shard smaller than the pool
                     retrieval_skipped += nv
-                if cand is not None:
+                else:
                     for direction in ("c2i", "i2c"):
                         ranks[direction].append(
                             np.asarray(pooled_ranks(params, sub, cand, direction))
@@ -1612,10 +1641,8 @@ def _retrieve_streaming(cfg, workdir: Path, args) -> None:
     top-k rankings reported as GLOBAL utterance indices."""
     from multimodalworddiscovery_tpu.data.stream import prefetched
     from multimodalworddiscovery_tpu.eval.retrieval import (
-        dense_candidate_pools,
         ranks_from_pooled,
         recall_from_ranks,
-        sample_candidate_pools,
     )
 
     if cfg.model.name not in _RETRIEVAL_MODELS:
@@ -1625,6 +1652,7 @@ def _retrieve_streaming(cfg, workdir: Path, args) -> None:
     pool_cfg = int(
         getattr(args, "pool", 0) or cfg.eval.get("retrieval_pool", 0) or 0
     )
+    _check_stream_pool(pool_cfg, reader)
 
     @functools.partial(jax.jit, static_argnames=("direction",))
     def pooled(p, sub, cand, direction):
@@ -1643,13 +1671,8 @@ def _retrieve_streaming(cfg, workdir: Path, args) -> None:
         lo = k * reader.shard_size
         nv = min(reader.shard_size, reader.n - lo)
         sub = jax.tree.map(lambda v: v[:nv], shard)
-        if pool_cfg == 0:
-            cand = dense_candidate_pools(nv)
-        elif nv >= pool_cfg:
-            cand = sample_candidate_pools(
-                nv, pool_cfg, jax.random.fold_in(jax.random.PRNGKey(cfg.seed), k)
-            )
-        else:
+        cand = _shard_pool(pool_cfg, nv, cfg.seed, k)
+        if cand is None:  # tail shard smaller than the pool
             skipped += nv
             continue
         for direction in ("c2i", "i2c"):
@@ -1879,7 +1902,8 @@ def cmd_plot(args) -> None:
 
     workdir = Path(args.workdir)
     cfg = _load_workdir_config(workdir)
-    i = args.utterance
+    i = label = args.utterance  # label = GLOBAL index (file/title naming);
+    # under streaming i is rebound to the shard-local row for indexing
     if cfg.data.source == "stream":
         # out-of-core: only the shard holding the requested utterance loads
         from multimodalworddiscovery_tpu.data.io import load_alignment_json
@@ -1916,15 +1940,15 @@ def cmd_plot(args) -> None:
         np.asarray(alignment)[i, :sl],
         seg_list,
         gold_segments=gold_list,
-        title=f"utt {i}",
-        path=out_dir / f"segmentation_{i}.png",
+        title=f"utt {label}",
+        path=out_dir / f"segmentation_{label}.png",
     )
     if hasattr(mod, "posteriors"):
         post = np.asarray(mod.posteriors(params, corpus))[i, :sl].T
-        plot_alignment_matrix(post, title=f"posteriors utt {i}", path=out_dir / f"posteriors_{i}.png")
+        plot_alignment_matrix(post, title=f"posteriors utt {label}", path=out_dir / f"posteriors_{label}.png")
     if hasattr(mod, "attention_matrix"):
         attn = np.asarray(mod.attention_matrix(params, corpus))[i, :, :sl]
-        plot_alignment_matrix(attn, title=f"attention utt {i}", path=out_dir / f"attention_{i}.png")
+        plot_alignment_matrix(attn, title=f"attention utt {label}", path=out_dir / f"attention_{label}.png")
     print(f"wrote plots to {out_dir}")
 
 

@@ -392,7 +392,7 @@ def train_streaming(
     lls: list[float] = []
     for it in range(num_iterations):
         total = None
-        ll_tot = 0.0
+        ll_parts = []
         for shard in prefetched(
             reader.load_shard, reader.num_shards, prefetch
         ):
@@ -401,9 +401,12 @@ def train_streaming(
                 counts if total is None
                 else jax.tree.map(jnp.add, total, counts)
             )
-            ll_tot += float(ll)
+            # DEVICE scalar — the params chain already serializes the
+            # dispatches; a float() here would add a blocking ~29 ms
+            # host-read RTT per shard on a remote-relay link
+            ll_parts.append(ll)
         params = m_fn(params, total)
-        lls.append(ll_tot)
+        lls.append(float(jnp.sum(jnp.stack(ll_parts))))
         if on_iteration is not None:
             on_iteration(it, params, lls[-1])
     return params, lls

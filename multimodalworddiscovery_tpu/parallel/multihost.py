@@ -468,19 +468,18 @@ def train_bucketed_multihost(
     )
     params = replicate_to_global(params, mesh)
 
+    from multimodalworddiscovery_tpu.data.stream import tree_sum_bounded
+
     logliks = []
     for it in range(num_iterations):
-        total = None
-        ll_tot = 0.0
-        for bucket in buckets:
-            counts, ll = e_step(params, bucket)
-            ll_tot += float(ll)
-            total = (
-                counts if total is None
-                else jax.tree.map(lambda a, b: a + b, total, counts)
-            )
+        # per-bucket dispatches stay INDEPENDENT (no eager accumulator, no
+        # per-bucket host read) so they pipeline on a remote-relay link;
+        # the bounded tree-fold reduces counts AND loglik in fused
+        # dispatches, with ONE host read per iteration (CLAUDE.md relay
+        # cost model: chained executes serialize at +40 ms each)
+        total, ll = tree_sum_bounded(e_step(params, b) for b in buckets)
         params = m_step(params, total)
-        logliks.append(ll_tot)
+        logliks.append(float(ll))
         if on_iteration is not None:
-            on_iteration(it, params, ll_tot)
+            on_iteration(it, params, logliks[-1])
     return params, logliks

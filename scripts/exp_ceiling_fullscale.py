@@ -93,7 +93,7 @@ def main():
     p_em = p
     for _ in range(args.iters):
         counts, _ = chunked_expected_counts(
-            hmm_gaussian, p_em, fc, n_chunk, use_pallas=True
+            hmm_gaussian, p_em, fc, n_chunk, use_pallas=not args.cpu
         )
         p_em = m_step(p_em, counts)
     measure(p_em, f"ceiling_plus_{args.iters}_em", t0)

@@ -840,4 +840,15 @@ def test_streamed_lexicon_retrieve_export_plot(tmp_path):
 
     # --- plot: loads only the target utterance's shard ---
     cli.cmd_plot(argparse.Namespace(workdir=str(wd), utterance=17, output=None))
-    assert (wd / "plots" / "segmentation_1.png").exists()  # 17 -> local row 1
+    # named by the GLOBAL index (17 -> shard 2 local row 1 internally)
+    assert (wd / "plots" / "segmentation_17.png").exists()
+
+    # pools larger than every shard are rejected upfront, loudly — in BOTH
+    # commands (they share _shard_pool/_check_stream_pool)
+    with pytest.raises(SystemExit, match="candidate supply"):
+        cli.cmd_retrieve(argparse.Namespace(
+            workdir=str(wd), top_k=3, pool=32, output=None,
+        ))
+    with pytest.raises(SystemExit, match="candidate supply"):
+        _run_cli(["mwd", "evaluate", "--workdir", str(wd),
+                  "--override", "eval.retrieval_pool=32"])
