@@ -390,3 +390,43 @@ def test_pooled_retrieval_hmm_family():
         np.asarray(dense)[np.arange(16)[:, None], np.asarray(cand)],
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_rank_helpers_consistent_with_pooled_recall():
+    """recall_at_k_pooled == recall_from_ranks(ranks_from_pooled(.)) and the
+    rank vector is the documented streamable sufficient statistic: the
+    metrics of a concatenation equal the metrics of the whole score matrix
+    split into arbitrary row blocks."""
+    import numpy as _np
+
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        ranks_from_pooled,
+        recall_at_k_pooled,
+        recall_from_ranks,
+    )
+
+    rng = _np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(37, 9)).astype(_np.float32))
+    whole = recall_at_k_pooled(scores, direction="c2i")
+    parts = _np.concatenate([
+        _np.asarray(ranks_from_pooled(scores[:13])),
+        _np.asarray(ranks_from_pooled(scores[13:])),
+    ])
+    split = recall_from_ranks(parts, scores.shape[1], direction="c2i")
+    for k, v in whole.items():
+        _np.testing.assert_allclose(float(split[k]), float(v), err_msg=k)
+
+
+def test_dense_candidate_pools_structure():
+    """Row i is a permutation of [0, n) starting at i (column 0 = self)."""
+    import numpy as _np
+
+    from multimodalworddiscovery_tpu.eval.retrieval import (
+        dense_candidate_pools,
+    )
+
+    cand = _np.asarray(dense_candidate_pools(7))
+    assert cand.shape == (7, 7)
+    _np.testing.assert_array_equal(cand[:, 0], _np.arange(7))
+    for i in range(7):
+        _np.testing.assert_array_equal(_np.sort(cand[i]), _np.arange(7))

@@ -852,3 +852,44 @@ def test_streamed_lexicon_retrieve_export_plot(tmp_path):
     with pytest.raises(SystemExit, match="candidate supply"):
         _run_cli(["mwd", "evaluate", "--workdir", str(wd),
                   "--override", "eval.retrieval_pool=32"])
+
+
+def test_reservoir_frames_uniform_properties(tmp_path, corpus_gold):
+    """_reservoir_frames: only REAL (masked) frames, deterministic in the
+    seed, and with n_sample >= total it returns exactly the corpus's masked
+    frame multiset."""
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    write_shards(fc, tmp_path, shard_size=8)
+    reader = ShardedCorpusReader(tmp_path)
+
+    all_frames = np.asarray(fc.src)[np.asarray(fc.src_mask())]
+    full = hmm_gaussian._reservoir_frames(reader, n_sample=10**6, seed=1)
+    assert full.shape == all_frames.shape
+    np.testing.assert_allclose(
+        np.sort(full.sum(axis=1)), np.sort(all_frames.sum(axis=1)), rtol=1e-6
+    )
+
+    sub1 = hmm_gaussian._reservoir_frames(reader, n_sample=100, seed=2)
+    sub2 = hmm_gaussian._reservoir_frames(reader, n_sample=100, seed=2)
+    sub3 = hmm_gaussian._reservoir_frames(reader, n_sample=100, seed=3)
+    assert sub1.shape == (100, 8)
+    np.testing.assert_array_equal(sub1, sub2)
+    assert not np.array_equal(sub1, sub3)
+    # every sampled frame is a real frame of the corpus
+    pool = {tuple(np.round(f, 5)) for f in all_frames}
+    assert all(tuple(np.round(f, 5)) in pool for f in sub1[:20])
+
+
+def test_write_shards_shuffle_preserves_multiset(tmp_path, corpus_gold):
+    """The shuffle is a permutation: the materialized corpus holds exactly
+    the original utterances (sorted comparison)."""
+    corpus, _, _ = corpus_gold
+    write_shards(corpus, tmp_path, shard_size=8, shuffle=9)
+    shuffled, _ = ShardedCorpusReader(tmp_path).materialize()
+    a = np.sort(np.asarray(corpus.src).sum(axis=1) * 1000 + np.asarray(corpus.src_len))
+    b = np.sort(np.asarray(shuffled.src).sum(axis=1) * 1000 + np.asarray(shuffled.src_len))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(np.asarray(shuffled.src), np.asarray(corpus.src))
