@@ -431,6 +431,7 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
     is_coord = (not distributed) or jax.process_index() == 0
 
     reader = ShardedCorpusReader(cfg.data.dir)
+    reader = _apply_vq_frontend_streaming(cfg, reader, workdir, distributed)
     shard0 = reader.load_shard(0)
     # streamed vq_teacher seeding happens below over ALL shards — resident
     # seeding on shard 0 here would be both wasted work and wrong
@@ -676,6 +677,7 @@ def cmd_train(args) -> None:
         return
 
     corpus, _ = _load_data(cfg)
+    corpus = _apply_vq_frontend(cfg, corpus, workdir, distributed)
     mod, params, step = _make_model(cfg, corpus)
 
     em_models = ("model1", "hmm", "hmm_gaussian", "hmm_dnn")
@@ -986,11 +988,126 @@ def _restore(workdir: Path, overrides: list[str] | None = None, cfg=None):
             "OR overrides, not both — overrides are ignored when cfg is given"
         )
     corpus, gold = _load_data(cfg)
+    corpus = _apply_vq_frontend(cfg, corpus, workdir, fit_allowed=False)
     mod, params, _ = _make_model(cfg, corpus, init_only=True)
     ckpt = CheckpointManager(workdir / "ckpt")
     params, step = ckpt.restore(params)
     ckpt.close()
     return cfg, corpus, gold, mod, params
+
+
+def _apply_vq_frontend(cfg, corpus, workdir: Path, distributed: bool = False,
+                       fit_allowed: bool = True):
+    """model.vq_frontend: k-means-quantize continuous frames for the
+    DISCRETE aligners (the reference's continuous-SMT mode, SURVEY.md §2
+    C5).  The codebook is a persisted workdir artifact: fit once at train
+    time, reloaded afterwards so every process/restart quantizes with the
+    SAME centroids.  Without the flag, a continuous corpus into a discrete
+    aligner errors loudly (the models also refuse at init)."""
+    vq_on = bool(cfg.model.get("vq_frontend", False))
+    if not vq_on:
+        if cfg.model.name in ("model1", "hmm") and corpus.src.ndim == 3:
+            raise SystemExit(
+                f"model.name={cfg.model.name} has discrete emissions but the "
+                "corpus is continuous frames; set model.vq_frontend=true to "
+                "k-means-quantize them (model.vq_codes ids), or use "
+                "hmm_gaussian / hmm_dnn"
+            )
+        return corpus
+    if cfg.model.name not in ("model1", "hmm"):
+        raise SystemExit(
+            "model.vq_frontend quantizes inputs for the discrete aligners "
+            f"(model1/hmm); {cfg.model.name!r} consumes frames directly"
+        )
+    if corpus.src.ndim != 3:
+        raise SystemExit(
+            "model.vq_frontend needs continuous [N,Ts,D] frames; this "
+            "corpus is already discrete"
+        )
+    from multimodalworddiscovery_tpu.frontend import vq
+
+    path = workdir / "vq_codebook.npy"
+    if path.exists():
+        cb = vq.load_codebook(path)
+    elif not fit_allowed:
+        # decode/eval must quantize with the TRAINING codebook — fitting a
+        # fresh one here would silently decode in a different code space
+        raise SystemExit(
+            f"vq_frontend codebook missing ({path}): this workdir was not "
+            "trained with model.vq_frontend, or the artifact was deleted"
+        )
+    else:
+        cb = vq.fit_codebook(
+            corpus, n_codes=int(cfg.model.get("vq_codes", 64)),
+            key=jax.random.PRNGKey(cfg.seed),
+        )
+        # deterministic fit: under jax.distributed every process computes
+        # the identical codebook; only the coordinator writes the artifact
+        if (not distributed) or jax.process_index() == 0:
+            vq.save_codebook(path, cb)
+        print(
+            f"vq_frontend: frames quantized into {cb.shape[0]} codes "
+            f"(codebook -> {path})"
+        )
+    return vq.quantize(corpus, cb)
+
+
+def _apply_vq_frontend_streaming(cfg, reader, workdir: Path, distributed: bool,
+                                 fit_allowed: bool = True):
+    """Streamed vq_frontend: quantize every shard ONCE into a parallel
+    discrete shard dir in the workdir (codebook from a cross-shard
+    reservoir), then stream the code shards.  Subsequent commands (and
+    distributed resumes) reuse the artifacts read-only."""
+    if not bool(cfg.model.get("vq_frontend", False)):
+        return reader
+    if cfg.model.name not in ("model1", "hmm"):
+        raise SystemExit(
+            "model.vq_frontend quantizes inputs for the discrete aligners "
+            f"(model1/hmm); {cfg.model.name!r} consumes frames directly"
+        )
+    import numpy as _np
+
+    src0 = _np.load(reader.directory / "src_0.npy", mmap_mode="r")
+    if src0.ndim != 3:
+        raise SystemExit(
+            "model.vq_frontend needs continuous [N,Ts,D] frame shards; "
+            "this shard dir is already discrete"
+        )
+    from multimodalworddiscovery_tpu.data.stream import ShardedCorpusReader
+    from multimodalworddiscovery_tpu.frontend import vq
+    from multimodalworddiscovery_tpu.models.hmm_gaussian import (
+        quantize_shards_streaming,
+    )
+
+    code_dir = workdir / "vq_frontend_codes"
+    path = workdir / "vq_codebook.npy"
+    have = path.exists() and (code_dir / "manifest.json").exists()
+    if not have:
+        if not fit_allowed:
+            raise SystemExit(
+                f"vq_frontend artifacts missing ({path} / {code_dir}): this "
+                "workdir was not trained with model.vq_frontend, or they "
+                "were deleted"
+            )
+        if distributed:
+            raise SystemExit(
+                "model.vq_frontend + train.distributed needs the quantized "
+                "artifacts up front (writing them from every process would "
+                "race): run the same command single-host once (it streams; "
+                "the codebook + code shards land in the workdir), then "
+                "resume with train.distributed"
+            )
+        cb = vq.fit_codebook_streaming(
+            reader, n_codes=int(cfg.model.get("vq_codes", 64)),
+            key=jax.random.PRNGKey(cfg.seed),
+        )
+        vq.save_codebook(path, cb)
+        quantize_shards_streaming(reader, code_dir, codebook=cb)
+        print(
+            f"vq_frontend: {reader.num_shards} shards quantized into "
+            f"{int(cb.shape[0])} codes ({code_dir})"
+        )
+    return ShardedCorpusReader(code_dir)
 
 
 def _restore_streaming(cfg, workdir: Path):
@@ -1000,6 +1117,9 @@ def _restore_streaming(cfg, workdir: Path):
     from multimodalworddiscovery_tpu.data.stream import ShardedCorpusReader
 
     reader = ShardedCorpusReader(cfg.data.dir)
+    reader = _apply_vq_frontend_streaming(
+        cfg, reader, workdir, distributed=False, fit_allowed=False
+    )
     shard0 = reader.load_shard(0)
     mod, params, _ = _make_model(cfg, shard0, init_only=True)
     ckpt = CheckpointManager(workdir / "ckpt")

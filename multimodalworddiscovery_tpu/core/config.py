@@ -44,7 +44,12 @@ def base_config() -> ConfigDict:
     # (k-means codebook -> discrete-HMM teacher -> emission fit; the measured
     # dense-region winner, models/hmm_gaussian.py:init_vq_teacher)
     cfg.model.init = "global"
-    cfg.model.vq_codes = 64  # vq_teacher codebook size
+    # k-means-quantize continuous [N,Ts,D] frames into model.vq_codes ids
+    # for the DISCRETE aligners (model1/hmm) — the reference's k-means-
+    # softened continuous-SMT mode (SURVEY.md §2 C5).  The codebook persists
+    # in the workdir (vq_codebook.npy) so decode/eval re-quantize identically.
+    cfg.model.vq_frontend = False
+    cfg.model.vq_codes = 64  # vq_teacher / vq_frontend codebook size
     cfg.model.teacher_iters = 10  # vq_teacher discrete-HMM EM iterations
     cfg.model.seed_rounds = 3  # vq_teacher emission-fit rounds
     # deterministic annealing (hmm_gaussian): emission temperature ramps

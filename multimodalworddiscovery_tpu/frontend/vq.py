@@ -1,0 +1,104 @@
+"""k-means VQ frontend: continuous frames -> discrete code corpora.
+
+Reference counterpart: SURVEY.md §2 C5 — the SMT mixture aligner "works on
+discrete phones or on continuous features via Gaussian/k-means softening".
+This is the k-means-softening half for the DISCRETE-emission aligners
+(model1 / hmm): fit a codebook over the masked frames, replace each frame
+with its code id, and the whole discrete pipeline (EM, decode, segmentation,
+lexicon) runs unchanged — the time axis is preserved, so gold frame
+alignments and segment boundaries stay valid.
+
+The codebook is a model artifact: the CLI persists it in the workdir
+(``vq_codebook.npy``) at train time and reloads it for decode/eval, so a
+restarted process quantizes with the SAME centroids (assignment is
+deterministic given the codebook).
+
+TPU shape: fitting and assignment reuse the Gaussian module's Lloyd's
+kernels (one MXU matmul per sweep, one-hot centroid updates, frame matrix
+as a jit ARGUMENT — see ``hmm_gaussian._kmeans_fit``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalworddiscovery_tpu.data.corpus import Corpus
+from multimodalworddiscovery_tpu.models.hmm_gaussian import (
+    _kmeans_assign,
+    _kmeans_fit,
+    _reservoir_frames,
+)
+
+
+def fit_codebook(
+    corpus: Corpus,
+    n_codes: int = 64,
+    num_iterations: int = 10,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Lloyd's k-means codebook [n_codes, D] over the corpus's masked frames
+    (init draws n_codes distinct REAL frames, mask-weighted)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    flat = corpus.src.reshape(-1, corpus.src.shape[-1])
+    wflat = corpus.src_mask().reshape(-1).astype(jnp.float32)
+    idx0 = jax.random.choice(
+        key, flat.shape[0], (n_codes,), p=wflat / wflat.sum(), replace=False
+    )
+    return _kmeans_fit(
+        flat[idx0], flat, wflat, n_codes=n_codes,
+        num_iterations=num_iterations,
+    )
+
+
+def fit_codebook_streaming(
+    reader,
+    n_codes: int = 64,
+    num_iterations: int = 10,
+    key: jax.Array | None = None,
+    n_sample: int = 65536,
+) -> jax.Array:
+    """Out-of-core codebook: Lloyd's sweeps on a cross-shard uniform frame
+    reservoir (``hmm_gaussian._reservoir_frames``; assignment of the full
+    corpus still covers every frame exactly at quantize time)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    frames = _reservoir_frames(reader, n_sample)
+    if frames.shape[0] < n_codes:
+        raise ValueError(
+            f"corpus has only {frames.shape[0]} real frames < {n_codes} codes"
+        )
+    flat = jnp.asarray(frames)
+    idx0 = jax.random.choice(key, flat.shape[0], (n_codes,), replace=False)
+    return _kmeans_fit(
+        flat[idx0], flat, jnp.ones((flat.shape[0],), jnp.float32),
+        n_codes=n_codes, num_iterations=num_iterations,
+    )
+
+
+def quantize(corpus: Corpus, codebook: jax.Array) -> Corpus:
+    """Replace each frame with its nearest-centroid code id -> a DISCRETE
+    corpus (``src_vocab`` = codebook rows; lengths/targets unchanged)."""
+    codes = jax.jit(_kmeans_assign)(
+        codebook, corpus.src.reshape(-1, corpus.src.shape[-1])
+    )
+    return Corpus(
+        src=codes.reshape(corpus.src.shape[:2]).astype(jnp.int32),
+        src_len=corpus.src_len,
+        trg=corpus.trg,
+        trg_len=corpus.trg_len,
+        src_vocab=int(codebook.shape[0]),
+        trg_vocab=corpus.trg_vocab,
+    )
+
+
+def save_codebook(path: str | Path, codebook: jax.Array) -> None:
+    np.save(Path(path), np.asarray(codebook))
+
+
+def load_codebook(path: str | Path) -> jax.Array:
+    return jnp.asarray(np.load(Path(path)))

@@ -37,6 +37,13 @@ class HMMParams:
 
 
 def init(corpus: Corpus, max_jump: int = 3, dtype=jnp.float32) -> HMMParams:
+    if corpus.src.ndim != 2:
+        raise ValueError(
+            "the discrete HMM's emissions are multinomial over token ids "
+            f"(src must be [N, Ts], got {corpus.src.shape}); quantize frames "
+            "first — frontend.vq / model.vq_frontend=true — or use "
+            "hmm_gaussian / hmm_dnn for continuous emissions"
+        )
     v_src, v_trg = corpus.src_vocab, corpus.trg_vocab
     w = 2 * max_jump + 1
     return HMMParams(

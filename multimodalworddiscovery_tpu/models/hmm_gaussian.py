@@ -746,6 +746,7 @@ def quantize_shards_streaming(
     num_iterations: int = 10,
     key: jax.Array | None = None,
     n_sample: int = 65536,
+    codebook: jax.Array | None = None,
 ) -> jax.Array:
     """Out-of-core ``quantize_frames``: fit the k-means codebook on a
     cross-shard frame reservoir (``_reservoir_frames``), then assign every
@@ -764,19 +765,25 @@ def quantize_shards_streaming(
 
     import numpy as np
 
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    frames = _reservoir_frames(reader, n_sample)
-    if frames.shape[0] < n_codes:
-        raise ValueError(
-            f"corpus has only {frames.shape[0]} real frames < {n_codes} codes"
+    if codebook is not None:
+        # pre-fit codebook (e.g. the persisted VQ-frontend artifact at
+        # decode time): skip the reservoir fit, assignment only
+        cb = codebook
+        n_codes = int(cb.shape[0])
+    else:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        frames = _reservoir_frames(reader, n_sample)
+        if frames.shape[0] < n_codes:
+            raise ValueError(
+                f"corpus has only {frames.shape[0]} real frames < {n_codes} codes"
+            )
+        flat = jnp.asarray(frames)
+        idx0 = jax.random.choice(key, flat.shape[0], (n_codes,), replace=False)
+        cb = _kmeans_fit(
+            flat[idx0], flat, jnp.ones((flat.shape[0],), jnp.float32),
+            n_codes=n_codes, num_iterations=num_iterations,
         )
-    flat = jnp.asarray(frames)
-    idx0 = jax.random.choice(key, flat.shape[0], (n_codes,), replace=False)
-    cb = _kmeans_fit(
-        flat[idx0], flat, jnp.ones((flat.shape[0],), jnp.float32),
-        n_codes=n_codes, num_iterations=num_iterations,
-    )
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)

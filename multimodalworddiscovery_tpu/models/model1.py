@@ -38,6 +38,13 @@ class Model1Params:
 
 def init(corpus: Corpus, dtype=jnp.float32) -> Model1Params:
     """Uniform translation table (reference initializeModel, SURVEY.md §3.1)."""
+    if corpus.src.ndim != 2:
+        raise ValueError(
+            "model1 has DISCRETE emissions (src must be [N, Ts] token ids, "
+            f"got src shape {corpus.src.shape}); quantize continuous frames "
+            "first — frontend.vq / model.vq_frontend=true (the reference's "
+            "k-means-softened continuous-SMT mode) — or use hmm_gaussian"
+        )
     v_src, v_trg = corpus.src_vocab, corpus.trg_vocab
     log_t = jnp.full((v_src, v_trg), -jnp.log(v_src), dtype=dtype)
     return Model1Params(log_t=log_t)

@@ -458,3 +458,47 @@ def test_train_profile_flag(tmp_path):
     ))
     prof = wd / "profile"
     assert prof.exists() and any(prof.rglob("*")), "no trace files written"
+
+
+def test_vq_frontend_model1_on_frames(tmp_path):
+    """SURVEY §2 C5's continuous-SMT mode: model.vq_frontend k-means-
+    quantizes frames for the discrete aligners; the codebook persists in the
+    workdir and decode/eval re-quantize identically.  Without the flag a
+    continuous corpus into model1/hmm errors loudly."""
+    cfg_path = _write_config(
+        tmp_path,
+        CFG_TMPL.format(model="model1", retrieval=False, continuous=True),
+    )
+    wd = tmp_path / "run"
+    # continuous + discrete aligner without the flag: loud rejection
+    with pytest.raises((SystemExit, ValueError), match="vq_frontend"):
+        cli.cmd_train(
+            _ns(config=cfg_path, workdir=str(wd), fresh=False, override=[])
+        )
+
+    cli.cmd_train(_ns(
+        config=cfg_path, workdir=str(wd), fresh=False,
+        override=["model.vq_frontend=true", "model.vq_codes=32"],
+    ))
+    assert (wd / "vq_codebook.npy").exists()
+
+    cli.cmd_evaluate(_ns(workdir=str(wd), output=None, override=[]))
+    metrics = json.loads((wd / "metrics.json").read_text())
+    # low-noise synthetic frames quantize back to near-phone identity, so
+    # the discrete aligner should work about as well as on the phone corpus
+    assert metrics["alignment"]["f1"] > 0.4, metrics["alignment"]
+
+    cli.cmd_align(_ns(workdir=str(wd), output=None, override=[]))
+    recs = json.loads((wd / "alignment.json").read_text())
+    assert len(recs) == 40
+
+    # the frontend is for the discrete aligners only
+    attn_cfg = tmp_path / "attn_cfg.py"
+    attn_cfg.write_text(
+        CFG_TMPL.format(model="attention", retrieval=False, continuous=True)
+    )
+    with pytest.raises(SystemExit, match="discrete aligners"):
+        cli.cmd_train(_ns(
+            config=str(attn_cfg), workdir=str(tmp_path / "run2"), fresh=False,
+            override=["model.vq_frontend=true"],
+        ))

@@ -893,3 +893,31 @@ def test_write_shards_shuffle_preserves_multiset(tmp_path, corpus_gold):
     b = np.sort(np.asarray(shuffled.src).sum(axis=1) * 1000 + np.asarray(shuffled.src_len))
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(np.asarray(shuffled.src), np.asarray(corpus.src))
+
+
+@pytest.mark.slow
+def test_vq_frontend_streamed_hmm(tmp_path, corpus_gold):
+    """Streamed vq_frontend: frame shards quantize ONCE into a workdir code
+    shard dir; train/evaluate/align all stream over the codes; decode reuses
+    the persisted codebook."""
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
+    fc, fg, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.05, seed=2)
+    write_shards(fc, tmp_path / "s", shard_size=8, gold=fg)
+    wd = tmp_path / "wd"
+    _run_cli(["mwd", "train", "--workdir", str(wd),
+              "--override", "data.source=stream", f"data.dir={tmp_path / 's'}",
+              "model.name=hmm", "model.vq_frontend=true", "model.vq_codes=24",
+              "train.num_iterations=3", "train.checkpoint_every=3"])
+    assert (wd / "vq_codebook.npy").exists()
+    assert (wd / "vq_frontend_codes" / "manifest.json").exists()
+
+    _run_cli(["mwd", "evaluate", "--workdir", str(wd)])
+    m = json.loads((wd / "metrics.json").read_text())
+    assert m["alignment"]["f1"] > 0.4, m["alignment"]
+    assert "retrieval" in m and "dtw" not in m  # codes are discrete: no DTW
+
+    _run_cli(["mwd", "align", "--workdir", str(wd)])
+    recs = json.loads((wd / "alignment.json").read_text())
+    assert len(recs) == fc.n
