@@ -382,6 +382,17 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
         train_streaming,
     )
 
+    if (
+        bool(cfg.model.get("vq_frontend", False))
+        and cfg.model.name not in ("model1", "hmm")
+    ):
+        # reject BEFORE the gradient-model dispatch: silently ignoring the
+        # flag at train time would leave a workdir whose own decode/eval
+        # commands (which do apply it) all fail (round-4 review finding)
+        raise SystemExit(
+            "model.vq_frontend quantizes inputs for the discrete aligners "
+            f"(model1/hmm); {cfg.model.name!r} consumes frames directly"
+        )
     batch_size = int(cfg.train.get("batch_size", 0))
     if cfg.model.name in ("attention", "grounding", "hmm_crf"):
         # gradient models: streamed MINIBATCH training (shards stream to the
@@ -431,7 +442,9 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
     is_coord = (not distributed) or jax.process_index() == 0
 
     reader = ShardedCorpusReader(cfg.data.dir)
-    reader = _apply_vq_frontend_streaming(cfg, reader, workdir, distributed)
+    reader = _apply_vq_frontend_streaming(
+        cfg, reader, workdir, distributed, fresh=args.fresh
+    )
     shard0 = reader.load_shard(0)
     # streamed vq_teacher seeding happens below over ALL shards — resident
     # seeding on shard 0 here would be both wasted work and wrong
@@ -677,7 +690,9 @@ def cmd_train(args) -> None:
         return
 
     corpus, _ = _load_data(cfg)
-    corpus = _apply_vq_frontend(cfg, corpus, workdir, distributed)
+    corpus = _apply_vq_frontend(
+        cfg, corpus, workdir, distributed, fresh=args.fresh
+    )
     mod, params, step = _make_model(cfg, corpus)
 
     em_models = ("model1", "hmm", "hmm_gaussian", "hmm_dnn")
@@ -997,7 +1012,7 @@ def _restore(workdir: Path, overrides: list[str] | None = None, cfg=None):
 
 
 def _apply_vq_frontend(cfg, corpus, workdir: Path, distributed: bool = False,
-                       fit_allowed: bool = True):
+                       fit_allowed: bool = True, fresh: bool = False):
     """model.vq_frontend: k-means-quantize continuous frames for the
     DISCRETE aligners (the reference's continuous-SMT mode, SURVEY.md §2
     C5).  The codebook is a persisted workdir artifact: fit once at train
@@ -1026,9 +1041,20 @@ def _apply_vq_frontend(cfg, corpus, workdir: Path, distributed: bool = False,
         )
     from multimodalworddiscovery_tpu.frontend import vq
 
+    is_coord = (not distributed) or jax.process_index() == 0
+    want_codes = int(cfg.model.get("vq_codes", 64))
     path = workdir / "vq_codebook.npy"
-    if path.exists():
+    refit = fresh and fit_allowed
+    if path.exists() and not refit:
         cb = vq.load_codebook(path)
+        if int(cb.shape[0]) != want_codes:
+            # a silently-reused stale codebook would quantize into a
+            # different code space than the config says
+            raise SystemExit(
+                f"workdir codebook has {int(cb.shape[0])} codes but "
+                f"model.vq_codes={want_codes}: retrain with --fresh or use "
+                "a new workdir"
+            )
     elif not fit_allowed:
         # decode/eval must quantize with the TRAINING codebook — fitting a
         # fresh one here would silently decode in a different code space
@@ -1038,22 +1064,22 @@ def _apply_vq_frontend(cfg, corpus, workdir: Path, distributed: bool = False,
         )
     else:
         cb = vq.fit_codebook(
-            corpus, n_codes=int(cfg.model.get("vq_codes", 64)),
-            key=jax.random.PRNGKey(cfg.seed),
+            corpus, n_codes=want_codes, key=jax.random.PRNGKey(cfg.seed),
         )
         # deterministic fit: under jax.distributed every process computes
         # the identical codebook; only the coordinator writes the artifact
-        if (not distributed) or jax.process_index() == 0:
+        # (atomic save — a racing reader sees a complete file or none)
+        if is_coord:
             vq.save_codebook(path, cb)
-        print(
-            f"vq_frontend: frames quantized into {cb.shape[0]} codes "
-            f"(codebook -> {path})"
-        )
+            print(
+                f"vq_frontend: frames quantized into {cb.shape[0]} codes "
+                f"(codebook -> {path})"
+            )
     return vq.quantize(corpus, cb)
 
 
 def _apply_vq_frontend_streaming(cfg, reader, workdir: Path, distributed: bool,
-                                 fit_allowed: bool = True):
+                                 fit_allowed: bool = True, fresh: bool = False):
     """Streamed vq_frontend: quantize every shard ONCE into a parallel
     discrete shard dir in the workdir (codebook from a cross-shard
     reservoir), then stream the code shards.  Subsequent commands (and
@@ -1081,7 +1107,29 @@ def _apply_vq_frontend_streaming(cfg, reader, workdir: Path, distributed: bool,
 
     code_dir = workdir / "vq_frontend_codes"
     path = workdir / "vq_codebook.npy"
+    want_codes = int(cfg.model.get("vq_codes", 64))
     have = path.exists() and (code_dir / "manifest.json").exists()
+    if have and not (fresh and fit_allowed):
+        # staleness checks: silently streaming an OLD corpus's code shards
+        # (or an old code space) would train on the wrong data
+        creader = ShardedCorpusReader(code_dir)
+        same_corpus = (
+            (creader.n, creader.num_shards, creader.shard_size)
+            == (reader.n, reader.num_shards, reader.shard_size)
+        )
+        if not (same_corpus and creader.src_vocab == want_codes):
+            if not fit_allowed or distributed:
+                raise SystemExit(
+                    f"vq_frontend artifacts in {code_dir} were built for a "
+                    f"different corpus/codebook (codes {creader.src_vocab} "
+                    f"vs {want_codes}, shards {creader.num_shards}x"
+                    f"{creader.shard_size}/{creader.n} vs {reader.num_shards}"
+                    f"x{reader.shard_size}/{reader.n}): retrain single-host "
+                    "with --fresh or use a new workdir"
+                )
+            have = False  # refit below
+    elif fresh and fit_allowed:
+        have = False
     if not have:
         if not fit_allowed:
             raise SystemExit(

@@ -30,7 +30,6 @@ from multimodalworddiscovery_tpu.data.corpus import Corpus
 from multimodalworddiscovery_tpu.models.hmm_gaussian import (
     _kmeans_assign,
     _kmeans_fit,
-    _reservoir_frames,
 )
 
 
@@ -46,6 +45,15 @@ def fit_codebook(
         key = jax.random.PRNGKey(0)
     flat = corpus.src.reshape(-1, corpus.src.shape[-1])
     wflat = corpus.src_mask().reshape(-1).astype(jnp.float32)
+    n_real = int(jnp.sum(wflat))
+    if n_real < n_codes:
+        # replace=False with a mask-weighted p would otherwise backfill the
+        # draw with zero-probability PADDING frames once real ones run out
+        # (verified), seeding duplicate all-zero centroids that Lloyd's
+        # never re-seeds
+        raise ValueError(
+            f"corpus has only {n_real} real frames < {n_codes} codes"
+        )
     idx0 = jax.random.choice(
         key, flat.shape[0], (n_codes,), p=wflat / wflat.sum(), replace=False
     )
@@ -62,21 +70,16 @@ def fit_codebook_streaming(
     key: jax.Array | None = None,
     n_sample: int = 65536,
 ) -> jax.Array:
-    """Out-of-core codebook: Lloyd's sweeps on a cross-shard uniform frame
-    reservoir (``hmm_gaussian._reservoir_frames``; assignment of the full
-    corpus still covers every frame exactly at quantize time)."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    frames = _reservoir_frames(reader, n_sample)
-    if frames.shape[0] < n_codes:
-        raise ValueError(
-            f"corpus has only {frames.shape[0]} real frames < {n_codes} codes"
-        )
-    flat = jnp.asarray(frames)
-    idx0 = jax.random.choice(key, flat.shape[0], (n_codes,), replace=False)
-    return _kmeans_fit(
-        flat[idx0], flat, jnp.ones((flat.shape[0],), jnp.float32),
-        n_codes=n_codes, num_iterations=num_iterations,
+    """Out-of-core codebook — delegates to the ONE streaming fit protocol
+    (``hmm_gaussian.fit_codebook_reservoir``), shared with the VQ-teacher
+    seeding so the two recipes' code spaces can never drift apart."""
+    from multimodalworddiscovery_tpu.models.hmm_gaussian import (
+        fit_codebook_reservoir,
+    )
+
+    return fit_codebook_reservoir(
+        reader, n_codes=n_codes, num_iterations=num_iterations, key=key,
+        n_sample=n_sample,
     )
 
 
@@ -97,7 +100,16 @@ def quantize(corpus: Corpus, codebook: jax.Array) -> Corpus:
 
 
 def save_codebook(path: str | Path, codebook: jax.Array) -> None:
-    np.save(Path(path), np.asarray(codebook))
+    """Atomic write (tmp + rename): a concurrent reader — e.g. another
+    process of a distributed job racing the coordinator's save — sees either
+    no file (and fits the identical codebook deterministically) or a
+    complete one, never a truncated .npy."""
+    import os
+
+    path = Path(path)
+    tmp = path.with_suffix(".npy.tmp.npy")
+    np.save(tmp, np.asarray(codebook))
+    os.replace(tmp, path)
 
 
 def load_codebook(path: str | Path) -> jax.Array:

@@ -739,6 +739,33 @@ def _reservoir_frames(reader, n_sample: int, seed: int = 0):
     return buf
 
 
+def fit_codebook_reservoir(
+    reader,
+    n_codes: int = 64,
+    num_iterations: int = 10,
+    key: jax.Array | None = None,
+    n_sample: int = 65536,
+) -> jax.Array:
+    """THE streaming codebook-fit protocol (single definition — the
+    VQ-teacher seeding and the frontend.vq quantizer both call this, so
+    their code spaces can never drift apart): Lloyd's sweeps on a
+    cross-shard uniform frame reservoir, init from n_codes distinct
+    reservoir frames."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    frames = _reservoir_frames(reader, n_sample)
+    if frames.shape[0] < n_codes:
+        raise ValueError(
+            f"corpus has only {frames.shape[0]} real frames < {n_codes} codes"
+        )
+    flat = jnp.asarray(frames)
+    idx0 = jax.random.choice(key, flat.shape[0], (n_codes,), replace=False)
+    return _kmeans_fit(
+        flat[idx0], flat, jnp.ones((flat.shape[0],), jnp.float32),
+        n_codes=n_codes, num_iterations=num_iterations,
+    )
+
+
 def quantize_shards_streaming(
     reader,
     out_dir,
@@ -771,18 +798,9 @@ def quantize_shards_streaming(
         cb = codebook
         n_codes = int(cb.shape[0])
     else:
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        frames = _reservoir_frames(reader, n_sample)
-        if frames.shape[0] < n_codes:
-            raise ValueError(
-                f"corpus has only {frames.shape[0]} real frames < {n_codes} codes"
-            )
-        flat = jnp.asarray(frames)
-        idx0 = jax.random.choice(key, flat.shape[0], (n_codes,), replace=False)
-        cb = _kmeans_fit(
-            flat[idx0], flat, jnp.ones((flat.shape[0],), jnp.float32),
-            n_codes=n_codes, num_iterations=num_iterations,
+        cb = fit_codebook_reservoir(
+            reader, n_codes=n_codes, num_iterations=num_iterations, key=key,
+            n_sample=n_sample,
         )
 
     out = Path(out_dir)

@@ -492,6 +492,12 @@ def test_vq_frontend_model1_on_frames(tmp_path):
     recs = json.loads((wd / "alignment.json").read_text())
     assert len(recs) == 40
 
+    # stale-codebook guard: a changed model.vq_codes at decode is rejected
+    with pytest.raises(SystemExit, match="vq_codes"):
+        cli.cmd_evaluate(_ns(
+            workdir=str(wd), output=None, override=["model.vq_codes=48"]
+        ))
+
     # the frontend is for the discrete aligners only
     attn_cfg = tmp_path / "attn_cfg.py"
     attn_cfg.write_text(

@@ -921,3 +921,23 @@ def test_vq_frontend_streamed_hmm(tmp_path, corpus_gold):
     _run_cli(["mwd", "align", "--workdir", str(wd)])
     recs = json.loads((wd / "alignment.json").read_text())
     assert len(recs) == fc.n
+
+    # stale-artifact guard: a changed code space at decode is rejected
+    # (quantizing with a different codebook would silently decode wrong)
+    with pytest.raises(SystemExit, match="different corpus/codebook"):
+        _run_cli(["mwd", "evaluate", "--workdir", str(wd),
+                  "--override", "model.vq_codes=48"])
+
+    # streamed gradient models reject the flag BEFORE training (silently
+    # ignoring it would leave a workdir whose decode/eval commands fail)
+    import argparse
+
+    from multimodalworddiscovery_tpu import cli
+
+    with pytest.raises(SystemExit, match="discrete aligners"):
+        cli.cmd_train(argparse.Namespace(
+            config=None, workdir=str(tmp_path / "wd2"), fresh=False,
+            override=["data.source=stream", f"data.dir={tmp_path / 's'}",
+                      "model.name=attention", "model.vq_frontend=true",
+                      "train.batch_size=8"],
+        ))
