@@ -382,17 +382,10 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
         train_streaming,
     )
 
-    if (
-        bool(cfg.model.get("vq_frontend", False))
-        and cfg.model.name not in ("model1", "hmm")
-    ):
-        # reject BEFORE the gradient-model dispatch: silently ignoring the
-        # flag at train time would leave a workdir whose own decode/eval
-        # commands (which do apply it) all fail (round-4 review finding)
-        raise SystemExit(
-            "model.vq_frontend quantizes inputs for the discrete aligners "
-            f"(model1/hmm); {cfg.model.name!r} consumes frames directly"
-        )
+    # gate BEFORE the gradient-model dispatch: silently ignoring the flag
+    # at train time would leave a workdir whose own decode/eval commands
+    # (which do apply it) all fail (round-4 review finding)
+    _vq_frontend_gate(cfg)
     batch_size = int(cfg.train.get("batch_size", 0))
     if cfg.model.name in ("attention", "grounding", "hmm_crf"):
         # gradient models: streamed MINIBATCH training (shards stream to the
@@ -1011,6 +1004,19 @@ def _restore(workdir: Path, overrides: list[str] | None = None, cfg=None):
     return cfg, corpus, gold, mod, params
 
 
+def _vq_frontend_gate(cfg) -> bool:
+    """True iff model.vq_frontend is on; raises for non-discrete aligners
+    (the ONE model gate — three call sites must never drift)."""
+    if not bool(cfg.model.get("vq_frontend", False)):
+        return False
+    if cfg.model.name not in ("model1", "hmm"):
+        raise SystemExit(
+            "model.vq_frontend quantizes inputs for the discrete aligners "
+            f"(model1/hmm); {cfg.model.name!r} consumes frames directly"
+        )
+    return True
+
+
 def _apply_vq_frontend(cfg, corpus, workdir: Path, distributed: bool = False,
                        fit_allowed: bool = True, fresh: bool = False):
     """model.vq_frontend: k-means-quantize continuous frames for the
@@ -1019,8 +1025,7 @@ def _apply_vq_frontend(cfg, corpus, workdir: Path, distributed: bool = False,
     time, reloaded afterwards so every process/restart quantizes with the
     SAME centroids.  Without the flag, a continuous corpus into a discrete
     aligner errors loudly (the models also refuse at init)."""
-    vq_on = bool(cfg.model.get("vq_frontend", False))
-    if not vq_on:
+    if not _vq_frontend_gate(cfg):
         if cfg.model.name in ("model1", "hmm") and corpus.src.ndim == 3:
             raise SystemExit(
                 f"model.name={cfg.model.name} has discrete emissions but the "
@@ -1029,11 +1034,6 @@ def _apply_vq_frontend(cfg, corpus, workdir: Path, distributed: bool = False,
                 "hmm_gaussian / hmm_dnn"
             )
         return corpus
-    if cfg.model.name not in ("model1", "hmm"):
-        raise SystemExit(
-            "model.vq_frontend quantizes inputs for the discrete aligners "
-            f"(model1/hmm); {cfg.model.name!r} consumes frames directly"
-        )
     if corpus.src.ndim != 3:
         raise SystemExit(
             "model.vq_frontend needs continuous [N,Ts,D] frames; this "
@@ -1047,13 +1047,18 @@ def _apply_vq_frontend(cfg, corpus, workdir: Path, distributed: bool = False,
     refit = fresh and fit_allowed
     if path.exists() and not refit:
         cb = vq.load_codebook(path)
-        if int(cb.shape[0]) != want_codes:
+        if (
+            int(cb.shape[0]) != want_codes
+            or int(cb.shape[1]) != int(corpus.src.shape[-1])
+        ):
             # a silently-reused stale codebook would quantize into a
-            # different code space than the config says
+            # different code space than the config says (or crash later in
+            # an opaque einsum on a feat-dim mismatch)
             raise SystemExit(
-                f"workdir codebook has {int(cb.shape[0])} codes but "
-                f"model.vq_codes={want_codes}: retrain with --fresh or use "
-                "a new workdir"
+                f"workdir codebook is {int(cb.shape[0])}x{int(cb.shape[1])} "
+                f"but the config wants {want_codes} codes over "
+                f"{int(corpus.src.shape[-1])}-d frames: retrain with "
+                "--fresh or use a new workdir"
             )
     elif not fit_allowed:
         # decode/eval must quantize with the TRAINING codebook — fitting a
@@ -1084,13 +1089,8 @@ def _apply_vq_frontend_streaming(cfg, reader, workdir: Path, distributed: bool,
     discrete shard dir in the workdir (codebook from a cross-shard
     reservoir), then stream the code shards.  Subsequent commands (and
     distributed resumes) reuse the artifacts read-only."""
-    if not bool(cfg.model.get("vq_frontend", False)):
+    if not _vq_frontend_gate(cfg):
         return reader
-    if cfg.model.name not in ("model1", "hmm"):
-        raise SystemExit(
-            "model.vq_frontend quantizes inputs for the discrete aligners "
-            f"(model1/hmm); {cfg.model.name!r} consumes frames directly"
-        )
     import numpy as _np
 
     src0 = _np.load(reader.directory / "src_0.npy", mmap_mode="r")
@@ -1109,27 +1109,28 @@ def _apply_vq_frontend_streaming(cfg, reader, workdir: Path, distributed: bool,
     path = workdir / "vq_codebook.npy"
     want_codes = int(cfg.model.get("vq_codes", 64))
     have = path.exists() and (code_dir / "manifest.json").exists()
-    if have and not (fresh and fit_allowed):
+    if fresh and fit_allowed:
+        have = False  # --fresh: refit (the checkpoint is ignored too)
+    elif have:
         # staleness checks: silently streaming an OLD corpus's code shards
-        # (or an old code space) would train on the wrong data
+        # (or an old code space) would train on the wrong data — and a
+        # silent REFIT would be worse: any existing checkpoint's emission
+        # table is indexed by the OLD code ids, so mismatches always raise
+        # (only --fresh, which also discards the checkpoint, refits)
         creader = ShardedCorpusReader(code_dir)
         same_corpus = (
             (creader.n, creader.num_shards, creader.shard_size)
             == (reader.n, reader.num_shards, reader.shard_size)
         )
         if not (same_corpus and creader.src_vocab == want_codes):
-            if not fit_allowed or distributed:
-                raise SystemExit(
-                    f"vq_frontend artifacts in {code_dir} were built for a "
-                    f"different corpus/codebook (codes {creader.src_vocab} "
-                    f"vs {want_codes}, shards {creader.num_shards}x"
-                    f"{creader.shard_size}/{creader.n} vs {reader.num_shards}"
-                    f"x{reader.shard_size}/{reader.n}): retrain single-host "
-                    "with --fresh or use a new workdir"
-                )
-            have = False  # refit below
-    elif fresh and fit_allowed:
-        have = False
+            raise SystemExit(
+                f"vq_frontend artifacts in {code_dir} were built for a "
+                f"different corpus/codebook (codes {creader.src_vocab} "
+                f"vs {want_codes}, shards {creader.num_shards}x"
+                f"{creader.shard_size}/{creader.n} vs {reader.num_shards}"
+                f"x{reader.shard_size}/{reader.n}): retrain single-host "
+                "with --fresh or use a new workdir"
+            )
     if not have:
         if not fit_allowed:
             raise SystemExit(
@@ -1146,8 +1147,7 @@ def _apply_vq_frontend_streaming(cfg, reader, workdir: Path, distributed: bool,
                 "resume with train.distributed"
             )
         cb = vq.fit_codebook_streaming(
-            reader, n_codes=int(cfg.model.get("vq_codes", 64)),
-            key=jax.random.PRNGKey(cfg.seed),
+            reader, n_codes=want_codes, key=jax.random.PRNGKey(cfg.seed),
         )
         vq.save_codebook(path, cb)
         quantize_shards_streaming(reader, code_dir, codebook=cb)

@@ -27,10 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodalworddiscovery_tpu.data.corpus import Corpus
-from multimodalworddiscovery_tpu.models.hmm_gaussian import (
-    _kmeans_assign,
-    _kmeans_fit,
-)
+from multimodalworddiscovery_tpu.models.hmm_gaussian import _kmeans_assign
 
 
 def fit_codebook(
@@ -39,27 +36,15 @@ def fit_codebook(
     num_iterations: int = 10,
     key: jax.Array | None = None,
 ) -> jax.Array:
-    """Lloyd's k-means codebook [n_codes, D] over the corpus's masked frames
-    (init draws n_codes distinct REAL frames, mask-weighted)."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    flat = corpus.src.reshape(-1, corpus.src.shape[-1])
-    wflat = corpus.src_mask().reshape(-1).astype(jnp.float32)
-    n_real = int(jnp.sum(wflat))
-    if n_real < n_codes:
-        # replace=False with a mask-weighted p would otherwise backfill the
-        # draw with zero-probability PADDING frames once real ones run out
-        # (verified), seeding duplicate all-zero centroids that Lloyd's
-        # never re-seeds
-        raise ValueError(
-            f"corpus has only {n_real} real frames < {n_codes} codes"
-        )
-    idx0 = jax.random.choice(
-        key, flat.shape[0], (n_codes,), p=wflat / wflat.sum(), replace=False
+    """Delegates to the ONE resident fit protocol
+    (``hmm_gaussian.fit_frame_codebook``), shared with ``quantize_frames``
+    so the frontend's and the VQ-teacher's code spaces can never drift."""
+    from multimodalworddiscovery_tpu.models.hmm_gaussian import (
+        fit_frame_codebook,
     )
-    return _kmeans_fit(
-        flat[idx0], flat, wflat, n_codes=n_codes,
-        num_iterations=num_iterations,
+
+    return fit_frame_codebook(
+        corpus, n_codes=n_codes, num_iterations=num_iterations, key=key
     )
 
 

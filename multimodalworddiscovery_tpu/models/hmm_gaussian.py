@@ -575,6 +575,38 @@ def _kmeans_codes(cb0, flat, wflat, *, n_codes, num_iterations):
     return _kmeans_assign(cb, flat)
 
 
+def fit_frame_codebook(
+    corpus: Corpus,
+    n_codes: int = 64,
+    num_iterations: int = 10,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """THE resident codebook-fit protocol (single definition — shared by
+    ``quantize_frames`` and ``frontend.vq.fit_codebook``): Lloyd's sweeps
+    over the masked frames, init from n_codes distinct REAL frames
+    (mask-weighted choice).  Refuses corpora with fewer real frames than
+    codes: ``replace=False`` with a weighted p would otherwise backfill the
+    draw with zero-probability PADDING frames (verified), seeding duplicate
+    all-zero centroids that Lloyd's never re-seeds."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    x = corpus.src
+    flat = x.reshape(-1, x.shape[-1])
+    wflat = corpus.src_mask().reshape(-1).astype(jnp.float32)
+    n_real = int(jnp.sum(wflat))
+    if n_real < n_codes:
+        raise ValueError(
+            f"corpus has only {n_real} real frames < {n_codes} codes"
+        )
+    idx0 = jax.random.choice(
+        key, flat.shape[0], (n_codes,), p=wflat / wflat.sum(), replace=False
+    )
+    return _kmeans_fit(
+        flat[idx0], flat, wflat, n_codes=n_codes,
+        num_iterations=num_iterations,
+    )
+
+
 def quantize_frames(
     corpus: Corpus,
     n_codes: int = 64,
@@ -593,19 +625,11 @@ def quantize_frames(
     the codebook update is a one-hot contraction (no scatters).  Codebook
     init draws n_codes distinct REAL frames (mask-weighted choice).
     """
-    if key is None:
-        key = jax.random.PRNGKey(0)
+    cb = fit_frame_codebook(
+        corpus, n_codes=n_codes, num_iterations=num_iterations, key=key
+    )
     x = corpus.src  # [N, Ts, D]
-    d = x.shape[-1]
-    flat = x.reshape(-1, d)
-    wflat = corpus.src_mask().reshape(-1).astype(jnp.float32)
-    idx0 = jax.random.choice(
-        key, flat.shape[0], (n_codes,), p=wflat / wflat.sum(), replace=False
-    )
-    codes = _kmeans_codes(
-        flat[idx0], flat, wflat, n_codes=n_codes,
-        num_iterations=num_iterations,
-    )
+    codes = jax.jit(_kmeans_assign)(cb, x.reshape(-1, x.shape[-1]))
     return Corpus(
         src=codes.reshape(x.shape[:2]).astype(jnp.int32),
         src_len=corpus.src_len,

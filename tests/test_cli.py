@@ -493,7 +493,7 @@ def test_vq_frontend_model1_on_frames(tmp_path):
     assert len(recs) == 40
 
     # stale-codebook guard: a changed model.vq_codes at decode is rejected
-    with pytest.raises(SystemExit, match="vq_codes"):
+    with pytest.raises(SystemExit, match="retrain with"):
         cli.cmd_evaluate(_ns(
             workdir=str(wd), output=None, override=["model.vq_codes=48"]
         ))
