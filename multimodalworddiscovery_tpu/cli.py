@@ -675,6 +675,16 @@ def cmd_train(args) -> None:
 
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
+    if args.fresh and is_coord:
+        # drop old checkpoints ENTIRELY: merely skipping the restore leaves
+        # stale higher-step checkpoints behind, and a fresh run with fewer
+        # iterations would then lose latest_step() to them at decode time
+        # (observed: evaluate restored the pre-fresh model — with a changed
+        # vq_frontend code space, a shape error; with same shapes, silently
+        # the wrong parameters)
+        import shutil
+
+        shutil.rmtree(workdir / "ckpt", ignore_errors=True)
     if is_coord:
         _save_config(cfg, workdir)
 

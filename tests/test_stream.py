@@ -928,6 +928,16 @@ def test_vq_frontend_streamed_hmm(tmp_path, corpus_gold):
         _run_cli(["mwd", "evaluate", "--workdir", str(wd),
                   "--override", "model.vq_codes=48"])
 
+    # --fresh is the ONE path that refits: new code space, checkpoint
+    # discarded, downstream commands see a consistent workdir
+    _run_cli(["mwd", "train", "--workdir", str(wd), "--fresh",
+              "--override", "data.source=stream", f"data.dir={tmp_path / 's'}",
+              "model.name=hmm", "model.vq_frontend=true", "model.vq_codes=16",
+              "train.num_iterations=2", "train.checkpoint_every=2"])
+    assert np.load(wd / "vq_codebook.npy").shape[0] == 16
+    _run_cli(["mwd", "evaluate", "--workdir", str(wd)])
+    assert json.loads((wd / "metrics.json").read_text())["alignment"]["f1"] > 0.3
+
     # streamed gradient models reject the flag BEFORE training (silently
     # ignoring it would leave a workdir whose decode/eval commands fail)
     import argparse
