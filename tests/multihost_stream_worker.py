@@ -62,6 +62,7 @@ if frames_dir:
         "mwd", "train", "--workdir", wd,
         "--override", "data.source=stream", f"data.dir={frames_dir}",
         "model.name=hmm_gaussian", "model.init=diagonal",
+        "model.anneal_iters=2",  # scale_schedule x process-spanning mesh
         "model.feat_dim=8", "train.num_iterations=2",
         "train.data_parallel=true", "train.distributed=true",
         "train.checkpoint_every=2",
