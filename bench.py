@@ -26,11 +26,15 @@ N_UTTERANCES = 8000  # Flickr8k-scale (8k images)
 # fixed cost ate ~60% of the measurement (round-1 driver number 1.03M vs the
 # amortized 2.8M utt*iter/s).  100 iters amortizes it to <10%.
 N_ITERS_TPU = 100
-# Oracle denominator: best-of-3 runs of 2 iterations over 256 utterances —
-# same replay-proof rigor class as the TPU side (a single unguarded ~1 s
-# sample made the vs_baseline ratio jitter by several percent across rounds).
-ORACLE_UTTS = 256
-ORACLE_ITERS = 2
+# Oracle denominator: MEDIAN of 5 runs of 4 iterations over 512 utterances.
+# Round-4 verdict: the old 256x2 best-of-3 window let vs_baseline swing ~30%
+# between driver sessions (57k -> 40k x) purely on host load while the TPU
+# numerator was stable — a ~16 s window with a median is load-robust where a
+# ~4 s best-of was not.  oracle_utt_iter_per_sec is emitted in the JSON so
+# driver artifacts expose which side of the ratio moved.
+ORACLE_UTTS = 512
+ORACLE_ITERS = 4
+ORACLE_REPS = 5
 
 
 def _dense_shape_report() -> str:
@@ -91,13 +95,14 @@ def main() -> None:
     tl = np.asarray(small.trg_len)
     src_seqs = [src[i, : sl[i]] for i in range(ORACLE_UTTS)]
     trg_seqs = [trg[i, : tl[i]] for i in range(ORACLE_UTTS)]
-    oracle_time = 1e9
-    for _ in range(3):  # best-of-3, like the TPU side
+    oracle_times = []
+    for _ in range(ORACLE_REPS):  # median-of-5 (round-4 verdict weak #1)
         oracle = NumpyHMM(src_seqs, trg_seqs, corpus.src_vocab, corpus.trg_vocab)
         t0 = time.perf_counter()
         for _ in range(ORACLE_ITERS):
             oracle.em_iteration()
-        oracle_time = min(oracle_time, time.perf_counter() - t0)
+        oracle_times.append(time.perf_counter() - t0)
+    oracle_time = float(np.median(oracle_times))
     oracle_throughput = ORACLE_UTTS * ORACLE_ITERS / oracle_time
 
     # --- TPU batched EM: one fused lax.scan dispatch (BASELINE.md protocol).
@@ -139,6 +144,12 @@ def main() -> None:
                 "value": round(tpu_throughput, 1),
                 "unit": "utt*iter/s",
                 "vs_baseline": round(tpu_throughput / oracle_throughput, 1),
+                # auditability (round-4 verdict): which side of the ratio
+                # moved between driver sessions, and how noisy the host was
+                "oracle_utt_iter_per_sec": round(oracle_throughput, 2),
+                "oracle_rep_spread": round(
+                    (max(oracle_times) - min(oracle_times)) / oracle_time, 3
+                ),
             }
         )
     )
