@@ -452,18 +452,9 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
     will_resume = ckpt.latest_step() is not None and not args.fresh
 
     if stream_vq_seed and not will_resume:
-        if distributed:
-            raise SystemExit(
-                "init=vq_teacher does not compose with train.distributed: "
-                "the seeding pipeline (codebook reservoir, teacher EM, "
-                "emission fit) is single-process.  Seed + checkpoint on one "
-                "host (it streams — no resident corpus needed), then resume "
-                "the EM with train.distributed"
-            )
         from multimodalworddiscovery_tpu.models import hmm_gaussian
 
-        params = hmm_gaussian.init_vq_teacher_streaming(
-            reader, workdir / "vq_codes",
+        seed_kwargs = dict(
             max_jump=cfg.model.max_jump,
             n_components=cfg.model.get("n_components", 2),
             key=jax.random.PRNGKey(cfg.seed),
@@ -473,10 +464,25 @@ def _train_streaming_cmd(cfg, args, workdir: Path) -> None:
             use_pallas=_resolve_use_pallas(cfg, shard0),
             prefetch=prefetch,
         )
-        print(
-            "hmm_gaussian seeded from the streamed VQ-teacher recipe "
-            f"(code shards in {workdir / 'vq_codes'})"
-        )
+        if distributed:
+            # pod-scale seeding: every stage distributed over the
+            # process-spanning mesh (workdir must be a SHARED filesystem —
+            # each process writes its own code shards into it)
+            from multimodalworddiscovery_tpu.parallel import multihost
+
+            params = multihost.init_vq_teacher_streaming_multihost(
+                reader, workdir / "vq_codes", **seed_kwargs
+            )
+        else:
+            params = hmm_gaussian.init_vq_teacher_streaming(
+                reader, workdir / "vq_codes", **seed_kwargs
+            )
+        if is_coord:
+            print(
+                "hmm_gaussian seeded from the streamed VQ-teacher recipe"
+                + (" (distributed)" if distributed else "")
+                + f" (code shards in {workdir / 'vq_codes'})"
+            )
 
     if (
         not will_resume  # the restore below would discard the seed anyway
@@ -632,25 +638,6 @@ def cmd_train(args) -> None:
 
     distributed = bool(cfg.train.get("distributed", False))
     if distributed:
-        if (
-            cfg.data.source == "stream"
-            and cfg.model.name == "hmm_gaussian"
-            and str(cfg.model.get("init", "global")) == "vq_teacher"
-        ):
-            # filesystem-only resume probe — this must fire BEFORE
-            # jax.distributed.initialize (which a test/process cannot undo)
-            ckpt_dir = Path(args.workdir) / "ckpt"
-            has_ckpt = ckpt_dir.exists() and any(
-                p.name.isdigit() for p in ckpt_dir.iterdir()
-            )
-            if args.fresh or not has_ckpt:
-                raise SystemExit(
-                    "init=vq_teacher does not compose with train.distributed: "
-                    "the seeding pipeline (codebook reservoir, teacher EM, "
-                    "emission fit) is single-process.  Seed + checkpoint on "
-                    "one host (it streams — no resident corpus needed), then "
-                    "resume the EM with train.distributed"
-                )
         # must run before the first backend touch — including the profiler
         # trace below, which initializes the backend (jax.distributed
         # refuses to initialize after that).  multihost.initialize is
@@ -1149,22 +1136,40 @@ def _apply_vq_frontend_streaming(cfg, reader, workdir: Path, distributed: bool,
                 "were deleted"
             )
         if distributed:
-            raise SystemExit(
-                "model.vq_frontend + train.distributed needs the quantized "
-                "artifacts up front (writing them from every process would "
-                "race): run the same command single-host once (it streams; "
-                "the codebook + code shards land in the workdir), then "
-                "resume with train.distributed"
+            # partitioned writes into the SHARED workdir: codebook from the
+            # cross-process merged reservoir (identical on every process),
+            # process p quantizes+writes its own shard subset, coordinator
+            # writes the manifest/codebook, one barrier orders writes
+            # before any read
+            from jax.experimental import multihost_utils
+
+            from multimodalworddiscovery_tpu.parallel import multihost
+
+            pid, n_proc = jax.process_index(), jax.process_count()
+            frames = multihost.reservoir_frames_multihost(reader)
+            cb = vq.fit_codebook_streaming(
+                reader, n_codes=want_codes,
+                key=jax.random.PRNGKey(cfg.seed), frames=frames,
             )
-        cb = vq.fit_codebook_streaming(
-            reader, n_codes=want_codes, key=jax.random.PRNGKey(cfg.seed),
-        )
-        vq.save_codebook(path, cb)
-        quantize_shards_streaming(reader, code_dir, codebook=cb)
-        print(
-            f"vq_frontend: {reader.num_shards} shards quantized into "
-            f"{int(cb.shape[0])} codes ({code_dir})"
-        )
+            if pid == 0:
+                vq.save_codebook(path, cb)
+            quantize_shards_streaming(
+                reader, code_dir, codebook=cb,
+                shard_ids=range(pid, reader.num_shards, n_proc),
+                write_manifest=(pid == 0),
+            )
+            multihost_utils.sync_global_devices("mwd_vq_frontend_codes")
+        else:
+            cb = vq.fit_codebook_streaming(
+                reader, n_codes=want_codes, key=jax.random.PRNGKey(cfg.seed),
+            )
+            vq.save_codebook(path, cb)
+            quantize_shards_streaming(reader, code_dir, codebook=cb)
+        if (not distributed) or jax.process_index() == 0:
+            print(
+                f"vq_frontend: {reader.num_shards} shards quantized into "
+                f"{int(cb.shape[0])} codes ({code_dir})"
+            )
     return ShardedCorpusReader(code_dir)
 
 

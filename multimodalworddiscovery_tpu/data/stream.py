@@ -124,6 +124,114 @@ def write_shards(
     return num_shards
 
 
+class ShardWriter:
+    """Incremental counterpart of ``write_shards`` for corpora too large to
+    EVER materialize (round-4 VERDICT task 2: reference-corpus-scale
+    pipelines): append fixed-size batches as they are produced (each batch
+    becomes one shard file set), then ``close()`` writes the manifest and
+    the accumulated gold.  Host residency: O(one batch) for corpus arrays
+    (plus the gold alignments, which are O(N·Ts) int32 — tiny next to the
+    frames).
+
+    Every appended corpus must share max_src_len / max_trg_len / vocabs
+    (corpus-level constants — pad the generator's batches to global maxima);
+    the LAST batch may be shorter and is zero-padded to shard_size (the
+    zero-length-utterance invariant every consumer relies on).
+
+    Shuffling at this scale happens upstream (permute the GENERATION order,
+    e.g. the utterance id list fed to batches) — pass ``shuffle_seed`` to
+    record it in the manifest so downstream bias warnings stay accurate.
+    """
+
+    def __init__(self, directory: str | Path, shard_size: int,
+                 name: str = "corpus", shuffle_seed: int | None = None):
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.shard_size = int(shard_size)
+        self.name = name
+        self.shuffle_seed = shuffle_seed
+        self._k = 0
+        self._n = 0
+        self._meta = None  # (max_src_len, max_trg_len, src_vocab, trg_vocab)
+        self._gold_align: list[np.ndarray] = []
+        self._gold_lens: list[np.ndarray] = []
+        self._closed = False
+
+    def append(self, corpus: Corpus, gold_alignment=None) -> int:
+        """Write one batch as shard ``k``; returns k.  ``gold_alignment``:
+        optional [B, max_src_len] int array (0 = NULL / unaligned)."""
+        if self._closed:
+            raise ValueError("ShardWriter is closed")
+        b = int(corpus.n)
+        if b > self.shard_size:
+            raise ValueError(f"batch of {b} > shard_size {self.shard_size}")
+        meta = (corpus.max_src_len, corpus.max_trg_len,
+                corpus.src_vocab, corpus.trg_vocab)
+        if self._meta is None:
+            self._meta = meta
+        elif meta != self._meta:
+            raise ValueError(
+                f"batch shape/vocab drift: {meta} vs first batch {self._meta}"
+            )
+        padded = corpus.pad_to(self.shard_size)
+        for field in FIELDS:
+            np.save(self.directory / f"{field}_{self._k}.npy",
+                    np.asarray(getattr(padded, field)))
+        if gold_alignment is not None:
+            ga = np.asarray(gold_alignment)
+            if ga.shape != (b, corpus.max_src_len):
+                raise ValueError(
+                    f"gold_alignment shape {ga.shape} != "
+                    f"{(b, corpus.max_src_len)}"
+                )
+            self._gold_align.append(ga.astype(np.int32))
+            self._gold_lens.append(np.asarray(corpus.src_len))
+        elif self._gold_align:
+            raise ValueError("gold_alignment given for some batches only")
+        self._n += b
+        self._k += 1
+        return self._k - 1
+
+    def close(self) -> int:
+        """Write the manifest (+ gold.json if gold was appended); returns
+        the number of shards."""
+        if self._closed:
+            return self._k
+        if self._meta is None:
+            raise ValueError("no batches appended")
+        ms, mt, sv, tv = self._meta
+        (self.directory / "manifest.json").write_text(json.dumps({
+            "name": self.name,
+            "num_shards": self._k,
+            "shard_size": self.shard_size,
+            "n": self._n,
+            "max_src_len": ms,
+            "max_trg_len": mt,
+            "src_vocab": sv,
+            "trg_vocab": tv,
+            "shuffle_seed": self.shuffle_seed,
+        }))
+        if self._gold_align:
+            from multimodalworddiscovery_tpu.data.io import (
+                save_alignment_json,
+            )
+
+            save_alignment_json(
+                np.concatenate(self._gold_align),
+                np.concatenate(self._gold_lens),
+                self.directory / "gold.json",
+            )
+        self._closed = True
+        return self._k
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+
+
 class ShardedCorpusReader:
     """mmap-backed reader for a ``write_shards`` directory."""
 

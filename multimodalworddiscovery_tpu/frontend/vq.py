@@ -54,17 +54,21 @@ def fit_codebook_streaming(
     num_iterations: int = 10,
     key: jax.Array | None = None,
     n_sample: int = 65536,
+    frames=None,
 ) -> jax.Array:
     """Out-of-core codebook — delegates to the ONE streaming fit protocol
     (``hmm_gaussian.fit_codebook_reservoir``), shared with the VQ-teacher
-    seeding so the two recipes' code spaces can never drift apart."""
+    seeding so the two recipes' code spaces can never drift apart.
+
+    ``frames``: a pre-drawn canonical reservoir (the multihost merged one)
+    — see ``fit_codebook_reservoir``."""
     from multimodalworddiscovery_tpu.models.hmm_gaussian import (
         fit_codebook_reservoir,
     )
 
     return fit_codebook_reservoir(
         reader, n_codes=n_codes, num_iterations=num_iterations, key=key,
-        n_sample=n_sample,
+        n_sample=n_sample, frames=frames,
     )
 
 

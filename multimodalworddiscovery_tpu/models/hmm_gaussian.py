@@ -735,18 +735,31 @@ def seed_from_teacher(
     return gp.replace(log_jump=teacher.log_jump, log_p0=teacher.log_p0)
 
 
-def _reservoir_frames(reader, n_sample: int, seed: int = 0):
-    """Uniform sample of up to ``n_sample`` masked frames across ALL shards
-    of a ``data.stream.ShardedCorpusReader`` corpus, without materializing
-    the frame matrix: every frame gets an iid uniform sort key and the
-    n_sample smallest keys win (the random-sort-key reservoir — exactly
-    uniform, single pass, O(n_sample + shard) host memory).  Deterministic
-    in ``seed``.  Returns a [M, D] numpy array, M <= n_sample."""
+def _reservoir_frames(
+    reader, n_sample: int, seed: int = 0, shards=None, return_keys: bool = False
+):
+    """Uniform sample of up to ``n_sample`` masked frames across shards of a
+    ``data.stream.ShardedCorpusReader`` corpus, without materializing the
+    frame matrix: every frame gets an iid uniform sort key and the n_sample
+    smallest keys win (the random-sort-key reservoir — exactly uniform,
+    single pass, O(n_sample + shard) host memory).
+
+    Keys are drawn from a PER-SHARD derived rng (``default_rng([seed, k])``),
+    and the result is returned in ASCENDING-KEY order — so the sample is a
+    pure function of (corpus shards, seed), independent of which process
+    scanned which shards or in what order.  That makes per-process partial
+    reservoirs MERGEABLE: union the (key, frame) pairs, keep the n_sample
+    smallest keys, sort — exactly what the single-process scan computes
+    (parallel/multihost.reservoir_frames_multihost).
+
+    ``shards``: iterable of shard indices to scan (default: all).
+    Returns a [M, D] numpy array, M <= n_sample (plus the [M] keys when
+    ``return_keys``)."""
     import numpy as np
 
-    rng = np.random.default_rng(seed)
     keys = buf = None
-    for k in range(reader.num_shards):
+    for k in range(reader.num_shards) if shards is None else shards:
+        rng = np.random.default_rng([seed, int(k)])
         src = np.load(reader.directory / f"src_{k}.npy", mmap_mode="r")
         slen = np.load(reader.directory / f"src_len_{k}.npy", mmap_mode="r")
         t = src.shape[1]
@@ -760,7 +773,12 @@ def _reservoir_frames(reader, n_sample: int, seed: int = 0):
             keys, buf = ck[top], cb[top]
         else:
             keys, buf = ck, cb
-    return buf
+    if buf is None:  # a process past the last shard contributes nothing
+        d = int(np.load(reader.directory / "src_0.npy", mmap_mode="r").shape[-1])
+        keys, buf = np.zeros((0,)), np.zeros((0, d), np.float32)
+    order = np.argsort(keys, kind="stable")
+    keys, buf = keys[order], buf[order]
+    return (buf, keys) if return_keys else buf
 
 
 def fit_codebook_reservoir(
@@ -769,15 +787,22 @@ def fit_codebook_reservoir(
     num_iterations: int = 10,
     key: jax.Array | None = None,
     n_sample: int = 65536,
+    frames=None,
 ) -> jax.Array:
     """THE streaming codebook-fit protocol (single definition — the
     VQ-teacher seeding and the frontend.vq quantizer both call this, so
     their code spaces can never drift apart): Lloyd's sweeps on a
     cross-shard uniform frame reservoir, init from n_codes distinct
-    reservoir frames."""
+    reservoir frames.
+
+    ``frames``: a pre-drawn reservoir (e.g. the cross-process merged one
+    from ``parallel/multihost.reservoir_frames_multihost``) — must be in
+    the canonical ascending-key order ``_reservoir_frames`` returns, so the
+    init draw below picks the same frames on every process."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    frames = _reservoir_frames(reader, n_sample)
+    if frames is None:
+        frames = _reservoir_frames(reader, n_sample)
     if frames.shape[0] < n_codes:
         raise ValueError(
             f"corpus has only {frames.shape[0]} real frames < {n_codes} codes"
@@ -798,6 +823,8 @@ def quantize_shards_streaming(
     key: jax.Array | None = None,
     n_sample: int = 65536,
     codebook: jax.Array | None = None,
+    shard_ids=None,
+    write_manifest: bool = True,
 ) -> jax.Array:
     """Out-of-core ``quantize_frames``: fit the k-means codebook on a
     cross-shard frame reservoir (``_reservoir_frames``), then assign every
@@ -809,6 +836,12 @@ def quantize_shards_streaming(
     The only protocol difference vs the resident ``quantize_frames`` is the
     codebook fit: Lloyd's sweeps run on a >=64k-frame uniform sample instead
     of every frame (the assignment step still covers every frame exactly).
+
+    ``shard_ids`` / ``write_manifest``: the multihost partition hooks —
+    process p writes only its own shard subset into a SHARED out_dir and
+    only the coordinator writes the manifest/gold (the assignment is
+    embarrassingly parallel across shards; see
+    ``parallel/multihost.init_vq_teacher_streaming_multihost``).
     """
     import json as _json
     import shutil
@@ -830,7 +863,9 @@ def quantize_shards_streaming(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     assign = jax.jit(lambda c, f: _kmeans_assign(c, f))
-    for k in range(reader.num_shards):
+    if shard_ids is None:
+        shard_ids = range(reader.num_shards)
+    for k in shard_ids:
         src = np.asarray(
             np.load(reader.directory / f"src_{k}.npy", mmap_mode="r")
         )
@@ -842,12 +877,13 @@ def quantize_shards_streaming(
             shutil.copyfile(
                 reader.directory / f"{field}_{k}.npy", out / f"{field}_{k}.npy"
             )
-    manifest = _json.loads((reader.directory / "manifest.json").read_text())
-    manifest["src_vocab"] = int(n_codes)
-    manifest["name"] = manifest.get("name", "corpus") + "-vqcodes"
-    (out / "manifest.json").write_text(_json.dumps(manifest))
-    if (reader.directory / "gold.json").exists():
-        shutil.copyfile(reader.directory / "gold.json", out / "gold.json")
+    if write_manifest:
+        manifest = _json.loads((reader.directory / "manifest.json").read_text())
+        manifest["src_vocab"] = int(n_codes)
+        manifest["name"] = manifest.get("name", "corpus") + "-vqcodes"
+        (out / "manifest.json").write_text(_json.dumps(manifest))
+        if (reader.directory / "gold.json").exists():
+            shutil.copyfile(reader.directory / "gold.json", out / "gold.json")
     return cb
 
 

@@ -102,3 +102,82 @@ np.testing.assert_allclose(
     np.asarray(pb.log_emit), np.asarray(ref.log_emit), atol=1e-4
 )
 print("BUCKET OK", flush=True)
+
+# --- distributed init=vq_teacher: the POD-SCALE FLAGSHIP RECIPE (VERDICT r4
+# task 1).  The CLI seeds (merged reservoir -> partitioned quantize ->
+# multihost teacher EM -> paired-round seed passes) AND trains the annealed
+# Gaussian EM, all under train.distributed data.source=stream.  Frame
+# accuracy and params must match the single-host streamed recipe (identical
+# codebook by construction; everything else float-addition-order). ---
+if frames_dir:
+    from multimodalworddiscovery_tpu import cli
+    from multimodalworddiscovery_tpu.data.stream import (
+        ShardedCorpusReader,
+        train_streaming,
+    )
+    from multimodalworddiscovery_tpu.models import hmm_gaussian as hg
+    from multimodalworddiscovery_tpu.utils.checkpoint import CheckpointManager
+
+    wd3 = pathlib.Path(frames_dir).parent / "vqt_wd"
+    old = sys.argv
+    sys.argv = [
+        "mwd", "train", "--workdir", str(wd3),
+        "--override", "data.source=stream", f"data.dir={frames_dir}",
+        "model.name=hmm_gaussian", "model.init=vq_teacher",
+        "model.vq_codes=16", "model.teacher_iters=4", "model.seed_rounds=2",
+        "model.n_components=2", "model.feat_dim=8", "model.anneal_iters=2",
+        "train.num_iterations=4", "train.data_parallel=true",
+        "train.distributed=true", "train.checkpoint_every=4",
+    ]
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+
+    freader = ShardedCorpusReader(frames_dir)
+    fc, fg = freader.materialize()
+    # single-host streamed recipe, same hyperparameters (local per-process
+    # compute; both processes run the identical reference)
+    ps = hg.init_vq_teacher_streaming(
+        freader, wd3 / f"codes_local_{pid}", max_jump=3, n_components=2,
+        key=jax.random.PRNGKey(0), n_codes=16, teacher_iters=4,
+        seed_rounds=2,
+    )
+    sched = np.concatenate([np.linspace(0.25, 1.0, 2), np.ones(2)])
+    ps, _ = train_streaming(hg, ps, freader, 4, scale_schedule=sched)
+
+    pd_, _ = CheckpointManager(wd3 / "ckpt").restore(
+        hg.init(fc, n_components=2, max_jump=3)
+    )
+    mean_err = float(np.max(np.abs(np.asarray(ps.means) - np.asarray(pd_.means))))
+    assert mean_err < 5e-2, f"distributed vq_teacher means drift: {mean_err}"
+
+    wm = np.asarray(fc.src_mask()) & (np.asarray(fg.alignment) > 0)
+
+    def acc(p):
+        pred = np.asarray(hg.align(p, fc))
+        return float((pred == np.asarray(fg.alignment))[wm].mean())
+
+    a_single, a_dist = acc(ps), acc(pd_)
+    assert abs(a_single - a_dist) < 0.05, (a_single, a_dist)
+    print(f"VQTEACHER OK {a_dist:.4f} single={a_single:.4f} "
+          f"mean_err={mean_err:.2e}", flush=True)
+
+    # --- model.vq_frontend x distributed FRESH fit (previously gated as
+    # "writes would race"): the merged-reservoir codebook + partitioned
+    # quantize-writes + barrier make the fit race-free ---
+    wd4 = pathlib.Path(frames_dir).parent / "vqf_wd"
+    sys.argv = [
+        "mwd", "train", "--workdir", str(wd4),
+        "--override", "data.source=stream", f"data.dir={frames_dir}",
+        "model.name=hmm", "model.vq_frontend=true", "model.vq_codes=16",
+        "train.num_iterations=2", "train.data_parallel=true",
+        "train.distributed=true", "train.checkpoint_every=2",
+    ]
+    try:
+        cli.main()
+    finally:
+        sys.argv = old
+    assert (wd4 / "vq_codebook.npy").exists()
+    assert (wd4 / "vq_frontend_codes" / "manifest.json").exists()
+    print("VQFRONT OK", flush=True)

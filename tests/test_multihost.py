@@ -151,9 +151,9 @@ def test_two_process_streaming_em(tmp_path):
     assert write_shards(corpus, shard_dir, shard_size=4, gold=gold) == 5
     # frames shards for the distributed hmm_gaussian leg (3 shards over 2
     # processes: the partitioned re-seed sees an uneven split)
-    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    fc, fg, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
     frames_dir = tmp_path / "frames"
-    assert write_shards(fc, frames_dir, shard_size=8) == 3
+    assert write_shards(fc, frames_dir, shard_size=8, gold=fg) == 3
 
     worker = WORKER.parent / "multihost_stream_worker.py"
     port = _free_port()
@@ -183,7 +183,13 @@ def test_two_process_streaming_em(tmp_path):
         assert "GAUSS OK" in out, f"stream worker {i} gaussian leg:\n{out[-4000:]}"
         assert "ATTN STREAMMB OK" in out, f"stream worker {i} minibatch leg:\n{out[-4000:]}"
         assert "BUCKET OK" in out, f"stream worker {i} bucketed leg:\n{out[-4000:]}"
+        assert "VQTEACHER OK" in out, f"stream worker {i} vq_teacher leg:\n{out[-4000:]}"
+        assert "VQFRONT OK" in out, f"stream worker {i} vq_frontend leg:\n{out[-4000:]}"
     assert "seeded from streamed whole-corpus moments" in outs[0]
+    assert "seeded from the streamed VQ-teacher recipe (distributed)" in outs[0]
+    # the follower stays quiet on coordinator-only prints
+    assert "seeded from the streamed VQ-teacher recipe" not in outs[1]
+    assert (tmp_path / "vqt_wd" / "vq_codes" / "manifest.json").exists()
     assert (tmp_path / "gauss_wd" / "ckpt").exists()
     assert (tmp_path / "attn_wd" / "ckpt").exists()
 

@@ -659,22 +659,103 @@ def test_streamed_vq_teacher_anneal_matches_resident_recipe(tmp_path):
     assert abs(a_streamed - a_resident) < 0.10, (a_streamed, a_resident)
 
 
-def test_streamed_vq_teacher_rejects_distributed(tmp_path, corpus_gold):
+def test_shard_writer_matches_write_shards(tmp_path, corpus_gold):
+    """Incremental ShardWriter produces byte-identical shard files and an
+    equivalent manifest/gold to the one-shot write_shards — so corpora too
+    large to materialize get the exact same on-disk contract."""
     corpus, gold, _ = corpus_gold
-    from multimodalworddiscovery_tpu import cli
+    from multimodalworddiscovery_tpu.data.stream import ShardWriter
+
+    write_shards(corpus, tmp_path / "a", shard_size=8, gold=gold)
+    with ShardWriter(tmp_path / "b", shard_size=8) as w:
+        for lo in range(0, corpus.n, 8):
+            hi = min(lo + 8, corpus.n)
+            batch = jax.tree.map(lambda x: x[lo:hi], corpus)
+            w.append(batch, gold_alignment=gold.alignment[lo:hi])
+    ra, rb = ShardedCorpusReader(tmp_path / "a"), ShardedCorpusReader(tmp_path / "b")
+    assert (ra.num_shards, ra.shard_size, ra.n) == (rb.num_shards, rb.shard_size, rb.n)
+    for k in range(ra.num_shards):
+        for f in ("src", "src_len", "trg", "trg_len"):
+            np.testing.assert_array_equal(
+                np.load(tmp_path / "a" / f"{f}_{k}.npy"),
+                np.load(tmp_path / "b" / f"{f}_{k}.npy"),
+            )
+    ca, ga = ra.materialize()
+    cb, gb = rb.materialize()
+    np.testing.assert_array_equal(np.asarray(ca.src), np.asarray(cb.src))
+    np.testing.assert_array_equal(ga.alignment, gb.alignment)
+    # misuse errors: oversized batch, shape drift, gold-sometimes
+    with pytest.raises(ValueError, match="shard_size"):
+        ShardWriter(tmp_path / "c", shard_size=4).append(corpus)
+    w2 = ShardWriter(tmp_path / "d", shard_size=corpus.n)
+    w2.append(corpus)
+    small = jax.tree.map(lambda x: x[:, :5] if x.ndim > 1 else x, corpus)
+    with pytest.raises(ValueError, match="drift"):
+        w2.append(small.replace(src_len=np.minimum(np.asarray(small.src_len), 5)))
+
+
+def test_reservoir_multihost_merge_matches_single_process(tmp_path, corpus_gold):
+    """reservoir_frames_multihost (here P=1, the merge degenerate case) is
+    EXACTLY the single-process reservoir: same per-shard keyed draws, same
+    global top-n, same canonical ascending-key order.  The distributed
+    vq_teacher recipe's codebook identity rests on this (the real 2-process
+    merge runs in tests/test_multihost.py::test_two_process_streaming_em)."""
+    corpus, gold, _ = corpus_gold
     from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.parallel import multihost
 
     fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, seed=0)
     write_shards(fc, tmp_path / "s", shard_size=8)
-    import argparse
+    reader = ShardedCorpusReader(tmp_path / "s")
+    single = hmm_gaussian._reservoir_frames(reader, n_sample=64, seed=0)
+    merged = multihost.reservoir_frames_multihost(reader, n_sample=64, seed=0)
+    np.testing.assert_array_equal(single, merged)
+    # union-of-subsets selection invariance: merging the two per-shard-subset
+    # partial reservoirs by key reproduces the full scan (what the 2-process
+    # merge does, checked here without jax.distributed)
+    b0, k0 = hmm_gaussian._reservoir_frames(
+        reader, 64, seed=0, shards=range(0, reader.num_shards, 2),
+        return_keys=True)
+    b1, k1 = hmm_gaussian._reservoir_frames(
+        reader, 64, seed=0, shards=range(1, reader.num_shards, 2),
+        return_keys=True)
+    ku = np.concatenate([k0, k1])
+    bu = np.concatenate([b0, b1])
+    if ku.shape[0] > 64:
+        top = np.argpartition(ku, 63)[:64]
+        ku, bu = ku[top], bu[top]
+    order = np.argsort(ku, kind="stable")
+    np.testing.assert_array_equal(single, bu[order])
 
-    with pytest.raises(SystemExit, match="vq_teacher"):
-        cli.cmd_train(argparse.Namespace(
-            config=None, workdir=str(tmp_path / "wd"), fresh=False,
-            override=["data.source=stream", f"data.dir={tmp_path / 's'}",
-                      "model.name=hmm_gaussian", "model.init=vq_teacher",
-                      "train.distributed=true", "train.data_parallel=true"],
-        ))
+
+@pytest.mark.slow
+def test_vq_teacher_multihost_single_process_parity(tmp_path, corpus_gold):
+    """init_vq_teacher_streaming_multihost on the 8-virtual-device mesh
+    (P=1) matches the single-host streamed recipe to float-addition-order
+    tolerance: identical codebook by construction, teacher EM / seed passes
+    differ only in reduction order."""
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.parallel import multihost
+
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    write_shards(fc, tmp_path / "s", shard_size=8)
+    reader = ShardedCorpusReader(tmp_path / "s")
+    kw = dict(max_jump=3, n_components=2, key=jax.random.PRNGKey(0),
+              n_codes=16, teacher_iters=4, seed_rounds=2)
+    ps = hmm_gaussian.init_vq_teacher_streaming(reader, tmp_path / "c1", **kw)
+    pm = multihost.init_vq_teacher_streaming_multihost(
+        reader, tmp_path / "c2", **kw
+    )
+    for name in ("means", "log_vars", "log_mix", "log_jump", "log_p0"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ps, name)), np.asarray(getattr(pm, name)),
+            atol=1e-3, err_msg=name,
+        )
+    # the two quantized code corpora are identical (same codebook)
+    c1 = ShardedCorpusReader(tmp_path / "c1").materialize()[0]
+    c2 = ShardedCorpusReader(tmp_path / "c2").materialize()[0]
+    np.testing.assert_array_equal(np.asarray(c1.src), np.asarray(c2.src))
 
 
 def test_streaming_annealed_em_exact(tmp_path, corpus_gold):
