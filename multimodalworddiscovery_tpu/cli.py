@@ -718,8 +718,11 @@ def cmd_train(args) -> None:
             "train.distributed + train.bucket_edges supports the closed-form "
             "EM aligners only: hmm_dnn's neural M-step consumes per-bucket "
             "POSTERIORS (sharded activations — pooling them would ship "
-            "O(corpus) across hosts every iteration).  Use single-host "
-            "bucketed EM or the chunked path for hmm_dnn"
+            "O(corpus) across hosts every iteration: 1.06 GB/iter at the "
+            "Flickr8k bench shape, 13.4 GB/iter at MSCOCO scale, vs <= 1.4 MB "
+            "for the supported paths; docs/PERFORMANCE.md 'Rejected "
+            "compositions').  Use single-host bucketed EM or the chunked "
+            "path for hmm_dnn"
         )
 
     ckpt = CheckpointManager(workdir / "ckpt")
@@ -1332,7 +1335,19 @@ def _check_stream_pool(pool_cfg: int, reader) -> None:
     """Loud upfront rejection when NO shard can fill the configured pool —
     the within-shard protocol draws a query's distractors from its own
     shard, so a pool larger than every shard would silently produce no
-    retrieval at all (round-4 review finding)."""
+    retrieval at all (round-4 review finding).
+
+    Also warns loudly when the shard directory was written WITHOUT a
+    shuffle: real corpora are ordered (by image / speaker / length —
+    Flickr8k files are), so an unshuffled shard's candidates are
+    correlated with its queries and the within-shard protocol is biased.
+    Measured on a deliberately concept-sorted corpus the bias INFLATES
+    recall — correlated distractors are near-clones of the true pairing
+    and rarely beat it strictly, while unbiased uniform pools contain
+    genuinely higher-scoring competitors (i2c recall@1 read up to +0.24
+    absolute, ~2x, over the shuffled protocol with identical params;
+    tests/test_stream.py::test_streamed_retrieval_ordered_shard_bias
+    pins it)."""
     feasible = reader.shard_size if reader.num_shards > 1 else reader.n
     if pool_cfg > feasible:
         raise SystemExit(
@@ -1340,6 +1355,15 @@ def _check_stream_pool(pool_cfg: int, reader) -> None:
             f"candidate supply ({feasible} rows per shard): lower the pool, "
             f"re-shard with a larger --shard-size, or materialize "
             f"(data.source=disk) for cross-corpus pools"
+        )
+    if reader.shuffle_seed is None and reader.num_shards > 1:
+        print(
+            "WARNING: streamed retrieval over an UNSHUFFLED multi-shard "
+            f"corpus ({reader.directory}): each query ranks only against "
+            "same-shard candidates, which are concept-correlated on ordered "
+            "corpora — recall@k is biased (measured: i2c recall@1 INFLATED "
+            "up to ~2x on a concept-sorted corpus). Re-shard with "
+            "`mwd shard --shuffle SEED` for unbiased within-shard pools."
         )
 
 
@@ -1905,6 +1929,8 @@ def cmd_retrieve(args) -> None:
 
     workdir = Path(args.workdir)
     cfg = _load_workdir_config(workdir)
+    if getattr(args, "override", None):
+        apply_overrides(cfg, args.override)
     if cfg.data.source == "stream":
         _retrieve_streaming(cfg, workdir, args)
         return
@@ -2166,6 +2192,8 @@ def main() -> None:
     p_ret.add_argument("--pool", type=int, default=0,
                        help="candidate-pool size (0 = dense N x N scoring)")
     p_ret.add_argument("--output", default=None)
+    p_ret.add_argument("--override", nargs="*", default=[],
+                       help="eval-time key.path=value overrides")
     p_ret.set_defaults(fn=cmd_retrieve)
 
     p_pre = sub.add_parser("preprocess", help="build a corpus dir from public dataset files")

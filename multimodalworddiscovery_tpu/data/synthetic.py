@@ -31,6 +31,60 @@ class SyntheticMeta:
     phone_names: list[str]
 
 
+def _sample_lexicon(
+    rng: np.random.Generator, n_concepts: int, n_phones: int,
+    min_word_len: int, max_word_len: int,
+) -> dict[int, list[int]]:
+    """Hidden lexicon: concept -> word (sequence of phone ids), distinct per
+    concept with high probability given the vocab size."""
+    lexicon: dict[int, list[int]] = {}
+    for c in range(1, n_concepts + 1):
+        length = int(rng.integers(min_word_len, max_word_len + 1))
+        lexicon[c] = (rng.integers(1, n_phones + 1, size=length)).tolist()
+    return lexicon
+
+
+def _sample_utterance(
+    rng: np.random.Generator, lexicon: dict[int, list[int]], n_concepts: int,
+    n_phones: int, min_concepts: int, max_concepts: int, p_filler: float,
+):
+    """One (phones, concepts, alignment, segments) draw — the shared sampler
+    behind the monolithic and the batched generators (identical rng
+    consumption order, so batch boundaries don't change the corpus)."""
+    k = int(rng.integers(min_concepts, max_concepts + 1))
+    concepts = rng.choice(np.arange(1, n_concepts + 1), size=k, replace=False)
+    trg = concepts.astype(np.int32)
+    spoken_order = rng.permutation(k)
+
+    phones: list[int] = []
+    align: list[int] = []
+    segs: list[tuple[int, int, int]] = []
+    for j in spoken_order:
+        # Optional NULL-aligned filler phone before the word.
+        if rng.random() < p_filler:
+            phones.append(int(rng.integers(1, n_phones + 1)))
+            align.append(0)
+        word = lexicon[int(trg[j])]
+        start = len(phones)
+        phones.extend(word)
+        align.extend([int(j) + 1] * len(word))  # 1-based trg position
+        segs.append((start, len(phones), int(trg[j])))
+    return (
+        np.asarray(phones, dtype=np.int32), trg,
+        np.asarray(align, dtype=np.int32), segs,
+    )
+
+
+def _meta(lexicon, n_concepts: int, n_phones: int) -> SyntheticMeta:
+    return SyntheticMeta(
+        lexicon=lexicon,
+        n_concepts=n_concepts,
+        n_phones=n_phones,
+        concept_names=[f"concept_{c}" for c in range(n_concepts + 1)],
+        phone_names=[f"ph{p}" for p in range(n_phones + 1)],
+    )
+
+
 def make_flickr8k_mini(
     n_utterances: int = 200,
     n_concepts: int = 40,
@@ -48,40 +102,19 @@ def make_flickr8k_mini(
     Concept id 0 is reserved as padding/NULL; real concepts are 1..n_concepts.
     """
     rng = np.random.default_rng(seed)
-
-    # Hidden lexicon: concept -> word (sequence of phone ids), distinct per
-    # concept with high probability given the vocab size.
-    lexicon: dict[int, list[int]] = {}
-    for c in range(1, n_concepts + 1):
-        length = int(rng.integers(min_word_len, max_word_len + 1))
-        lexicon[c] = (rng.integers(1, n_phones + 1, size=length)).tolist()
+    lexicon = _sample_lexicon(rng, n_concepts, n_phones, min_word_len, max_word_len)
 
     src_seqs, trg_seqs = [], []
     alignments: list[np.ndarray] = []
     segments: list[list[tuple[int, int, int]]] = []
-
     for _ in range(n_utterances):
-        k = int(rng.integers(min_concepts, max_concepts + 1))
-        concepts = rng.choice(np.arange(1, n_concepts + 1), size=k, replace=False)
-        trg = concepts.astype(np.int32)
-        spoken_order = rng.permutation(k)
-
-        phones: list[int] = []
-        align: list[int] = []
-        segs: list[tuple[int, int, int]] = []
-        for j in spoken_order:
-            # Optional NULL-aligned filler phone before the word.
-            if rng.random() < p_filler:
-                phones.append(int(rng.integers(1, n_phones + 1)))
-                align.append(0)
-            word = lexicon[int(trg[j])]
-            start = len(phones)
-            phones.extend(word)
-            align.extend([int(j) + 1] * len(word))  # 1-based trg position
-            segs.append((start, len(phones), int(trg[j])))
-        src_seqs.append(np.asarray(phones, dtype=np.int32))
+        phones, trg, align, segs = _sample_utterance(
+            rng, lexicon, n_concepts, n_phones, min_concepts, max_concepts,
+            p_filler,
+        )
+        src_seqs.append(phones)
         trg_seqs.append(trg)
-        alignments.append(np.asarray(align, dtype=np.int32))
+        alignments.append(align)
         segments.append(segs)
 
     corpus = Corpus.from_ragged(
@@ -91,14 +124,67 @@ def make_flickr8k_mini(
     for i, a in enumerate(alignments):
         gold_align[i, : len(a)] = a
     gold = GoldAnnotations(alignment=gold_align, segments=segments)
-    meta = SyntheticMeta(
-        lexicon=lexicon,
-        n_concepts=n_concepts,
-        n_phones=n_phones,
-        concept_names=[f"concept_{c}" for c in range(n_concepts + 1)],
-        phone_names=[f"ph{p}" for p in range(n_phones + 1)],
-    )
-    return corpus, gold, meta
+    return corpus, gold, _meta(lexicon, n_concepts, n_phones)
+
+
+def make_flickr8k_mini_batches(
+    n_utterances: int,
+    batch_size: int,
+    n_concepts: int = 40,
+    n_phones: int = 48,
+    min_word_len: int = 2,
+    max_word_len: int = 5,
+    min_concepts: int = 2,
+    max_concepts: int = 4,
+    p_filler: float = 0.15,
+    seed: int = 0,
+):
+    """Batched flickr8k-mini for corpora too large to materialize (round-4
+    VERDICT task 2: reference-corpus-scale end-to-end pipelines).
+
+    Returns ``(meta, max_src_len, batches)`` where ``batches`` yields
+    ``(Corpus, GoldAnnotations)`` of ``batch_size`` rows (last batch
+    shorter), every batch padded to the GLOBAL phone/concept maxima
+    (``max_concepts * (max_word_len + 1)`` / ``max_concepts``) so
+    ``data.stream.ShardWriter`` accepts them.  ONE lexicon and ONE rng
+    stream are shared across batches: concatenating the batches reproduces
+    ``make_flickr8k_mini(n_utterances, ...)`` row for row (up to padding
+    width) — utterances are iid draws, so generation order is already an
+    unbiased shuffle (record the seed in the shard manifest).
+    """
+    rng = np.random.default_rng(seed)
+    lexicon = _sample_lexicon(rng, n_concepts, n_phones, min_word_len, max_word_len)
+    # global bounds: each of <= max_concepts words is <= max_word_len phones
+    # plus at most one filler
+    s_max = max_concepts * (max_word_len + 1)
+    t_max = max_concepts
+
+    def batches():
+        done = 0
+        while done < n_utterances:
+            b = min(batch_size, n_utterances - done)
+            src_seqs, trg_seqs, aligns, segments = [], [], [], []
+            for _ in range(b):
+                phones, trg, align, segs = _sample_utterance(
+                    rng, lexicon, n_concepts, n_phones, min_concepts,
+                    max_concepts, p_filler,
+                )
+                src_seqs.append(phones)
+                trg_seqs.append(trg)
+                aligns.append(align)
+                segments.append(segs)
+            corpus = Corpus.from_ragged(
+                src_seqs, trg_seqs, src_vocab=n_phones + 1,
+                trg_vocab=n_concepts + 1, max_src_len=s_max,
+                max_trg_len=t_max,
+            )
+            gold_align = np.zeros((b, s_max), dtype=np.int32)
+            for i, a in enumerate(aligns):
+                gold_align[i, : len(a)] = a
+            yield corpus, GoldAnnotations(alignment=gold_align, segments=segments)
+            done += b
+
+    return _meta(lexicon, n_concepts, n_phones), s_max, batches()
 
 
 def phones_to_waveforms(
@@ -140,6 +226,61 @@ def phones_to_waveforms(
         wavs[i, :pos] += noise * rng.normal(size=pos)
         lens[i] = pos
     return wavs, lens, gold
+
+
+def phones_to_waveforms_batched(
+    corpus: Corpus,
+    sample_rate: int = 16000,
+    phone_ms: int = 80,
+    noise: float = 0.02,
+    seed: int = 0,
+    pad_phones: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``phones_to_waveforms`` for the full-scale pipeline.
+
+    The scalar version renders each phone token with fresh ``np.sin`` calls
+    (~24 small numpy ops per utterance — minutes of host time at 100 k+
+    utterances); here each phone id's waveform is a precomputed TEMPLATE and
+    a whole batch assembles as one fancy-index + reshape.  Bit-identical to
+    the scalar version at ``noise=0`` (same formant draws, same per-sample
+    float ops — tests/test_synthetic_data.py pins it); with noise the draw
+    order differs (statistically equivalent).
+
+    ``pad_phones`` fixes the output width to ``pad_phones * spp`` samples
+    regardless of the batch's longest utterance, so every batch of a
+    ShardWriter stream shares one padded shape (one compiled MFCC extract).
+    Returns (wavs [N, L], wav_lens [N]).
+    """
+    rng = np.random.default_rng(seed)
+    V = corpus.src_vocab
+    f1 = rng.uniform(200, 1200, size=V)
+    f2 = rng.uniform(1400, 3800, size=V)
+    spp = int(sample_rate * phone_ms / 1000)
+    t = np.arange(spp) / sample_rate
+    env = np.hanning(spp)
+    # [V, spp] phone templates; template 0 (the padding id) is masked out
+    templates = (
+        0.4 * (np.sin(2 * np.pi * f1[:, None] * t)
+               + 0.6 * np.sin(2 * np.pi * f2[:, None] * t)) * env
+    ).astype(np.float32)
+
+    src = np.asarray(corpus.src)
+    src_len = np.asarray(corpus.src_len)
+    n, s = src.shape
+    s_out = int(pad_phones) if pad_phones is not None else int(src_len.max())
+    if s_out < s:
+        src = src[:, :s_out]
+    elif s_out > s:
+        src = np.pad(src, ((0, 0), (0, s_out - s)))
+    wavs = templates[src].reshape(n, s_out * spp)
+    lens = (src_len * spp).astype(np.int32)
+    valid = np.arange(s_out * spp)[None, :] < lens[:, None]
+    wavs = np.where(valid, wavs, np.float32(0.0))
+    if noise:
+        wavs += np.float32(noise) * rng.standard_normal(
+            wavs.shape, dtype=np.float32
+        ) * valid
+    return wavs, lens
 
 
 def expand_gold_to_frames(
