@@ -228,6 +228,29 @@ def phones_to_waveforms(
     return wavs, lens, gold
 
 
+def phone_templates(
+    src_vocab: int, sample_rate: int = 16000, phone_ms: int = 80,
+    seed: int = 0,
+) -> np.ndarray:
+    """[V, spp] per-phone-id waveform templates (Hanning-enveloped formant
+    pairs) — the same formant draws as ``phones_to_waveforms`` (one
+    ``default_rng(seed)`` consuming f1 then f2).  Row 0 (the padding id) is
+    present but masked out by every consumer.  Tiny (V x 1280 floats), so
+    device-side synthesis ships phone IDS to the chip instead of samples —
+    the full-scale pipeline assembles waveforms ON device with one one-hot
+    matmul against this table (scripts/run_pipeline_fullscale.py)."""
+    rng = np.random.default_rng(seed)
+    f1 = rng.uniform(200, 1200, size=src_vocab)
+    f2 = rng.uniform(1400, 3800, size=src_vocab)
+    spp = int(sample_rate * phone_ms / 1000)
+    t = np.arange(spp) / sample_rate
+    env = np.hanning(spp)
+    return (
+        0.4 * (np.sin(2 * np.pi * f1[:, None] * t)
+               + 0.6 * np.sin(2 * np.pi * f2[:, None] * t)) * env
+    ).astype(np.float32)
+
+
 def phones_to_waveforms_batched(
     corpus: Corpus,
     sample_rate: int = 16000,
@@ -252,17 +275,12 @@ def phones_to_waveforms_batched(
     Returns (wavs [N, L], wav_lens [N]).
     """
     rng = np.random.default_rng(seed)
-    V = corpus.src_vocab
-    f1 = rng.uniform(200, 1200, size=V)
-    f2 = rng.uniform(1400, 3800, size=V)
+    # consume f1/f2 exactly as phone_templates does so the noise draws below
+    # stay aligned with the scalar version's stream position
+    templates = phone_templates(corpus.src_vocab, sample_rate, phone_ms, seed)
     spp = int(sample_rate * phone_ms / 1000)
-    t = np.arange(spp) / sample_rate
-    env = np.hanning(spp)
-    # [V, spp] phone templates; template 0 (the padding id) is masked out
-    templates = (
-        0.4 * (np.sin(2 * np.pi * f1[:, None] * t)
-               + 0.6 * np.sin(2 * np.pi * f2[:, None] * t)) * env
-    ).astype(np.float32)
+    rng.uniform(200, 1200, size=corpus.src_vocab)
+    rng.uniform(1400, 3800, size=corpus.src_vocab)
 
     src = np.asarray(corpus.src)
     src_len = np.asarray(corpus.src_len)

@@ -174,6 +174,36 @@ def main() -> int:
           doc_num(readme, r"Pallas EM pipeline; ([\d.]+) ms/iter"),
           jsonl_last("hmm_em_fused")["ms_per_iter"], rtol=0.05)
 
+    # --- full-scale end-to-end run <-> bench/fullscale_n131072_report.json ---
+    with open(os.path.join(ROOT, "bench", "fullscale_n131072_report.json")) as f:
+        fs = json.load(f)
+    fs_total = sum(s["seconds"] for s in fs["stages"])
+    fs_rss = max(s["rss_gb"] for s in fs["stages"])
+    check("README fullscale elapsed minutes",
+          doc_num(readme, r"\(([\d.]+) min elapsed\)") * 60,
+          fs["total_seconds"], rtol=0.01)
+    check("README fullscale total seconds",
+          doc_num(readme, r"\*\*(\d+) s of measured stages"),
+          fs_total, rtol=0.01)
+    check("README fullscale peak RSS",
+          doc_num(readme, r"host RSS ≤ ([\d.]+) GB"), fs_rss, rtol=0.01)
+    check("README fullscale F1",
+          doc_num(readme, r"alignment F1 (0\.\d+) \(flat-start"),
+          fs["metrics"]["alignment"]["f1"], rtol=0.01)
+    check("PERFORMANCE fullscale total",
+          doc_num(perf, r"\*\*TOTAL \(measured stages\)\*\* \| "
+                        r"\*\*(\d+) s \(20\.4 min\)\*\*"),
+          fs_total, rtol=0.01)
+    check("PERFORMANCE fullscale F1",
+          doc_num(perf, r"alignment F1 \*\*(0\.\d+)\*\* \(precision"),
+          fs["metrics"]["alignment"]["f1"], rtol=0.01)
+    for st in fs["stages"]:
+        if st["stage"].startswith("streamed EM"):
+            check("PERFORMANCE fullscale EM stage seconds",
+                  doc_num(perf, r"vq_teacher \+ anneal, 12 iters\) "
+                                r"\| ([\d.]+) s"),
+                  st["seconds"], rtol=0.01)
+
     # --- ROADMAP must not contradict PERFORMANCE on model1 ---
     roadmap = _read("docs/ROADMAP.md")
     if "0.53 ms/iter" in roadmap:

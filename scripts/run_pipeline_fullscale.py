@@ -60,7 +60,18 @@ def _run_cli(argv: list[str]) -> None:
 
 
 def stage_synthesize(args, shards_dir: Path) -> dict:
-    """Waveforms -> Pallas MFCC -> frame shards, O(batch) host residency."""
+    """Waveforms -> Pallas MFCC -> frame shards, O(batch) host residency.
+
+    Waveform ASSEMBLY happens on device, fused into the extraction jit: the
+    host ships [B, s_max] int32 phone ids (2 KB/utterance-row) and the chip
+    expands them against the tiny [V, spp] template table with one one-hot
+    matmul + noise.  The first version shipped assembled waveforms
+    ([B, s_max*spp] float32 — 123 KB/utterance) and the relay's H2D staging
+    retained every buffer: host RSS grew ~1.07 GB per 8k-utterance shard
+    (measured, linear to ~18 GB at N=131k).  Real audio would of course be
+    read from disk and pay H2D at ~1 ms/MB; synthetic audio has no reason
+    to transit the host at all.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -68,47 +79,66 @@ def stage_synthesize(args, shards_dir: Path) -> dict:
     from multimodalworddiscovery_tpu.data.synthetic import (
         expand_gold_to_frames,
         make_flickr8k_mini_batches,
-        phones_to_waveforms_batched,
+        phone_templates,
     )
     from multimodalworddiscovery_tpu.data.corpus import Corpus
     from multimodalworddiscovery_tpu.frontend.speech import MfccConfig
     from multimodalworddiscovery_tpu.ops.mfcc_pallas import extract_pallas
 
+    n_phones = 24
     meta, s_max, batches = make_flickr8k_mini_batches(
         n_utterances=args.utterances, batch_size=args.shard_size,
-        n_concepts=args.concepts, n_phones=24, seed=args.seed,
+        n_concepts=args.concepts, n_phones=n_phones, seed=args.seed,
     )
     cfg = MfccConfig(n_mfcc=13, n_mels=26)
     spp = 16000 * 80 // 1000  # samples per phone (phone_ms=80)
     wav_pad = s_max * spp
+    templates = jnp.asarray(phone_templates(n_phones + 1, seed=args.seed))
 
-    extract = jax.jit(
-        lambda w, l: extract_pallas(w, l, cfg, interpret=args.interpret)
-    )
+    @jax.jit
+    def synth_extract(src, src_len, key):
+        b = src.shape[0]
+        # phone ids -> samples: one-hot MXU matmul against the template
+        # table (gather-free, per CLAUDE.md rule), then Hanning-enveloped
+        # noise over the valid prefix
+        onehot = jax.nn.one_hot(src, templates.shape[0], dtype=jnp.float32)
+        # HIGHEST: default bf16 rounds template samples by ~2e-3 — below the
+        # 0.02 noise floor, but exactness vs the host synthesizer is free here
+        wavs = jnp.einsum(
+            "bsv,vt->bst", onehot, templates,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(b, -1)
+        lens = (src_len * spp).astype(jnp.int32)
+        valid = jnp.arange(wavs.shape[1])[None, :] < lens[:, None]
+        wavs = jnp.where(valid, wavs, 0.0)
+        wavs += 0.02 * jax.random.normal(key, wavs.shape) * valid
+        return extract_pallas(wavs, lens, cfg, interpret=args.interpret)
 
     n_batches = -(-args.utterances // args.shard_size)
     f_pad = None
     wav_seconds = 0.0
+    key = jax.random.PRNGKey(args.seed)
     with ShardWriter(
         shards_dir, args.shard_size, name="fullscale", shuffle_seed=args.seed
     ) as writer:
         for bi, (phone_corpus, gold) in enumerate(batches):
             b = phone_corpus.n
+            src_np = np.asarray(phone_corpus.src)
+            len_np = np.asarray(phone_corpus.src_len)
             feats_parts, flen_parts = [], []
-            # sub-batch the synth + MFCC dispatches: device + host memory are
-            # O(mfcc_batch), every dispatch reuses the one compiled extract
+            # sub-batch the synth+MFCC dispatches: device memory is
+            # O(mfcc_batch); every dispatch reuses the one compiled jit
             for lo in range(0, b, args.mfcc_batch):
                 hi = min(lo + args.mfcc_batch, b)
-                sub = jax.tree.map(lambda v: v[lo:hi], phone_corpus)
-                wavs, wav_lens = phones_to_waveforms_batched(
-                    sub, noise=0.02, seed=args.seed, pad_phones=s_max
+                src_b = np.zeros((args.mfcc_batch, s_max), np.int32)
+                len_b = np.zeros((args.mfcc_batch,), np.int32)
+                src_b[: hi - lo] = src_np[lo:hi]
+                len_b[: hi - lo] = len_np[lo:hi]
+                wav_seconds += float(len_b.sum()) * spp / 16000.0
+                key, sub = jax.random.split(key)
+                feats, flens = synth_extract(
+                    jnp.asarray(src_b), jnp.asarray(len_b), sub
                 )
-                if hi - lo < args.mfcc_batch:  # fixed dispatch shape incl. tail
-                    pad = args.mfcc_batch - (hi - lo)
-                    wavs = np.pad(wavs, ((0, pad), (0, 0)))
-                    wav_lens = np.pad(wav_lens, (0, pad))
-                wav_seconds += float(wav_lens.sum()) / 16000.0
-                feats, flens = extract(jnp.asarray(wavs), jnp.asarray(wav_lens))
                 feats_parts.append(np.asarray(feats)[: hi - lo])
                 flen_parts.append(np.asarray(flens)[: hi - lo])
             feats = np.concatenate(feats_parts)
@@ -216,6 +246,11 @@ def main():
     ap.add_argument("--components", type=int, default=2)
     ap.add_argument("--concepts", type=int, default=40)
     ap.add_argument("--retrieval-pool", type=int, default=100)
+    ap.add_argument("--recipe", action="store_true",
+                    help="train with the flagship streamed recipe "
+                         "(init=vq_teacher + annealed EM) instead of "
+                         "flat-start EM — required for usable alignments "
+                         "at six-figure N (see docs/PERFORMANCE.md)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default="/tmp/mwd_fullscale")
     ap.add_argument("--report", default=None, help="JSON report path")
@@ -267,14 +302,27 @@ def main():
             "synthesize+mfcc+shard", lambda: stage_synthesize(args, shards_dir)
         )
 
-    stage("streamed EM", lambda: _run_cli([
-        "mwd", "train", "--workdir", str(workdir), "--fresh", "--override",
+    train_overrides = [
         "data.source=stream", f"data.dir={shards_dir}",
         "model.name=hmm_gaussian", f"model.n_components={args.components}",
         f"train.num_iterations={args.iters}",
         f"train.checkpoint_every={args.iters}",
         "train.stream_prefetch=2",
-    ]))
+    ]
+    if args.recipe:
+        # flat-start Gaussian EM finds the degenerate likelihood optimum at
+        # scale (measured HERE at N=131k: alignment F1 0.128, the same ~0.12
+        # the dense-region study hit — docs/PERFORMANCE.md); the flagship
+        # streamed VQ-teacher + annealing recipe is the fix and runs fully
+        # out-of-core
+        train_overrides += [
+            "model.init=vq_teacher", "model.vq_codes=64",
+            "model.teacher_iters=10", "model.seed_rounds=3",
+            "model.anneal_iters=6",
+        ]
+    stage("streamed EM" + (" (vq_teacher + anneal)" if args.recipe else ""),
+          lambda: _run_cli(["mwd", "train", "--workdir", str(workdir),
+                            "--fresh", "--override"] + train_overrides))
     stage("streamed align", lambda: _run_cli(
         ["mwd", "align", "--workdir", str(workdir)]
     ))

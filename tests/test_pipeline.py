@@ -21,3 +21,29 @@ def test_run_pipeline_end_to_end():
     metrics = json.loads(out.stdout[out.stdout.index("{"):])
     assert metrics["alignment"]["f1"] > 0.35, metrics
     assert metrics["boundary"]["f1"] > 0.4, metrics
+
+
+def test_run_pipeline_fullscale_scaled_down(tmp_path):
+    """The reference-corpus-scale driver (round-4 VERDICT task 2), scaled
+    down: batched synth -> on-device waveform assembly -> Pallas MFCC ->
+    ShardWriter -> streamed EM -> streamed align/segment/evaluate, plus the
+    built-in resident/streamed cross-check (the script aborts if shard-0
+    metrics disagree beyond 1e-5)."""
+    out = subprocess.run(
+        [sys.executable, "scripts/run_pipeline_fullscale.py",
+         "--utterances", "256", "--shard-size", "64", "--mfcc-batch", "64",
+         "--iters", "3", "--retrieval-pool", "16", "--cpu", "--interpret",
+         "--workdir", str(tmp_path / "wd"),
+         "--report", str(tmp_path / "report.json")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    import json
+    report = json.loads((tmp_path / "report.json").read_text())
+    assert report["crosscheck"]["max_abs_delta"] <= 1e-5
+    assert report["metrics"]["alignment"]["f1"] > 0.3, report["metrics"]
+    assert {s["stage"] for s in report["stages"]} >= {
+        "synthesize+mfcc+shard", "streamed EM", "streamed align",
+        "streamed segment", "streamed evaluate",
+    }
+    assert report["synthesize"]["shards"] == 4
