@@ -974,10 +974,20 @@ def cmd_shard(args) -> None:
     if cfg.data.source == "stream":
         raise SystemExit("source corpus must be synthetic or disk, not stream")
     corpus, gold = _load_data(cfg)
+    if args.storage_dtype == "float16" and not np.issubdtype(
+        np.asarray(corpus.src).dtype, np.floating
+    ) and not np.issubdtype(np.asarray(corpus.trg).dtype, np.floating):
+        raise SystemExit(
+            "--storage-dtype float16 only compresses FLOAT fields; this "
+            "corpus is fully discrete (int tokens) — drop the flag"
+        )
     n = write_shards(
-        corpus, args.output, args.shard_size, gold=gold, shuffle=args.shuffle
+        corpus, args.output, args.shard_size, gold=gold, shuffle=args.shuffle,
+        storage_dtype=args.storage_dtype,
     )
     note = f", shuffled (seed {args.shuffle})" if args.shuffle is not None else ""
+    if args.storage_dtype:
+        note += f", float fields stored {args.storage_dtype}"
     print(
         f"wrote {n} shards x {args.shard_size} utterances "
         f"({corpus.n} total{note}) to {args.output}"
@@ -2219,6 +2229,13 @@ def main() -> None:
         help="permute utterances once at write time (recorded in the "
              "manifest).  Recommended for ORDERED corpora feeding streamed "
              "minibatch SGD, which samples within the resident shard",
+    )
+    p_shard.add_argument(
+        "--storage-dtype", default=None, choices=["float32", "float16"],
+        help="on-disk dtype for FLOAT fields (frames/region embeddings). "
+             "float16 halves disk + H2D per pass (streaming upcasts to "
+             "float32 on device before any compute); LOSSY: one f16 "
+             "rounding at write time",
     )
     p_shard.add_argument("--override", nargs="*", default=[])
     p_shard.set_defaults(fn=cmd_shard)

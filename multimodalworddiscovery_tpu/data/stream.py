@@ -49,10 +49,39 @@ from multimodalworddiscovery_tpu.data.corpus import Corpus
 # the per-shard array files: <field>_<k>.npy
 FIELDS = ("src", "src_len", "trg", "trg_len")
 
+# valid values for write_shards/ShardWriter storage_dtype.  float16 and not
+# bfloat16: storage never touches the MXU (load_shard casts to f32 ON DEVICE
+# before any compute), so the only thing that matters is mantissa per byte —
+# f16 carries 10 bits to bf16's 7 — and f16 is npy-native (ml_dtypes arrays
+# don't round-trip through np.save/np.load).
+STORAGE_DTYPES = ("float32", "float16")
+
+
+def _storage_cast(arr: np.ndarray, storage_dtype: str | None) -> np.ndarray:
+    """Float fields -> the storage dtype; int fields pass through."""
+    if storage_dtype is None or storage_dtype == "float32":
+        return arr
+    if storage_dtype not in STORAGE_DTYPES:
+        raise ValueError(
+            f"storage_dtype {storage_dtype!r} not in {STORAGE_DTYPES}"
+        )
+    return arr.astype(storage_dtype) if np.issubdtype(
+        arr.dtype, np.floating) else arr
+
+
+@_lru_cache(maxsize=1)
+def _device_f32():
+    """Cached on-device upcast: H2D ships the compact storage dtype; compute
+    sees float32 exactly as with float32 shards (jit preserves the input's
+    sharding, so the mesh path works unchanged)."""
+    import jax.numpy as jnp
+
+    return jax.jit(lambda x: x.astype(jnp.float32))
+
 
 def write_shards(
     corpus: Corpus, directory: str | Path, shard_size: int, name: str = "corpus",
-    gold=None, shuffle: int | None = None,
+    gold=None, shuffle: int | None = None, storage_dtype: str | None = None,
 ) -> int:
     """Split a (host- or device-resident) corpus into fixed-shape shards.
 
@@ -73,6 +102,14 @@ def write_shards(
     ``ShardedCorpusReader`` only needs the files, not this writer.  ``gold``
     annotations (if any) are saved beside the shards for decode-time
     evaluation.  Returns the number of shards written.
+
+    ``storage_dtype="float16"`` stores FLOAT fields (frames / region
+    embeddings) half-size on disk; ``load_shard`` ships the compact bytes
+    and upcasts to float32 ON DEVICE, so disk, H2D volume, and (on hosts
+    whose transfer plugin retains H2D staging — see PERFORMANCE.md) host RSS
+    all halve.  LOSSY: values round to f16 (10-bit mantissa) once at write
+    time; everything downstream is the exact float32 pipeline on the
+    rounded values.  Opt-in; int token corpora are unaffected.
     """
     d = Path(directory)
     d.mkdir(parents=True, exist_ok=True)
@@ -97,7 +134,8 @@ def write_shards(
     for k in range(num_shards):
         lo, hi = k * shard_size, (k + 1) * shard_size
         for field, arr in arrays.items():
-            np.save(d / f"{field}_{k}.npy", arr[lo:hi])
+            np.save(d / f"{field}_{k}.npy",
+                    _storage_cast(arr[lo:hi], storage_dtype))
     (d / "manifest.json").write_text(json.dumps({
         "name": name,
         "num_shards": num_shards,
@@ -108,6 +146,7 @@ def write_shards(
         "src_vocab": corpus.src_vocab,
         "trg_vocab": corpus.trg_vocab,
         "shuffle_seed": shuffle,
+        "storage_dtype": storage_dtype,
     }))
     if gold is not None:
         from multimodalworddiscovery_tpu.data.io import save_alignment_json
@@ -144,12 +183,18 @@ class ShardWriter:
     """
 
     def __init__(self, directory: str | Path, shard_size: int,
-                 name: str = "corpus", shuffle_seed: int | None = None):
+                 name: str = "corpus", shuffle_seed: int | None = None,
+                 storage_dtype: str | None = None):
+        if storage_dtype is not None and storage_dtype not in STORAGE_DTYPES:
+            raise ValueError(
+                f"storage_dtype {storage_dtype!r} not in {STORAGE_DTYPES}"
+            )
         self.directory = Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
         self.shard_size = int(shard_size)
         self.name = name
         self.shuffle_seed = shuffle_seed
+        self.storage_dtype = storage_dtype
         self._k = 0
         self._n = 0
         self._meta = None  # (max_src_len, max_trg_len, src_vocab, trg_vocab)
@@ -176,7 +221,8 @@ class ShardWriter:
         padded = corpus.pad_to(self.shard_size)
         for field in FIELDS:
             np.save(self.directory / f"{field}_{self._k}.npy",
-                    np.asarray(getattr(padded, field)))
+                    _storage_cast(np.asarray(getattr(padded, field)),
+                                  self.storage_dtype))
         if gold_alignment is not None:
             ga = np.asarray(gold_alignment)
             if ga.shape != (b, corpus.max_src_len):
@@ -210,6 +256,7 @@ class ShardWriter:
             "src_vocab": sv,
             "trg_vocab": tv,
             "shuffle_seed": self.shuffle_seed,
+            "storage_dtype": self.storage_dtype,
         }))
         if self._gold_align:
             from multimodalworddiscovery_tpu.data.io import (
@@ -248,6 +295,9 @@ class ShardedCorpusReader:
         # seed of the write-time utterance permutation (None = corpus order;
         # manifests predating the shuffle option lack the key)
         self.shuffle_seed = m.get("shuffle_seed")
+        # on-disk dtype of FLOAT fields (None/float32 = as computed; float16
+        # halves disk + H2D — load_shard upcasts on device)
+        self.storage_dtype = m.get("storage_dtype")
 
     def load_shard(self, k: int, sharding=None) -> Corpus:
         """Shard ``k`` as a device-resident Corpus.
@@ -261,7 +311,12 @@ class ShardedCorpusReader:
 
         def rd(field):
             arr = np.load(self.directory / f"{field}_{k}.npy", mmap_mode="r")
-            return jax.device_put(np.ascontiguousarray(arr), sharding)
+            x = jax.device_put(np.ascontiguousarray(arr), sharding)
+            if x.dtype == np.float16:
+                # compact dtype crossed H2D; compute wants f32 — upcast on
+                # device (cached jit; preserves the input sharding)
+                x = _device_f32()(x)
+            return x
 
         return Corpus(
             src=rd("src"), src_len=rd("src_len"),
@@ -281,6 +336,8 @@ class ShardedCorpusReader:
                 for k in range(self.num_shards)
             ]
             fields[field] = np.concatenate(parts)[: self.n]
+            if fields[field].dtype == np.float16:
+                fields[field] = fields[field].astype(np.float32)
         corpus = Corpus(
             src=jax.numpy.asarray(fields["src"]),
             src_len=jax.numpy.asarray(fields["src_len"]),

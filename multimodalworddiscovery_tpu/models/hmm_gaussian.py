@@ -764,7 +764,9 @@ def _reservoir_frames(
         slen = np.load(reader.directory / f"src_len_{k}.npy", mmap_mode="r")
         t = src.shape[1]
         mask = np.arange(t)[None, :] < np.asarray(slen)[:, None]
-        flat = np.asarray(src)[mask]  # [frames_k, D]
+        # float32 canonically: float16-STORAGE shards must yield the same
+        # reservoir dtype (and merge layout) as float32 shards
+        flat = np.asarray(src)[mask].astype(np.float32, copy=False)
         u = rng.random(flat.shape[0])
         ck = u if keys is None else np.concatenate([keys, u])
         cb = flat if buf is None else np.concatenate([buf, flat])
@@ -862,7 +864,9 @@ def quantize_shards_streaming(
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    assign = jax.jit(lambda c, f: _kmeans_assign(c, f))
+    # the astype is in-jit so float16-STORAGE shards cross H2D compact and
+    # upcast on device (f32 shards: a no-op)
+    assign = jax.jit(lambda c, f: _kmeans_assign(c, f.astype(jnp.float32)))
     if shard_ids is None:
         shard_ids = range(reader.num_shards)
     for k in shard_ids:

@@ -222,7 +222,17 @@ def streamed_round_corpora(
         return tuple(out)
 
     def assemble(loc: dict, rd) -> Corpus:
-        mk = lambda f: jax.make_array_from_process_local_data(sharding, loc[f])  # noqa: E731
+        from multimodalworddiscovery_tpu.data.stream import _device_f32
+
+        def mk(f):
+            x = jax.make_array_from_process_local_data(sharding, loc[f])
+            if x.dtype == np.float16:
+                # float16 STORAGE shards: compact bytes cross H2D, compute
+                # wants f32 — upcast on device (every process runs this, so
+                # the jit over the global array stays collective-aligned)
+                x = _device_f32()(x)
+            return x
+
         return Corpus(
             src=mk("src"), src_len=mk("src_len"),
             trg=mk("trg"), trg_len=mk("trg_len"),
@@ -378,7 +388,14 @@ def train_minibatch_streaming_multihost(
         }
 
     def assemble(loc: dict) -> Corpus:
-        mk = lambda x: jax.make_array_from_process_local_data(sharding, x)  # noqa: E731
+        from multimodalworddiscovery_tpu.data.stream import _device_f32
+
+        def mk(x):
+            g = jax.make_array_from_process_local_data(sharding, x)
+            if g.dtype == np.float16:  # float16 STORAGE: upcast on device
+                g = _device_f32()(g)
+            return g
+
         return Corpus(
             src=mk(loc["src"]), src_len=mk(loc["src_len"]),
             trg=mk(loc["trg"]), trg_len=mk(loc["trg_len"]),

@@ -119,7 +119,8 @@ def stage_synthesize(args, shards_dir: Path) -> dict:
     wav_seconds = 0.0
     key = jax.random.PRNGKey(args.seed)
     with ShardWriter(
-        shards_dir, args.shard_size, name="fullscale", shuffle_seed=args.seed
+        shards_dir, args.shard_size, name="fullscale", shuffle_seed=args.seed,
+        storage_dtype=args.storage_dtype,
     ) as writer:
         for bi, (phone_corpus, gold) in enumerate(batches):
             b = phone_corpus.n
@@ -251,6 +252,14 @@ def main():
                          "(init=vq_teacher + annealed EM) instead of "
                          "flat-start EM — required for usable alignments "
                          "at six-figure N (see docs/PERFORMANCE.md)")
+    ap.add_argument("--storage-dtype", default=None,
+                    choices=["float32", "float16"],
+                    help="on-disk dtype for the frame shards; float16 "
+                         "halves disk AND the per-EM-pass H2D volume "
+                         "(values round to f16 once at write time; compute "
+                         "stays float32 on device) — required to fit "
+                         "MSCOCO-scale corpora under this host's relay "
+                         "H2D-retention budget (docs/PERFORMANCE.md)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default="/tmp/mwd_fullscale")
     ap.add_argument("--report", default=None, help="JSON report path")

@@ -28,11 +28,14 @@ def test_run_pipeline_fullscale_scaled_down(tmp_path):
     down: batched synth -> on-device waveform assembly -> Pallas MFCC ->
     ShardWriter -> streamed EM -> streamed align/segment/evaluate, plus the
     built-in resident/streamed cross-check (the script aborts if shard-0
-    metrics disagree beyond 1e-5)."""
+    metrics disagree beyond 1e-5).  Runs with --storage-dtype float16 so CI
+    covers the compact-storage path end to end (write -> device upcast ->
+    EM -> decode -> metrics -> resident cross-check)."""
     out = subprocess.run(
         [sys.executable, "scripts/run_pipeline_fullscale.py",
          "--utterances", "256", "--shard-size", "64", "--mfcc-batch", "64",
          "--iters", "3", "--retrieval-pool", "16", "--cpu", "--interpret",
+         "--storage-dtype", "float16",
          "--workdir", str(tmp_path / "wd"),
          "--report", str(tmp_path / "report.json")],
         capture_output=True, text=True, timeout=600,

@@ -1098,3 +1098,133 @@ def test_vq_frontend_streamed_hmm(tmp_path, corpus_gold):
                       "model.name=attention", "model.vq_frontend=true",
                       "train.batch_size=8"],
         ))
+
+
+def test_float16_storage_shards(tmp_path, corpus_gold):
+    """float16 STORAGE shards (halved disk + H2D): load_shard ships the
+    compact bytes and upcasts to float32 ON DEVICE, and streamed EM on f16
+    shards is EXACTLY resident EM on the f16-rounded corpus — the rounding
+    happens once at write time, nowhere else."""
+    import jax.numpy as jnp
+
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    write_shards(fc, tmp_path / "f32", shard_size=10)
+    write_shards(fc, tmp_path / "f16", shard_size=10, storage_dtype="float16")
+    r32 = ShardedCorpusReader(tmp_path / "f32")
+    r16 = ShardedCorpusReader(tmp_path / "f16")
+    assert r16.storage_dtype == "float16" and r32.storage_dtype is None
+
+    s32, s16 = r32.load_shard(0), r16.load_shard(0)
+    assert s16.src.dtype == jnp.float32  # upcast happened (on device)
+    np.testing.assert_array_equal(      # exactly the f16 rounding, no more
+        np.asarray(s16.src),
+        np.asarray(s32.src).astype(np.float16).astype(np.float32),
+    )
+    assert s16.trg.dtype == s32.trg.dtype  # int fields untouched
+    sz32 = (tmp_path / "f32" / "src_0.npy").stat().st_size
+    sz16 = (tmp_path / "f16" / "src_0.npy").stat().st_size
+    assert sz16 < 0.55 * sz32  # the float field really halved on disk
+
+    rounded = fc.replace(src=jnp.asarray(
+        np.asarray(fc.src).astype(np.float16).astype(np.float32)
+    ))
+    key = jax.random.PRNGKey(0)
+    ps, lls = train_streaming(
+        hmm_gaussian, hmm_gaussian.init(rounded, key=key), r16, 2
+    )
+    pr, lls_ref = jax.jit(lambda p, c: hmm_gaussian.train(p, c, 2))(
+        hmm_gaussian.init(rounded, key=key), rounded
+    )
+    np.testing.assert_allclose(lls, np.asarray(lls_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ps.means), np.asarray(pr.means), atol=1e-4
+    )
+
+    mat, _ = r16.materialize()  # resident convenience path upcasts too
+    assert np.asarray(mat.src).dtype == np.float32
+
+
+def test_float16_storage_vq_paths(tmp_path, corpus_gold):
+    """The raw-field readers that bypass load_shard (frame reservoir, shard
+    quantization) handle f16 storage: reservoir comes back float32 with the
+    f16-rounded values, and the quantized code shards match the ones from
+    the equivalent f32-rounded shard dir."""
+    corpus, gold, _ = corpus_gold
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.models.hmm_gaussian import (
+        _reservoir_frames,
+        quantize_shards_streaming,
+    )
+
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    rounded = fc.replace(src=np.asarray(fc.src).astype(np.float16).astype(
+        np.float32))
+    write_shards(fc, tmp_path / "f16", shard_size=10, storage_dtype="float16")
+    write_shards(rounded, tmp_path / "ref", shard_size=10)
+    r16 = ShardedCorpusReader(tmp_path / "f16")
+    rref = ShardedCorpusReader(tmp_path / "ref")
+
+    b16 = _reservoir_frames(r16, 64, seed=5)
+    bref = _reservoir_frames(rref, 64, seed=5)
+    assert b16.dtype == np.float32
+    np.testing.assert_array_equal(b16, bref)
+
+    cb = quantize_shards_streaming(
+        r16, tmp_path / "codes16", n_codes=8, key=jax.random.PRNGKey(1)
+    )
+    quantize_shards_streaming(
+        rref, tmp_path / "codesref", n_codes=8, codebook=cb
+    )
+    for k in range(r16.num_shards):
+        np.testing.assert_array_equal(
+            np.load(tmp_path / "codes16" / f"src_{k}.npy"),
+            np.load(tmp_path / "codesref" / f"src_{k}.npy"),
+        )
+
+
+def test_shard_writer_float16_matches_write_shards(tmp_path, corpus_gold):
+    """ShardWriter(storage_dtype=float16) produces byte-identical shard
+    files to write_shards(storage_dtype=float16)."""
+    from multimodalworddiscovery_tpu.data.stream import FIELDS, ShardWriter
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+
+    corpus, gold, _ = corpus_gold
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    write_shards(fc, tmp_path / "a", shard_size=10, storage_dtype="float16")
+    with ShardWriter(tmp_path / "b", 10, storage_dtype="float16") as w:
+        for lo in range(0, fc.n, 10):
+            w.append(jax.tree.map(lambda v: v[lo:lo + 10], fc))
+    for k in range(3):
+        for f in FIELDS:
+            assert (tmp_path / "a" / f"{f}_{k}.npy").read_bytes() == (
+                tmp_path / "b" / f"{f}_{k}.npy").read_bytes(), (f, k)
+    assert ShardedCorpusReader(tmp_path / "b").storage_dtype == "float16"
+
+
+def test_float16_storage_multihost_rounds(tmp_path, corpus_gold):
+    """The multihost round protocol (streamed_round_corpora, used by pod
+    EM and the distributed vq_teacher seeding) upcasts f16-storage global
+    arrays on device."""
+    import jax.numpy as jnp
+
+    from multimodalworddiscovery_tpu.core.mesh import make_mesh
+    from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
+    from multimodalworddiscovery_tpu.parallel.multihost import (
+        streamed_round_corpora,
+    )
+
+    corpus, gold, _ = corpus_gold
+    fc, _, _ = phones_to_frames(corpus, gold, feat_dim=8, noise=0.1, seed=0)
+    write_shards(fc, tmp_path / "s", shard_size=16, storage_dtype="float16")
+    reader = ShardedCorpusReader(tmp_path / "s")
+    mesh = make_mesh(8)
+    for (rc,) in streamed_round_corpora((reader,), mesh):
+        assert rc.src.dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(rc.src)[:16],
+            np.asarray(fc.src[:16]).astype(np.float16).astype(np.float32),
+        )
+        break
