@@ -114,6 +114,7 @@ def test_subsampled_attention_on_frames():
     assert (a[~sm] == 0).all()
 
 
+@pytest.mark.slow
 def test_guided_attention_with_subsample():
     """The teacher guide pools onto subsampled positions — guided training
     composes with the conv stride front end (round-1 raised an error here)."""

@@ -9,6 +9,7 @@ boxes at IoU 0.5.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodalworddiscovery_tpu.data.synthetic import make_boxes_mini
 from multimodalworddiscovery_tpu.frontend import detector
@@ -99,6 +100,7 @@ def test_anchor_grid_geometry():
     np.testing.assert_allclose(g[:, 2] - g[:, 0], 0.25, atol=1e-6)
 
 
+@pytest.mark.slow  # 150-step training-quality run; geometry/oracle parity above
 def test_train_detector_recovers_boxes():
     cfg = detector.DetectorConfig(
         image_size=48, scales=(0.2, 0.35), ratios=(0.7, 1.4),

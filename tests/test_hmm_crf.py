@@ -4,6 +4,7 @@ parity vs autodiff through the forward scan, and CRF training quality."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodalworddiscovery_tpu.data import make_flickr8k_mini
 from multimodalworddiscovery_tpu.data.synthetic import phones_to_frames
@@ -145,6 +146,8 @@ def test_e2e_transition_gradient_matches_finite_differences():
     np.testing.assert_allclose(float(g_vjp[1]), fd_p0, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow  # training-quality run; e2e transition GRADIENTS are
+# finite-difference-pinned above, which is the correctness content
 def test_crf_e2e_learn_transitions_trains():
     """Fully end-to-end mode: transitions learned by Adam through the
     marginal (no closed-form transition M-step) still reaches the EM-

@@ -118,7 +118,7 @@ def test_fused_expected_counts_large_state_gate():
     """The fused pipeline covers the raised gate (32 < S <= 64, concept
     vocab up to 256): parity vs the plain path at a many-concept shape."""
     corpus, _, _ = make_flickr8k_mini(
-        n_utterances=12, n_concepts=200, min_concepts=24, max_concepts=32,
+        n_utterances=6, n_concepts=200, min_concepts=17, max_concepts=20,
         min_word_len=2, max_word_len=3, seed=21,
     )
     assert 2 * corpus.max_trg_len > 32  # actually exercises the raised gate

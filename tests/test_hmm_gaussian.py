@@ -255,6 +255,7 @@ def test_quantize_frames_codes_and_determinism(frames):
     np.testing.assert_array_equal(codes, np.asarray(cc2.src))
 
 
+@pytest.mark.slow
 def test_vq_teacher_recipe_beats_flat_start_dense():
     """The productionized dense-region recipe (init_vq_teacher + annealed EM)
     must materially beat flat-start EM where the flat start is known to fail

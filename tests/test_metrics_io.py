@@ -1,5 +1,7 @@
 """MetricsWriter: JSONL contract + optional TensorBoard scalars (SURVEY §5.5)."""
 
+import pytest
+
 from multimodalworddiscovery_tpu.core.metrics_io import MetricsWriter
 
 
@@ -12,6 +14,7 @@ def test_jsonl_roundtrip(tmp_path):
     assert recs[0]["loglik"] == -1.5 and recs[0]["acc"] == 0.5
 
 
+@pytest.mark.slow  # torch.utils.tensorboard import alone is ~20 s on 1 core
 def test_tensorboard_scalars_written(tmp_path):
     tb = tmp_path / "tb"
     w = MetricsWriter(tmp_path / "m.jsonl", tensorboard_dir=tb)

@@ -24,9 +24,10 @@ def test_gather_batch_is_row_select():
     assert b.src_vocab == corpus.src_vocab
 
 
+@pytest.mark.slow  # training-quality run; step mechanics are pinned below
 def test_minibatch_attention_improves_loss():
     corpus, gold, _ = make_flickr8k_mini(n_utterances=60, seed=2)
-    state = attention.init(corpus, dim=32, key=jax.random.PRNGKey(0))
+    state = attention.init(corpus, dim=16, key=jax.random.PRNGKey(0))
     step = make_minibatch_step(attention.em_step, corpus, batch_size=16)
     key = jax.random.PRNGKey(1)
     losses = []
@@ -56,7 +57,7 @@ def test_minibatch_guided_attention_guide_per_batch():
         g = attention.hmm_guide_matrix(hp, c)
         return attention.em_step(state, c, guide=g)
 
-    state = attention.init(corpus, dim=32, key=jax.random.PRNGKey(0))
+    state = attention.init(corpus, dim=16, key=jax.random.PRNGKey(0))
     step = make_minibatch_step(guided_step, corpus, batch_size=8)
     state, stats = step(state, jax.random.PRNGKey(9))
     assert np.isfinite(float(stats["loss"]))
@@ -69,7 +70,7 @@ def test_minibatch_data_parallel_mesh():
     corpus, _, _ = make_flickr8k_mini(n_utterances=64, seed=4)
     mesh = make_mesh()
     sharded = shard_corpus(corpus, mesh)
-    state = attention.init(corpus, dim=32, key=jax.random.PRNGKey(0))
+    state = attention.init(corpus, dim=16, key=jax.random.PRNGKey(0))
     step = make_minibatch_step(attention.em_step, sharded, 16, mesh=mesh)
     s2, stats = step(state, jax.random.PRNGKey(0))
     assert np.isfinite(float(stats["loss"]))
@@ -86,7 +87,7 @@ def test_minibatch_data_parallel_mesh():
 
 def test_minibatch_grounding_runs():
     corpus, _, _ = make_flickr8k_mini(n_utterances=40, seed=5)
-    state = grounding.init(corpus, dim=32, key=jax.random.PRNGKey(0))
+    state = grounding.init(corpus, dim=16, key=jax.random.PRNGKey(0))
     state, lls = train_minibatch(
         grounding.em_step, state, corpus, batch_size=10, num_steps=6
     )
@@ -95,7 +96,7 @@ def test_minibatch_grounding_runs():
 
 def test_minibatch_fused_scan_steps():
     corpus, _, _ = make_flickr8k_mini(n_utterances=40, seed=6)
-    state = attention.init(corpus, dim=32, key=jax.random.PRNGKey(0))
+    state = attention.init(corpus, dim=16, key=jax.random.PRNGKey(0))
     state, lls = train_minibatch(
         attention.em_step, state, corpus, batch_size=8, num_steps=8,
         steps_per_call=4,
@@ -111,7 +112,7 @@ def test_minibatch_size_validation():
 
 def test_train_minibatch_runs_remainder_steps():
     corpus, _, _ = make_flickr8k_mini(n_utterances=20, seed=8)
-    state = attention.init(corpus, dim=32, key=jax.random.PRNGKey(0))
+    state = attention.init(corpus, dim=16, key=jax.random.PRNGKey(0))
     state, lls = train_minibatch(
         attention.em_step, state, corpus, batch_size=5, num_steps=10,
         steps_per_call=4,
@@ -170,7 +171,7 @@ def test_minibatch_local_sampling_trains():
     corpus, _, _ = make_flickr8k_mini(n_utterances=32, seed=10)
     mesh = make_mesh()
     sharded = shard_corpus(corpus, mesh)
-    state = attention.init(sharded, dim=32, key=jax.random.PRNGKey(0))
+    state = attention.init(sharded, dim=16, key=jax.random.PRNGKey(0))
     step = make_minibatch_step(
         attention.em_step, sharded, batch_size=8, mesh=mesh, sample="local"
     )

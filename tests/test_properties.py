@@ -19,16 +19,27 @@ from multimodalworddiscovery_tpu.segment import segments_from_alignment
 
 @st.composite
 def corpora(draw):
-    n = draw(st.integers(2, 6))
-    v_src = draw(st.integers(3, 10))
-    v_trg = draw(st.integers(3, 8))
+    """Random corpora with QUANTIZED padded shapes.
+
+    Content (lengths, token values, concept sets) varies per example, but the
+    padded array shapes and vocab sizes are fixed so every hypothesis example
+    reuses ONE jit compile per function under test.  The old free-shape
+    strategy compiled each of ~45 examples separately, which made this file
+    the slowest in the fast tier (79 s for two tests on one CPU core) while
+    adding no semantic coverage: shape-independence is the padding-invariance
+    property, pinned separately by test_masking.py on hand-picked shapes.
+    """
+    n, v_src, v_trg = 4, 10, 8
     rng = np.random.default_rng(draw(st.integers(0, 2**31 - 1)))
     src = [rng.integers(1, v_src, size=rng.integers(1, 10)) for _ in range(n)]
     trg = [
-        rng.choice(np.arange(1, v_trg), size=rng.integers(1, min(4, v_trg - 1) + 1), replace=False)
+        rng.choice(np.arange(1, v_trg), size=rng.integers(1, 5), replace=False)
         for _ in range(n)
     ]
-    return Corpus.from_ragged(src, trg, src_vocab=v_src, trg_vocab=v_trg)
+    return Corpus.from_ragged(
+        src, trg, src_vocab=v_src, trg_vocab=v_trg,
+        max_src_len=9, max_trg_len=4,
+    )
 
 
 @settings(max_examples=15, deadline=None)
@@ -84,14 +95,12 @@ def test_segments_partition_nonnull(corpus):
 
 
 @settings(max_examples=20, deadline=None)
-@given(
-    st.integers(1, 5),
-    st.integers(1, 12),
-    st.integers(0, 2**31 - 1),
-)
-def test_logsumexp_identities(rows, cols, seed):
+@given(st.integers(0, 2**31 - 1))
+def test_logsumexp_identities(seed):
+    # fixed (5, 12) shape: one compile for all examples (see corpora());
+    # the identities are pointwise-in-shape, only the values need to vary
     rng = np.random.default_rng(seed)
-    x = jnp.asarray((10 * rng.normal(size=(rows, cols))).astype(np.float32))
+    x = jnp.asarray((10 * rng.normal(size=(5, 12))).astype(np.float32))
     # shift identity: lse(x + c) == lse(x) + c
     c = 3.7
     np.testing.assert_allclose(

@@ -54,6 +54,7 @@ def test_distortion_decreases(frames):
     assert lls[-1] >= lls[0], lls
 
 
+@pytest.mark.slow  # discovery-quality threshold; mechanics pinned above
 def test_boundary_recall_beats_uniform(frames):
     fc, fg = frames
     params = skm.init(fc, n_clusters=60, key=jax.random.PRNGKey(2))
